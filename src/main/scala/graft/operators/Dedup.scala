@@ -1,0 +1,209 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Deduplication operators for large-scale text/embedding corpora
+  * (north-star extension; SURVEY.md §2.F/§2.G G20–G21).
+  *
+  * All variants are pure Column-API pipelines (whole-stage codegen, no UDFs):
+  * cross-engine determinism comes from md5 hex strings as the hash family,
+  * which both Spark and the DuckDB oracle compute identically.
+  *
+  * Scale design (100 TB): exact dedup and minhash-LSH shuffle on *hash keys*
+  * (uniformly distributed — no skew); the only quadratic operator is the
+  * exact-pair verification, which is always gated behind a candidate
+  * generator (LSH bands) so the pair space is tiny. The brute-force pair
+  * queries exist as oracles for the small-SF gate, not as the scale path.
+  */
+object Dedup {
+
+  /** Word tokens of documents.text. */
+  private def tokens: Column = split(col("text"), " ")
+
+  /** Distinct word-level 3-gram shingles per document: (doc_id, s). */
+  private def shingles(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(
+          when(size(t) >= 3,
+            transform(sequence(lit(0), size(t) - 3), i =>
+              concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3))))
+            .otherwise(array().cast("array<string>")))).as("s"))
+  }
+
+  /** Exact dedup by content hash: one group per md5(text) with survivor
+    * (min doc_id) and multiplicity — the hash-groupBy pattern that scales to
+    * any corpus size (shuffle key = uniform md5). */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("c"), min("doc_id").as("keep"))
+      .orderBy("h")
+
+  /** Exact n-gram Jaccard near-dup pairs (j ≥ 0.5): shingle inverted index →
+    * self-join on shingle → |∩| / (|A|+|B|−|∩|). The shingle join is the
+    * scale bottleneck by design — this is the *oracle* form; minhashLsh below
+    * is the 100 TB path. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("a_id"), col("s"))
+    val b = sh.select(col("doc_id").as("b_id"), col("s"))
+    val inter = a.join(b, Seq("s")).filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), Seq("a_id"))
+      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), Seq("b_id"))
+      .withColumn("j", col("c") / (col("na") + col("nb") - col("c")))
+      .filter(col("j") >= 0.5)
+      .select(col("a_id"), col("b_id"), round(col("j"), 4).as("j"))
+      .orderBy("a_id", "b_id")
+  }
+
+  val MinhashFuncs = 16
+  val MinhashBands = 4 // 4 bands × 4 rows
+
+  /** Per-doc minhash signature columns mh0..mh15: MIN(md5("<seed>:"||shingle)).
+    * One groupBy computes all 16 mins in a single pass (partial+final agg). */
+  private def signatures(spark: SparkSession, dir: String): DataFrame = {
+    val aggs = (0 until MinhashFuncs).map(i =>
+      min(md5(concat(lit(s"$i:"), col("s")))).as(s"mh$i"))
+    shingles(spark, dir).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash signature table (the reusable artifact: at scale it is computed
+    * once and persisted; candidate generation joins signatures, never text). */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    signatures(spark, dir)
+      .select(col("doc_id") +: (0 until MinhashFuncs).map(i => col(s"mh$i")): _*)
+      .orderBy("doc_id")
+
+  /** MinHash + LSH banding near-dup pairs: candidates = docs sharing one
+    * full band (4 of 4 sig rows equal), verified by estimated Jaccard
+    * (matching sigs / 16) ≥ 0.5. The band join is an *equi* join on
+    * (band_idx, band_hash) — shuffle on a uniform key, no cross product
+    * anywhere: this is the shape that survives 100 TB. */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val rows = MinhashFuncs / MinhashBands
+    val sig = signatures(spark, dir).cache()
+    val bandCols = (0 until MinhashBands).map { bi =>
+      val parts = (bi * rows until (bi + 1) * rows).map(i => col(s"mh$i"))
+      struct(lit(bi).as("band_idx"), md5(concat(parts: _*)).as("band_hash"))
+    }
+    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bd"))
+      .select(col("doc_id"), col("bd.band_idx").as("band_idx"), col("bd.band_hash").as("band_hash"))
+    val cand = bands.alias("x").join(bands.alias("y"), Seq("band_idx", "band_hash"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    val sa = sig.select(col("doc_id").as("a_id") +: (0 until MinhashFuncs).map(i => col(s"mh$i").as(s"a$i")): _*)
+    val sb = sig.select(col("doc_id").as("b_id") +: (0 until MinhashFuncs).map(i => col(s"mh$i").as(s"b$i")): _*)
+    val matches = (0 until MinhashFuncs)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(sa, Seq("a_id")).join(sb, Seq("b_id"))
+      .withColumn("est", matches.cast("double") / MinhashFuncs)
+      .filter(col("est") >= 0.5)
+      .select(col("a_id"), col("b_id"), round(col("est"), 4).as("est"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** 32-bit SimHash fingerprint per document: bit j is the sign of the sum
+    * over tokens (with multiplicity) of ±1 by the high bit of the j-th
+    * md5 nibble. Emitted as a bitstring so the oracle compares exactly. */
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens).as("tok"))
+      .select(col("doc_id"), md5(col("tok")).as("h"))
+      .select(col("doc_id"), col("h"), explode(sequence(lit(1), lit(32))).as("j"))
+      .withColumn("v", when(expr("instr('89abcdef', substr(h, j, 1))") > 0, 1).otherwise(-1))
+      .groupBy("doc_id", "j").agg(sum("v").as("sv"))
+      .withColumn("b", when(col("sv") > 0, lit("1")).otherwise(lit("0")))
+      .groupBy("doc_id")
+      .agg(array_join(transform(array_sort(collect_list(struct(col("j"), col("b")))),
+        x => x.getField("b")), "").as("sh"))
+      .orderBy("doc_id")
+
+  /** Embedding near-dup pairs: cosine ≥ 0.45 (vectors are L2-normalized so
+    * cosine = dot). Brute-force pair join as the exact oracle; the scale
+    * path is Similarity.lshBuckets (sign-random-projection buckets). */
+  def embeddingCosine(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val a = e.select(col("vec_id").as("a_id"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("cs", aggregate(zip_with(col("va"), col("vb"), _ * _), lit(0.0), _ + _))
+      .filter(col("cs") >= 0.45)
+      .select(col("a_id"), col("b_id"), round(col("cs"), 4).as("cs"))
+      .orderBy("a_id", "b_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_exact" -> exact _,
+    "dd_ngram_jaccard" -> ngramJaccard _,
+    "dd_minhash_sig" -> minhashSignatures _,
+    "dd_minhash_lsh" -> minhashLsh _,
+    "dd_simhash" -> simhash _,
+    "dd_embed_cos" -> embeddingCosine _,
+  )
+
+  private val shingleCte =
+    """WITH toks AS (SELECT doc_id, string_split(text,' ') t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      |FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) i))""".stripMargin
+
+  private val sigCte = shingleCte + ", sig AS (SELECT doc_id, " +
+    (0 until MinhashFuncs).map(i => s"MIN(md5('$i:' || s)) AS mh$i").mkString(", ") +
+    " FROM sh GROUP BY doc_id)"
+
+  val oracleSql: Map[String, String] = Map(
+    "dd_exact" ->
+      """SELECT md5(text) AS h, COUNT(*) AS c, MIN(doc_id) AS keep
+        |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin.replaceAll("\n", " "),
+    "dd_ngram_jaccard" ->
+      (shingleCte + """,
+        |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) c
+        |FROM sh a JOIN sh b ON a.s=b.s AND a.doc_id<b.doc_id GROUP BY 1,2)
+        |SELECT a_id, b_id, ROUND(c*1.0/(sa.n+sb.n-c),4) AS j FROM inter
+        |JOIN sizes sa ON sa.doc_id=a_id JOIN sizes sb ON sb.doc_id=b_id
+        |WHERE c*1.0/(sa.n+sb.n-c) >= 0.5 ORDER BY a_id, b_id""").stripMargin.replaceAll("\n", " "),
+    "dd_minhash_sig" ->
+      (sigCte + " SELECT * FROM sig ORDER BY doc_id").replaceAll("\n", " "),
+    "dd_minhash_lsh" ->
+      (sigCte + """
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id, ROUND((""" +
+        (0 until MinhashFuncs).map(i => s"CASE WHEN a.mh$i=b.mh$i THEN 1 ELSE 0 END").mkString(" + ") +
+        s""")/${MinhashFuncs}.0, 4) AS est
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE (""" +
+        (0 until MinhashBands).map { bi =>
+          (bi * 4 until bi * 4 + 4).map(i => s"a.mh$i=b.mh$i").mkString("(", " AND ", ")")
+        }.mkString(" OR ") +
+        """) AND (""" +
+        (0 until MinhashFuncs).map(i => s"CASE WHEN a.mh$i=b.mh$i THEN 1 ELSE 0 END").mkString(" + ") +
+        s""") >= ${MinhashFuncs / 2}
+        |ORDER BY a_id, b_id""").stripMargin.replaceAll("\n", " "),
+    "dd_simhash" ->
+      """WITH h AS (SELECT doc_id, md5(unnest(string_split(text,' '))) h FROM documents),
+        |bits AS (SELECT doc_id, j,
+        |CASE WHEN SUM(CASE WHEN strpos('89abcdef', substr(h, j, 1)) > 0 THEN 1 ELSE -1 END) > 0
+        |THEN '1' ELSE '0' END AS b
+        |FROM h, (SELECT unnest(generate_series(1,32)) j) GROUP BY doc_id, j)
+        |SELECT doc_id, string_agg(b, '' ORDER BY j) AS sh FROM bits
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "dd_embed_cos" ->
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), 4) AS cs
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) >= 0.45
+        |ORDER BY a_id, b_id""".stripMargin.replaceAll("\n", " "),
+  )
+}

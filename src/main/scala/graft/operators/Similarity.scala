@@ -1,0 +1,128 @@
+package graft.operators
+
+import java.nio.ByteBuffer
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Approximate-nearest-neighbor search over the embeddings table
+  * (north-star extension; SURVEY.md §2.G G21/G23).
+  *
+  * Vectors are L2-normalized in the corpus, so cosine similarity is the
+  * plain dot product, computed with zip_with+aggregate Column expressions
+  * (codegen — no UDF in the hot path).
+  *
+  * Scale story: `bruteForceTopK` broadcasts the (small) query set against
+  * the full corpus — exact, O(Q·N), the correctness oracle. `lshTopK` is
+  * the 100 TB path: L sign-random-projection tables hash every vector to a
+  * bucket; candidates come from an equi join on (table, bucket) — shuffle
+  * on uniform hash keys, never a cross product — then only candidates are
+  * scored exactly.
+  */
+object Similarity {
+
+  val QuerySetSize = 20 // queries = vec_id < 20
+  val TopK = 3
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+
+  /** Exact top-k cosine neighbors for the query set, brute force.
+    * Ranking is over ROUND(cs,6) with vec_id tiebreak so the oracle's
+    * ordering is bit-stable across engines. */
+  def bruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("q_id"), col("v").as("vq"))
+    val w = Window.partitionBy("q_id").orderBy(round(col("cs"), 6).desc, col("nbr_id"))
+    broadcast(q).join(e.select(col("vec_id").as("nbr_id"), col("v").as("vn")),
+        col("q_id") =!= col("nbr_id"))
+      .withColumn("cs", dot(col("vq"), col("vn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("nbr_id"), col("rank"), round(col("cs"), 4).as("cs"))
+      .orderBy("q_id", "rank")
+  }
+
+  // Tuned for weak-neighbor corpora (top cosine ~0.5 ⇒ θ≈60°): collision
+  // prob per table (1-θ/π)^bits ≈ 0.09 at 6 bits; 8 tables ⇒ ~50% recall
+  // while scoring only ~10% of the corpus per query. More-clustered corpora
+  // can raise bits (smaller candidate sets) without losing recall.
+  val LshTables = 8
+  val LshBits = 6
+  val Dim = 64
+
+  /** Deterministic pseudo-random hyperplane component for (table, plane, dim):
+    * first 4 md5 bytes as a signed int scaled to [-1, 1]. Seeded hashing
+    * instead of RNG state keeps every run (and every executor) identical. */
+  private def hyperplane(t: Int, p: Int): Array[Double] = {
+    val md = MessageDigest.getInstance("MD5")
+    Array.tabulate(Dim) { d =>
+      val bytes = md.digest(s"graft-lsh:$t:$p:$d".getBytes("UTF-8"))
+      ByteBuffer.wrap(bytes).getInt.toDouble / Int.MaxValue
+    }
+  }
+
+  /** Bucket id columns: for each table, the bitstring of hyperplane signs. */
+  private def withBuckets(df: DataFrame): DataFrame = {
+    val bucketCols = (0 until LshTables).map { t =>
+      val bits = (0 until LshBits).map { p =>
+        val plane = hyperplane(t, p)
+        val planeCol = array(plane.map(lit): _*)
+        when(dot(col("v"), planeCol) > 0, lit("1")).otherwise(lit("0"))
+      }
+      struct(lit(t).as("tbl"), concat(bits: _*).as("bucket"))
+    }
+    df.withColumn("bd", explode(array(bucketCols: _*)))
+      .select(df.columns.map(col) :+ col("bd.tbl").as("tbl") :+ col("bd.bucket").as("bucket"): _*)
+  }
+
+  /** ANN top-k via sign-random-projection LSH: candidates share a bucket in
+    * any of the L tables; exact rescoring only on candidates. Missing true
+    * neighbors is possible (measured as recall vs bruteForceTopK in
+    * SimilaritySpec) — the price of never materializing Q×N. */
+  def lshTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = withBuckets(emb(spark, dir)).cache()
+    val q = e.filter(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("q_id"), col("v").as("vq"), col("tbl"), col("bucket"))
+    val n = e.select(col("vec_id").as("nbr_id"), col("v").as("vn"), col("tbl"), col("bucket"))
+    val cand = q.join(n, Seq("tbl", "bucket"))
+      .filter(col("q_id") =!= col("nbr_id"))
+      .select("q_id", "nbr_id", "vq", "vn")
+      .dropDuplicates("q_id", "nbr_id")
+    val w = Window.partitionBy("q_id").orderBy(round(col("cs"), 6).desc, col("nbr_id"))
+    cand.withColumn("cs", dot(col("vq"), col("vn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("nbr_id"), col("rank"), round(col("cs"), 4).as("cs"))
+      .orderBy("q_id", "rank")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_topk" -> bruteForceTopK _,
+    "ann_lsh_topk" -> lshTopK _, // no oracle: LSH recall is checked in SimilaritySpec
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "ann_topk" ->
+      """WITH scored AS (
+        |SELECT a.vec_id AS q_id, b.vec_id AS nbr_id,
+        |list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS cs
+        |FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        |WHERE a.vec_id < 20),
+        |ranked AS (SELECT q_id, nbr_id, cs,
+        |CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ROUND(cs,6) DESC, nbr_id) AS INTEGER) AS rank
+        |FROM scored)
+        |SELECT q_id, nbr_id, rank, ROUND(cs,4) AS cs FROM ranked
+        |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin.replaceAll("\n", " "),
+  )
+}

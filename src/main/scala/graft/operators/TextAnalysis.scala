@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Text-analysis operators for training-data pipelines (north-star
+  * extension; SURVEY.md §2.G G22): token counting, quality scoring,
+  * document fingerprinting, language identification.
+  *
+  * Everything is Column-expression based (codegen; embarrassingly parallel —
+  * no shuffle except the per-lang aggregate), so throughput is scan-bound at
+  * any corpus size.
+  */
+object TextAnalysis {
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** Small english stopword core used for the quality ratio (documents are
+    * space-tokenized in this corpus; the list is a constant, broadcast-free
+    * IN predicate). */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "it")
+
+  /** Per-language marker words for the langid heuristic (real-world lists;
+    * scores are marker-hit counts over the token stream, CJK charset
+    * short-circuits to zh). */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "you", "that", "was", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "ich", "mit"),
+    "es" -> Seq("el", "los", "las", "que", "es", "una", "por", "con", "para"),
+    "fr" -> Seq("le", "les", "est", "et", "des", "une", "dans", "pour", "vous"),
+  )
+
+  /** Corpus stats per language tag (the deterministic core of G22). */
+  def langStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("c"), sum("n_chars").cast("long").as("s"))
+      .orderBy("lang")
+
+  /** Whitespace token count plus a BPE-ish subword estimate: words are
+    * regex-split into letter runs / digit runs / single punctuation, the
+    * usual pre-tokenizer shape, and ceil(len/4) approximates subword
+    * fan-out for long words. */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(toks).cast("long").as("nt"),
+        size(filter(split(col("text"), "[^A-Za-z0-9]+"), x => length(x) > 0))
+          .cast("long").as("nw"),
+        aggregate(transform(toks, t => ceil(length(t) / lit(4.0)).cast("long")),
+          lit(0L), _ + _).as("bpe_est"))
+      .orderBy("doc_id")
+
+  /** Quality scoring: token count, mean token length, stopword ratio,
+    * alphabetic-character ratio — the standard cheap filters applied before
+    * expensive pipeline stages. */
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    val t = toks
+    val nt = size(t)
+    val stopHits = size(filter(t, x => x.isin(Stopwords.map(s => s: Any): _*)))
+    val alpha = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        nt.cast("long").as("n_tokens"),
+        round(aggregate(transform(t, x => length(x).cast("double")), lit(0.0), _ + _) / nt, 4)
+          .as("avg_tok_len"),
+        round(stopHits.cast("double") / nt, 4).as("stop_ratio"),
+        round(alpha.cast("double") / length(col("text")), 4).as("alpha_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Content fingerprint: md5 over case-folded, whitespace-collapsed text —
+    * the normalization-then-hash dedup key. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp"))
+      .orderBy("doc_id")
+
+  /** Heuristic language ID: CJK charset ⇒ zh, else argmax of marker-word
+    * hits with a fixed priority tiebreak (en > de > es > fr). Pure Column
+    * expression — array of (score, priority, lang) structs reduced with
+    * array_max, which compares structs lexicographically. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val t = toks
+    val scored = LangMarkers.zipWithIndex.map { case ((lang, markers), i) =>
+      struct(
+        size(filter(t, x => x.isin(markers.map(s => s: Any): _*))).as("score"),
+        lit(LangMarkers.size - i).as("prio"),
+        lit(lang).as("lang"))
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        when(col("text").rlike("[\\u4e00-\\u9fff]"), lit("zh"))
+          .otherwise(array_max(array(scored: _*)).getField("lang")).as("pred_lang"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_lang_stats" -> langStats _,
+    "tx_tokens" -> tokenCounts _,
+    "tx_quality" -> quality _,
+    "tx_fingerprint" -> fingerprint _,
+    "tx_langid" -> langId _, // no oracle: heuristic accuracy checked in TextAnalysisSpec
+  )
+
+  private def inList(xs: Seq[String]) = xs.map(s => s"'$s'").mkString("(", ",", ")")
+
+  val oracleSql: Map[String, String] = Map(
+    "tx_lang_stats" ->
+      """SELECT lang, COUNT(*) AS c, CAST(SUM(n_chars) AS BIGINT) AS s
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin.replaceAll("\n", " "),
+    "tx_tokens" ->
+      """SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS nt,
+        |CAST(len(list_filter(regexp_split_to_array(text,'[^A-Za-z0-9]+'), x -> length(x) > 0)) AS BIGINT) AS nw,
+        |CAST(list_sum(list_transform(string_split(text,' '), t -> CAST(ceil(length(t)/4.0) AS BIGINT))) AS BIGINT) AS bpe_est
+        |FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "tx_quality" ->
+      ("""SELECT doc_id,
+        |CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+        |ROUND(list_sum(list_transform(string_split(text,' '), x -> CAST(length(x) AS DOUBLE)))
+        |/ len(string_split(text,' ')), 4) AS avg_tok_len,
+        |ROUND(CAST(len(list_filter(string_split(text,' '), x -> x IN """ + inList(Stopwords) + """)) AS DOUBLE)
+        |/ len(string_split(text,' ')), 4) AS stop_ratio,
+        |ROUND(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+        |/ length(text), 4) AS alpha_ratio
+        |FROM documents ORDER BY doc_id""").stripMargin.replaceAll("\n", " "),
+    "tx_fingerprint" ->
+      """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+  )
+}

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Specs for the extension operators whose semantics the DuckDB oracle
+  * can't express: LSH recall, langid accuracy on curated samples,
+  * multimodal stub decode, approx distinct. */
+class ExtensionsSpec extends SparkSpec {
+
+  test("ann: LSH top-k achieves usable recall vs brute force") {
+    val exact = Similarity.bruteForceTopK(spark, sf)
+      .select("q_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(spark, sf)
+      .select("q_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(exact.nonEmpty)
+    // sign-LSH with 4 tables x 8 bits on 64-dim unit vectors; random-ish
+    // corpus so neighbors are weak — demand a meaningful fraction, not magic
+    assert(recall >= 0.3, s"recall=$recall")
+  }
+
+  test("ann: every LSH hit is a true cosine score (no fabricated scores)") {
+    val approx = Similarity.lshTopK(spark, sf).collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r => assert(r.getDouble(3) <= 1.0001 && r.getDouble(3) >= -1.0001) }
+  }
+
+  test("langid: heuristic identifies curated real-language samples") {
+    import spark.implicits._
+    val samples = Seq(
+      (1L, "the cat sat on the mat and it was happy that day", "en"),
+      (2L, "der hund und die katze sind nicht im haus ich bin hier", "de"),
+      (3L, "el perro y los gatos que viven en una casa es bonita para todos", "es"),
+      (4L, "le chien est dans les champs et des oiseaux pour vous une chanson", "fr"),
+      (5L, "你好世界这是一个测试", "zh"),
+    ).toDF("doc_id", "text", "lang")
+    samples.createOrReplaceTempView("langid_samples")
+    // run the same scoring used by TextAnalysis.langId against the samples
+    val dir = java.nio.file.Files.createTempDirectory("langid").toString
+    samples.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val preds = TextAnalysis.langId(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val truth = Map(1L -> "en", 2L -> "de", 3L -> "es", 4L -> "fr", 5L -> "zh")
+    assert(preds == truth, s"preds=$preds")
+  }
+
+  test("multimodal: stub decode is deterministic and schema-complete") {
+    val f = Multimodal.decodeFeatures(spark, sf).collect()
+    assert(f.length == 500)
+    val again = Multimodal.decodeFeatures(spark, sf).collect()
+    assert(f.map(_.byte_entropy).sum == again.map(_.byte_entropy).sum)
+    f.foreach { a =>
+      assert(a.n_bytes > 0)
+      assert(a.byte_entropy > 0 && a.byte_entropy <= 8.0) // bits per byte
+      assert(a.width >= 16 && a.height >= 0)
+    }
+  }
+
+  test("approx_count_distinct tracks exact distinct within rsd") {
+    val orders = graft.sources.Tables.orders(spark, sf)
+    val exact = orders.select(countDistinct("o_custkey")).head().getLong(0)
+    val approx = orders.select(approx_count_distinct("o_custkey", 0.05)).head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.15, s"exact=$exact approx=$approx")
+  }
+
+  test("minhash estimate correlates with exact jaccard on near-dup pairs") {
+    val exact = Dedup.ngramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(0)) -> r.getDouble(2)).toMap
+    val est = Dedup.minhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(0)) -> r.getDouble(2)).toMap
+    assert(est.nonEmpty)
+    // every very-strong true pair (j >= 0.9) must be found by LSH
+    val strong = exact.filter(_._2 >= 0.9).keySet
+    assert(strong.subsetOf(est.keySet), s"missed=${strong -- est.keySet}")
+  }
+}
