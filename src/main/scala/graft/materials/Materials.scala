@@ -1,0 +1,144 @@
+package graft.materials
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Eig3x3
+
+/** Ingest + derived-quantity operators over the materials corpus
+  * (SURVEY.md §2.A/§2.B/§2.F).
+  *
+  * Ingest reads the 1,278 multiline JSON records with the fixed schema (no
+  * inference) and, for production use, compacts to parquet — multiline JSON
+  * is one split per file, pathological at scale; parquet is the canonical
+  * store (columnar, prunable, partitionable by crystal_system/id-bucket).
+  *
+  * The derived operators B2–B4 are pure Column expressions (codegen'd);
+  * only the eigensolver B1 needs a UDF.
+  */
+object Materials {
+
+  val DefaultDataDir = "/root/reference/oxi_diel_db/data"
+
+  /** Raw JSON ingest with the canonical schema. */
+  def readJson(spark: SparkSession, dataDir: String = DefaultDataDir): DataFrame =
+    spark.read.schema(MaterialSchema.schema)
+      .option("multiLine", true)
+      .json(s"$dataDir/*.json")
+      // a handful of coalesced partitions: 1,278 tiny files, not 1,278 tasks
+      .coalesce(4)
+
+  /** Compact to parquet (canonical store). Returns the parquet-backed frame. */
+  def compact(spark: SparkSession, dataDir: String, parquetPath: String): DataFrame = {
+    readJson(spark, dataDir).write.mode("overwrite").parquet(parquetPath)
+    spark.read.parquet(parquetPath)
+  }
+
+  // ---- §2.B derived-quantity operators ---------------------------------
+
+  /** B1: eigenvalues of a (near-)symmetric 3×3 tensor column, ascending. */
+  def eig3x3(tensor: Column): Column = Eig3x3(tensor)
+
+  /** B2: spherical average = mean of the 3 eigenvalues (pure expression). */
+  def sphericalAvg(eig: Column): Column =
+    aggregate(eig, lit(0.0), _ + _) / size(eig)
+
+  /** B3: lowest phonon frequency = min over branches. */
+  def lowestFreq(frequency: Column): Column = array_min(frequency)
+
+  /** B4: Born-charge avg |trace|/3 over sites (pure expression, no UDF). */
+  def avgAbsTrace(tensors: Column): Column =
+    aggregate(
+      transform(tensors, t =>
+        abs(t.getItem(0).getItem(0) + t.getItem(1).getItem(1) + t.getItem(2).getItem(2)) / 3),
+      lit(0.0), _ + _) / size(tensors)
+
+  /** The corpus with every §2.B quantity recomputed next to its stored
+    * value, plus absolute errors — the ingest integrity check as data. */
+  def withDerived(df: DataFrame): DataFrame = {
+    val sortedStored = (c: String) => array_sort(col(c))
+    df
+      .withColumn("eig_el_calc", eig3x3(col("dielectric.epsilon_electronic")))
+      .withColumn("eig_ion_calc", eig3x3(col("dielectric.epsilon_ionic")))
+      .withColumn("avg_el_calc", sphericalAvg(col("eig_el_calc")))
+      .withColumn("avg_ion_calc", sphericalAvg(col("eig_ion_calc")))
+      .withColumn("lowest_freq_calc", lowestFreq(col("phonon.frequency")))
+      .withColumn("abs_trace_calc", avgAbsTrace(col("born_effective_charge.tensors")))
+      .withColumn("eig_el_err",
+        array_max(zip_with(col("eig_el_calc"), sortedStored("dielectric.epsilon_electronic_eig"),
+          (a, b) => abs(a - b))))
+      .withColumn("eig_ion_err",
+        array_max(zip_with(col("eig_ion_calc"), sortedStored("dielectric.epsilon_ionic_eig"),
+          (a, b) => abs(a - b))))
+      .withColumn("avg_el_err", abs(col("avg_el_calc") - col("dielectric.epsilon_electronic_avg")))
+      .withColumn("avg_ion_err", abs(col("avg_ion_calc") - col("dielectric.epsilon_ionic_avg")))
+      .withColumn("lowest_freq_err", abs(col("lowest_freq_calc") - col("phonon.lowest_freq")))
+      .withColumn("abs_trace_err",
+        abs(col("abs_trace_calc") - col("born_effective_charge.avg_abs_trace")))
+  }
+
+  // ---- §2.F training-set dedup -----------------------------------------
+
+  /** The 12 mp_ids the reference excluded to build its 1,266-row training
+    * set (FIXTURES.md §1; one member of each duplicate-formula pair). The
+    * kept-vs-dropped choice is not derivable from stored fields, so parity
+    * work pins the exact list. */
+  val ReferenceExcludedIds: Set[String] = Set(
+    "mp-1096971", "mp-11019", "mp-1103519", "mp-16970", "mp-19098", "mp-20496",
+    "mp-3163", "mp-3748", "mp-557713", "mp-733", "mp-770932", "mp-973185")
+
+  /** Formula-level dedup with the documented deterministic tiebreak
+    * (row_number over mp_id): engine semantics for training-set
+    * construction. */
+  def dedupByFormula(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy("formula").orderBy("mp_id")
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  /** Reference-parity training set: drop the exact pinned 12 ids. */
+  def referenceTrainingSet(df: DataFrame): DataFrame =
+    df.filter(!col("mp_id").isin(ReferenceExcludedIds.toSeq: _*))
+
+  /** Duplicate-formula groups (the 12 pairs; G20's materials-side check). */
+  def duplicateFormulas(df: DataFrame): DataFrame =
+    df.groupBy("formula")
+      .agg(count(lit(1)).as("n"), min("mp_id").as("keep"),
+        array_sort(collect_list("mp_id")).as("ids"))
+      .filter(col("n") > 1)
+      .orderBy("formula")
+
+  // ---- rows-only query entries (no DuckDB table for the materials corpus)
+
+  /** Per-record integrity report: max error of every recomputed derived
+    * quantity (all ≤ tolerance; asserted in MaterialsSpec). */
+  def integrityReport(spark: SparkSession): DataFrame =
+    withDerived(readJson(spark))
+      .select(col("mp_id"),
+        round(col("eig_el_err"), 6).as("eig_el_err"),
+        round(col("eig_ion_err"), 6).as("eig_ion_err"),
+        round(col("avg_el_err"), 9).as("avg_el_err"),
+        round(col("avg_ion_err"), 9).as("avg_ion_err"),
+        round(col("lowest_freq_err"), 9).as("lowest_freq_err"),
+        round(col("abs_trace_err"), 9).as("abs_trace_err"))
+      .orderBy("mp_id")
+
+  /** The reference's signature exploration query (SURVEY.md §7.2): stable
+    * (no soft phonon modes) wide-gap oxides ranked by ionic dielectric
+    * constant. Filter pushes to the scan; top-k avoids a global sort. */
+  def topIonicStableWideGap(spark: SparkSession, k: Int = 10): DataFrame =
+    readJson(spark)
+      .filter(col("phonon.lowest_freq") > -0.1 && col("band_gap") > 3.0)
+      .select(col("mp_id"), col("formula"), col("band_gap"),
+        round(col("dielectric.epsilon_ionic_avg"), 4).as("eps_ionic_avg"),
+        round(col("dielectric.epsilon_electronic_avg"), 4).as("eps_el_avg"))
+      .orderBy(col("eps_ionic_avg").desc, col("mp_id"))
+      .limit(k)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mat_integrity" -> ((s: SparkSession, _: String) => integrityReport(s)),
+    "mat_dup_formulas" -> ((s: SparkSession, _: String) =>
+      duplicateFormulas(readJson(s)).select("formula", "n", "keep")),
+    "mat_top_ionic" -> ((s: SparkSession, _: String) => topIonicStableWideGap(s)),
+  )
+}
