@@ -1,0 +1,94 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Compositional featurizers (SURVEY.md §2.C C1–C5, C10; §2.D calculus 1).
+  *
+  * Dataflow: composition map → explode to (id, element, fraction) →
+  * broadcast-join the static element table → ONE groupBy(id) computing every
+  * weighted statistic as partial+final aggregates — the scalable form of
+  * matminer's per-record Python loops (reference ml_prediction.py:26-37).
+  * Pairwise features (ionic character) run over a collect_list array with
+  * higher-order functions: compositions have ≤6 species, so the array is
+  * tiny and stays in the same single shuffle.
+  *
+  * Weighted std is population-style (√(Σf·x² − μ²)), matching matminer's
+  * PropertyStats convention (§2.D: ddof=0).
+  */
+object CompositionFeaturizer {
+
+  import ElementData.numericProps
+
+  /** Stat suffixes emitted per elemental property. */
+  val Stats = Seq("wmean", "wstd", "min", "max", "range")
+
+  /** Ordered feature column names produced by featurize(). */
+  val featureColumns: Seq[String] = {
+    val propStats = for {
+      p <- numericProps.keys.toSeq.sorted
+      s <- Stats
+    } yield s"f_${p}_$s"
+    propStats ++ Seq(
+      "f_frac_tm", "f_band_center", "f_avg_ionic_char", "f_max_ionic_char",
+      "f_norm2", "f_norm3", "f_norm5", "f_norm7", "f_nelements")
+  }
+
+  /** Broadcast-able element property frame. */
+  def elementFrame(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    ElementData.all.map { e =>
+      (e.symbol, numericProps.keys.toSeq.sorted.map(k => numericProps(k)(e)),
+        if (e.isTM) 1.0 else 0.0)
+    }.toDF("element", "props", "is_tm")
+  }
+
+  /** Featurize a frame of (idCol, composition Map[String,Double] counts):
+    * one row per id with `featureColumns`. */
+  def featurize(spark: SparkSession, df: DataFrame, idCol: String, compCol: String): DataFrame = {
+    val propNames = numericProps.keys.toSeq.sorted
+
+    val exploded = df
+      .select(col(idCol), explode(col(compCol)).as(Seq("element", "cnt")))
+      .withColumn("total", sum("cnt").over(
+        org.apache.spark.sql.expressions.Window.partitionBy(idCol)))
+      .withColumn("f", col("cnt") / col("total"))
+      .join(broadcast(elementFrame(spark)), Seq("element"))
+
+    // per-property weighted aggregates, all in one groupBy pass
+    val aggExprs: Seq[Column] = propNames.zipWithIndex.flatMap { case (p, i) =>
+      val x = col("props").getItem(i)
+      val wmean = sum(col("f") * x)
+      Seq(
+        wmean.as(s"f_${p}_wmean"),
+        sqrt(greatest(sum(col("f") * x * x) - wmean * wmean, lit(0.0))).as(s"f_${p}_wstd"),
+        min(x).as(s"f_${p}_min"),
+        max(x).as(s"f_${p}_max"),
+        (max(x) - min(x)).as(s"f_${p}_range"))
+    } ++ Seq(
+      sum(col("f") * col("is_tm")).as("f_frac_tm"),
+      exp(sum(col("f") * log(col("props").getItem(propNames.indexOf("en"))))).as("f_band_center"),
+      collect_list(struct(col("f").as("f"),
+        col("props").getItem(propNames.indexOf("en")).as("en"))).as("_pairs"),
+      aggregate(collect_list(pow(col("f"), 2)), lit(0.0), _ + _).as("_s2"),
+      aggregate(collect_list(pow(col("f"), 3)), lit(0.0), _ + _).as("_s3"),
+      aggregate(collect_list(pow(col("f"), 5)), lit(0.0), _ + _).as("_s5"),
+      aggregate(collect_list(pow(col("f"), 7)), lit(0.0), _ + _).as("_s7"),
+      count(lit(1)).cast("double").as("f_nelements"))
+
+    val ionicTerms = flatten(transform(col("_pairs"), a =>
+      transform(col("_pairs"), b =>
+        a.getField("f") * b.getField("f") *
+          (lit(1.0) - exp(lit(-0.25) * pow(a.getField("en") - b.getField("en"), 2))))))
+
+    exploded.groupBy(col(idCol))
+      .agg(aggExprs.head, aggExprs.tail: _*)
+      .withColumn("f_avg_ionic_char", aggregate(ionicTerms, lit(0.0), _ + _))
+      .withColumn("f_max_ionic_char", array_max(ionicTerms))
+      .withColumn("f_norm2", pow(col("_s2"), 1.0 / 2))
+      .withColumn("f_norm3", pow(col("_s3"), 1.0 / 3))
+      .withColumn("f_norm5", pow(col("_s5"), 1.0 / 5))
+      .withColumn("f_norm7", pow(col("_s7"), 1.0 / 7))
+      .drop("_pairs", "_s2", "_s3", "_s5", "_s7")
+  }
+}

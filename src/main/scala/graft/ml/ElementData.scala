@@ -1,0 +1,140 @@
+package graft.ml
+
+/** Static elemental-property table for the featurizers (SURVEY.md §2.C
+  * C2/C3/C5/C10 lookup data).
+  *
+  * Ships as a versioned Scala resource (the matminer/pymatgen analog is a
+  * bundled data table): measured properties — atomic number, standard
+  * atomic weight, Pauling electronegativity, atomic radius (Å), melting
+  * point (K) — are hardcoded from standard published values for the 51
+  * elements of the corpus; configuration-derived properties (period, group,
+  * block, s/p/d/f valence-electron counts, transition-metal flag) are
+  * computed from an Aufbau filling with the usual exception list, so they
+  * stay consistent by construction.
+  *
+  * In every Spark plan this table is a broadcast lookup — it never shuffles.
+  */
+object ElementData {
+
+  final case class ElementProps(
+      symbol: String, z: Int, mass: Double, en: Double, radius: Double,
+      meltingK: Double, row: Int, group: Int, block: String,
+      valS: Int, valP: Int, valD: Int, valF: Int, isTM: Boolean) {
+    def valence: Int = valS + valP + valD + valF
+  }
+
+  // symbol -> (Z, mass, Pauling EN, atomic radius Å, melting K)
+  private val raw: Seq[(String, Int, Double, Double, Double, Double)] = Seq(
+    ("Ag", 47, 107.868, 1.93, 1.60, 1234.0), ("Al", 13, 26.982, 1.61, 1.25, 933.0),
+    ("As", 33, 74.922, 2.18, 1.15, 1090.0), ("Au", 79, 196.967, 2.54, 1.35, 1337.0),
+    ("B", 5, 10.811, 2.04, 0.85, 2349.0), ("Ba", 56, 137.327, 0.89, 2.15, 1000.0),
+    ("Be", 4, 9.012, 1.57, 1.05, 1560.0), ("Bi", 83, 208.980, 2.02, 1.60, 544.0),
+    ("Ca", 20, 40.078, 1.00, 1.80, 1115.0), ("Cd", 48, 112.411, 1.69, 1.55, 594.0),
+    ("Co", 27, 58.933, 1.88, 1.35, 1768.0), ("Cr", 24, 51.996, 1.66, 1.40, 2180.0),
+    ("Cs", 55, 132.905, 0.79, 2.60, 301.0), ("Cu", 29, 63.546, 1.90, 1.35, 1358.0),
+    ("Ga", 31, 69.723, 1.81, 1.30, 303.0), ("Ge", 32, 72.64, 2.01, 1.25, 1211.0),
+    ("Hf", 72, 178.49, 1.30, 1.55, 2506.0), ("Hg", 80, 200.59, 2.00, 1.50, 234.0),
+    ("In", 49, 114.818, 1.78, 1.55, 430.0), ("K", 19, 39.098, 0.82, 2.20, 337.0),
+    ("La", 57, 138.905, 1.10, 1.95, 1193.0), ("Li", 3, 6.941, 0.98, 1.45, 454.0),
+    ("Mg", 12, 24.305, 1.31, 1.50, 923.0), ("Mn", 25, 54.938, 1.55, 1.40, 1519.0),
+    ("Mo", 42, 95.96, 2.16, 1.45, 2896.0), ("Na", 11, 22.990, 0.93, 1.80, 371.0),
+    ("Nb", 41, 92.906, 1.60, 1.45, 2750.0), ("Ni", 28, 58.693, 1.91, 1.35, 1728.0),
+    ("O", 8, 15.999, 3.44, 0.60, 54.0), ("Os", 76, 190.23, 2.20, 1.30, 3306.0),
+    ("Pb", 82, 207.2, 2.33, 1.80, 601.0), ("Pd", 46, 106.42, 2.20, 1.40, 1828.0),
+    ("Pt", 78, 195.084, 2.28, 1.35, 2041.0), ("Rb", 37, 85.468, 0.82, 2.35, 312.0),
+    ("Re", 75, 186.207, 1.90, 1.35, 3459.0), ("Rh", 45, 102.906, 2.28, 1.35, 2237.0),
+    ("Sb", 51, 121.760, 2.05, 1.45, 904.0), ("Sc", 21, 44.956, 1.36, 1.60, 1814.0),
+    ("Si", 14, 28.086, 1.90, 1.10, 1687.0), ("Sn", 50, 118.710, 1.96, 1.45, 505.0),
+    ("Sr", 38, 87.62, 0.95, 2.00, 1050.0), ("Ta", 73, 180.948, 1.50, 1.45, 3290.0),
+    ("Tc", 43, 98.0, 1.90, 1.35, 2430.0), ("Th", 90, 232.038, 1.30, 1.80, 2023.0),
+    ("Ti", 22, 47.867, 1.54, 1.40, 1941.0), ("Tl", 81, 204.383, 1.62, 1.90, 577.0),
+    ("V", 23, 50.942, 1.63, 1.35, 2183.0), ("W", 74, 183.84, 2.36, 1.35, 3695.0),
+    ("Y", 39, 88.906, 1.22, 1.80, 1799.0), ("Zn", 30, 65.38, 1.65, 1.35, 693.0),
+    ("Zr", 40, 91.224, 1.33, 1.55, 2128.0))
+
+  /** Aufbau orbital filling order: (n, l, capacity). */
+  private val aufbau: Seq[(Int, Char, Int)] = Seq(
+    (1, 's', 2), (2, 's', 2), (2, 'p', 6), (3, 's', 2), (3, 'p', 6),
+    (4, 's', 2), (3, 'd', 10), (4, 'p', 6), (5, 's', 2), (4, 'd', 10),
+    (5, 'p', 6), (6, 's', 2), (4, 'f', 14), (5, 'd', 10), (6, 'p', 6),
+    (7, 's', 2), (5, 'f', 14), (6, 'd', 10), (7, 'p', 6))
+
+  /** Known deviations from the Aufbau principle among our 51 elements:
+    * symbol → full override of (orbital → electrons) past the noble core. */
+  private val exceptions: Map[String, Map[(Int, Char), Int]] = Map(
+    "Cr" -> Map((3, 'd') -> 5, (4, 's') -> 1),
+    "Cu" -> Map((3, 'd') -> 10, (4, 's') -> 1),
+    "Nb" -> Map((4, 'd') -> 4, (5, 's') -> 1),
+    "Mo" -> Map((4, 'd') -> 5, (5, 's') -> 1),
+    "Rh" -> Map((4, 'd') -> 8, (5, 's') -> 1),
+    "Pd" -> Map((4, 'd') -> 10, (5, 's') -> 0),
+    "Ag" -> Map((4, 'd') -> 10, (5, 's') -> 1),
+    "La" -> Map((4, 'f') -> 0, (5, 'd') -> 1),
+    "Pt" -> Map((5, 'd') -> 9, (6, 's') -> 1),
+    "Au" -> Map((5, 'd') -> 10, (6, 's') -> 1),
+    "Th" -> Map((5, 'f') -> 0, (6, 'd') -> 2))
+
+  private val nobleZ = Seq(0, 2, 10, 18, 36, 54, 86)
+
+  private def configure(symbol: String, z: Int): (Int, Int, Int, Int, Int, Int, String) = {
+    // ground-state filling
+    var remaining = z
+    var filled = scala.collection.mutable.LinkedHashMap.empty[(Int, Char), Int]
+    aufbau.foreach { case (n, l, cap) =>
+      if (remaining > 0) { val e = math.min(cap, remaining); filled((n, l)) = e; remaining -= e }
+    }
+    exceptions.get(symbol).foreach(_.foreach { case (orb, e) => filled(orb) = e })
+    // valence = electrons beyond the preceding noble-gas core
+    val core = nobleZ.filter(_ < z).max
+    var coreLeft = core
+    val valenceOrbs = aufbau.flatMap { case (n, l, cap) =>
+      val e = filled.getOrElse((n, l), 0)
+      if (coreLeft >= e) { coreLeft -= e; None } // fully core
+      else {
+        val v = e - coreLeft; coreLeft = 0
+        if (v > 0) Some(((n, l), v)) else None
+      }
+    }
+    val byL = valenceOrbs.groupBy(_._1._2).view.mapValues(_.map(_._2).sum).toMap
+    val (s, p, d, f) = (byL.getOrElse('s', 0), byL.getOrElse('p', 0),
+      byL.getOrElse('d', 0), byL.getOrElse('f', 0))
+    val row = valenceOrbs.map(_._1._1).maxOption.getOrElse(1)
+    val block = if (f > 0 && symbol != "La") "f"
+      else if (d > 0 && d < 10) "d"
+      else if (d == 10 && p == 0 && symbol != "Pd") "d" // Zn/Cd/Hg group 12
+      else if (p > 0) "p"
+      else if (symbol == "Pd") "d"
+      else "s"
+    val group = block match {
+      case "s" => s
+      case "d" => s + d
+      case "p" => 10 + s + p
+      case _ => 3
+    }
+    (s, p, d, f, row, group, block)
+  }
+
+  /** The full table, keyed by symbol. */
+  val bySymbol: Map[String, ElementProps] = raw.map { case (sym, z, mass, en, r, melt) =>
+    val (s, p, d, f, row, group, block) = configure(sym, z)
+    val isTM = block == "d" && group >= 3 && group <= 12
+    sym -> ElementProps(sym, z, mass, en, r, melt, row, group, block, s, p, d, f, isTM)
+  }.toMap
+
+  val all: Seq[ElementProps] = bySymbol.values.toSeq.sortBy(_.z)
+
+  /** Numeric property accessors by name (drives featurizer codegen). */
+  val numericProps: Map[String, ElementProps => Double] = Map(
+    "z" -> (_.z.toDouble),
+    "mass" -> (_.mass),
+    "en" -> (_.en),
+    "radius" -> (_.radius),
+    "melting" -> (_.meltingK),
+    "row" -> (_.row.toDouble),
+    "group" -> (_.group.toDouble),
+    "val_s" -> (_.valS.toDouble),
+    "val_p" -> (_.valP.toDouble),
+    "val_d" -> (_.valD.toDouble),
+    "val_f" -> (_.valF.toDouble),
+    "valence" -> (_.valence.toDouble))
+}

@@ -1,0 +1,99 @@
+package graft.ml
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.FormulaParser
+
+/** ML pipeline verification: featurizer correctness, model quality gates
+  * against the reference's golden prediction files (SURVEY.md §5.2.2, §6).
+  *
+  * Exact RF parity is impossible (reference binaries absent); gates are the
+  * survey's statistical ones: correlation with golden predictions and the
+  * error ordering el < ion. */
+class MlSpec extends SparkSpec {
+
+  test("formula parser: counts, nesting, fractions") {
+    assert(FormulaParser.parse("Ca2SnO4") == Map("Ca" -> 2.0, "Sn" -> 1.0, "O" -> 4.0))
+    assert(FormulaParser.parse("Ba(AlO2)2") == Map("Ba" -> 1.0, "Al" -> 2.0, "O" -> 4.0))
+    assert(FormulaParser.parse("SiO2") == Map("Si" -> 1.0, "O" -> 2.0))
+    val f = FormulaParser.fractions("SiO2")
+    assert(math.abs(f("Si") - 1.0 / 3) < 1e-12 && math.abs(f("O") - 2.0 / 3) < 1e-12)
+  }
+
+  test("element data: configuration-derived properties are sane") {
+    val o = ElementData.bySymbol("O")
+    assert(o.valS == 2 && o.valP == 4 && o.row == 2 && o.group == 16 && !o.isTM)
+    val ti = ElementData.bySymbol("Ti")
+    assert(ti.valD == 2 && ti.valS == 2 && ti.group == 4 && ti.isTM)
+    val cu = ElementData.bySymbol("Cu")
+    assert(cu.valD == 10 && cu.valS == 1 && cu.group == 11)
+    val pd = ElementData.bySymbol("Pd")
+    assert(pd.valD == 10 && pd.valS == 0 && pd.group == 10)
+    val ba = ElementData.bySymbol("Ba")
+    assert(ba.valS == 2 && ba.group == 2 && ba.block == "s")
+    // all 51 corpus elements present
+    assert(ElementData.all.size == 51)
+  }
+
+  test("featurizer: SiO2 weighted stats match hand computation") {
+    import spark.implicits._
+    val df = Seq(("SiO2", Map("Si" -> 1.0, "O" -> 2.0))).toDF("id", "comp")
+    val row = CompositionFeaturizer.featurize(spark, df, "id", "comp").head()
+    val cols = CompositionFeaturizer.featurize(spark, df, "id", "comp").columns
+    def v(c: String) = row.getDouble(cols.indexOf(c))
+    val enSi = 1.90; val enO = 3.44
+    val wmean = enSi / 3 + 2 * enO / 3
+    assert(math.abs(v("f_en_wmean") - wmean) < 1e-9)
+    val wstd = math.sqrt(enSi * enSi / 3 + 2 * enO * enO / 3 - wmean * wmean)
+    assert(math.abs(v("f_en_wstd") - wstd) < 1e-9)
+    assert(math.abs(v("f_en_min") - enSi) < 1e-12)
+    assert(math.abs(v("f_en_max") - enO) < 1e-12)
+    // stoich 3-norm: (f_Si^3 + f_O^3)^(1/3) = ((1/27) + (8/27))^(1/3) = (1/3)^(1/3)
+    assert(math.abs(v("f_norm3") - math.pow(1.0 / 3, 1.0 / 3)) < 1e-9)
+    assert(v("f_nelements") == 2.0)
+    assert(v("f_frac_tm") == 0.0)
+    // ionic char: 2 * fSi*fO * (1 - exp(-0.25 dEN^2)) for the two cross terms
+    val ic = 2 * (1.0 / 3) * (2.0 / 3) * (1 - math.exp(-0.25 * math.pow(enSi - enO, 2)))
+    assert(math.abs(v("f_avg_ionic_char") - ic) < 1e-9)
+  }
+
+  test("el_comp model: quality gates vs golden predictions") {
+    val model = DielectricModel.train(spark, DielectricModel.Electronic,
+      numTrees = 120, maxDepth = 12)
+    val preds = DielectricModel.predictTrainingSet(spark, model, DielectricModel.Electronic)
+    val joined = preds.join(
+      DielectricModel.goldenPredictions(spark, "el_comp"), Seq("mp_id")).cache()
+    assert(joined.count() == 1266)
+    val stats = joined.select(
+      corr("pred_log10", "golden").as("c"),
+      sqrt(avg(pow(col("pred_log10") - col("label"), 2))).as("rmse")).head()
+    info(s"el_comp: corr_with_golden=${stats.getDouble(0)} rmse_vs_dft=${stats.getDouble(1)}")
+    assert(stats.getDouble(0) > 0.85, s"corr ${stats.getDouble(0)}")
+    assert(stats.getDouble(1) < 0.06, s"rmse ${stats.getDouble(1)}") // golden: 0.0215
+  }
+
+  test("ion_comp model: quality gates vs golden predictions and error ordering") {
+    val model = DielectricModel.train(spark, DielectricModel.Ionic,
+      numTrees = 120, maxDepth = 12)
+    val preds = DielectricModel.predictTrainingSet(spark, model, DielectricModel.Ionic)
+    val joined = preds.join(
+      DielectricModel.goldenPredictions(spark, "ion_comp"), Seq("mp_id")).cache()
+    assert(joined.count() == 1266)
+    val stats = joined.select(
+      corr("pred_log10", "golden").as("c"),
+      sqrt(avg(pow(col("pred_log10") - col("label"), 2))).as("rmse")).head()
+    info(s"ion_comp: corr_with_golden=${stats.getDouble(0)} rmse_vs_dft=${stats.getDouble(1)}")
+    assert(stats.getDouble(0) > 0.8, s"corr ${stats.getDouble(0)}")
+    assert(stats.getDouble(1) < 0.18, s"rmse ${stats.getDouble(1)}") // golden: 0.0870
+  }
+
+  test("CLI semantics: accepts both spellings, rejects junk") {
+    import DielectricModel._
+    assert(DielectricType.parse("el") == Electronic)
+    assert(DielectricType.parse("electronic") == Electronic)
+    assert(DielectricType.parse("ion") == Ionic)
+    assert(DielectricType.parse("ionic") == Ionic)
+    intercept[IllegalArgumentException](DielectricType.parse("bogus"))
+  }
+}
