@@ -1,0 +1,126 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** G19 verification: streaming output ≡ batch query on the same data;
+  * watermark semantics with injected late rows (SURVEY.md §5.2.4). */
+class StreamingSpec extends SparkSpec {
+
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+  private def eventsAsCase(): Seq[Ev] = {
+    Tables.events(spark, sf).select("event_id", "ts", "user_id", "event_type", "value")
+      .collect()
+      .map(r => Ev(r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+      .toSeq
+  }
+
+  test("streaming hourly agg equals the batch query on the same data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val result = EventStreams.hourlyAgg(input.toDF())
+    val q = result.writeStream.format("memory").queryName("hourly")
+      .outputMode(OutputMode.Complete()).start()
+    // feed in three chunks to exercise incremental state
+    val evs = eventsAsCase()
+    evs.grouped(math.max(1, evs.size / 3)).foreach { chunk =>
+      input.addData(chunk)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    val streamed = spark.table("hourly")
+      .select("ws", "event_type", "c", "s").orderBy("ws", "event_type").collect()
+    val batch = graft.operators.Relational.q19WindowAgg(spark, sf).collect()
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.getTimestamp(0) == b.getTimestamp(0))
+      assert(s.getString(1) == b.getString(1))
+      assert(s.getLong(2) == b.getLong(2))
+      assert(math.abs(s.getDouble(3) - b.getDouble(3)) < 1e-9)
+    }
+  }
+
+  test("watermark drops rows later than the horizon in append mode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val result = EventStreams.hourlyAgg(input.toDF(), watermark = "10 minutes")
+    val q = result.writeStream.format("memory").queryName("late")
+      .outputMode(OutputMode.Append()).start()
+
+    def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+    // window [00:00,01:00): two on-time rows
+    input.addData(Ev(1, ts(5), 1, "a", 1.0), Ev(2, ts(30), 1, "a", 2.0))
+    q.processAllAvailable()
+    // advance event time far past the watermark horizon → closes hour 0
+    input.addData(Ev(3, ts(200), 1, "a", 4.0))
+    q.processAllAvailable()
+    // late row targeting the closed window: must be DROPPED
+    input.addData(Ev(4, ts(10), 1, "a", 100.0))
+    q.processAllAvailable()
+    input.addData(Ev(5, ts(400), 1, "a", 8.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("late").orderBy("ws").collect()
+    val hour0 = rows.filter(_.getTimestamp(0) == Timestamp.valueOf("2024-01-01 00:00:00"))
+    assert(hour0.length == 1)
+    assert(hour0.head.getLong(2) == 2, "late row must not be counted")
+    assert(math.abs(hour0.head.getDouble(3) - 3.0) < 1e-9, "late row value must not be summed")
+  }
+
+  test("session windows merge events within the gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStreams.sessionAgg(input.toDF()).writeStream
+      .format("memory").queryName("sessions").outputMode(OutputMode.Complete()).start()
+    def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+    // user 1: two sessions (gap > 30 min between minute 40 and 90)
+    input.addData(
+      Ev(1, ts(0), 1, "a", 1.0), Ev(2, ts(20), 1, "a", 1.0), Ev(3, ts(40), 1, "a", 1.0),
+      Ev(4, ts(90), 1, "a", 1.0),
+      Ev(5, ts(0), 2, "a", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sessions").collect()
+    val u1 = rows.filter(_.getLong(1) == 1)
+    assert(u1.length == 2, s"expected 2 sessions, got ${u1.length}")
+    assert(u1.map(_.getLong(2)).sorted.toSeq == Seq(1L, 3L))
+  }
+
+  test("mapGroupsWithState running totals match batch aggregation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStreams.runningTotals(spark, input.toDF()).writeStream
+      .format("memory").queryName("running").outputMode(OutputMode.Update()).start()
+    val evs = eventsAsCase()
+    evs.grouped(math.max(1, evs.size / 2)).foreach { chunk =>
+      input.addData(chunk)
+      q.processAllAvailable()
+    }
+    q.stop()
+    // last update per user must equal the batch totals
+    val streamed = spark.table("running").groupBy("user_id")
+      .agg(max("n").as("n"), max("total").as("total"))
+    val batch = Tables.events(spark, sf).groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("value").as("total"))
+    val joined = streamed.alias("s").join(batch.alias("b"), "user_id")
+      .select(col("s.n"), col("b.n"), col("s.total"), col("b.total")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1))
+      assert(math.abs(r.getDouble(2) - r.getDouble(3)) < 1e-6)
+    }
+  }
+}
