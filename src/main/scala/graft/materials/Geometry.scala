@@ -1,0 +1,108 @@
+package graft.materials
+
+/** Periodic-geometry kernels (SURVEY.md §2.C C13 neighbor list — the
+  * foundation for the structural featurizers; §7.4 risk register #1).
+  *
+  * Pure Scala math over (lattice matrix, fractional coords): no Spark types
+  * here — the kernels run inside mapPartitions/UDFs, embarrassingly
+  * parallel across materials, and are property-tested against brute-force
+  * supercell enumeration in GeometrySpec (including skewed triclinic cells).
+  */
+object Geometry {
+
+  /** Lattice: rows of `m` are the lattice vectors a, b, c (Å). */
+  final case class Lattice(m: Array[Array[Double]]) {
+    val volume: Double = math.abs(det3(m))
+
+    /** Cartesian coords of a fractional point. */
+    def cart(f: Array[Double]): Array[Double] = Array(
+      f(0) * m(0)(0) + f(1) * m(1)(0) + f(2) * m(2)(0),
+      f(0) * m(0)(1) + f(1) * m(1)(1) + f(2) * m(2)(1),
+      f(0) * m(0)(2) + f(1) * m(1)(2) + f(2) * m(2)(2))
+
+    /** Perpendicular spacing between lattice planes normal to each axis —
+      * bounds how many periodic images a cutoff sphere can reach. */
+    def planeSpacings: Array[Double] = {
+      val bc = cross(m(1), m(2)); val ca = cross(m(2), m(0)); val ab = cross(m(0), m(1))
+      Array(volume / norm(bc), volume / norm(ca), volume / norm(ab))
+    }
+
+    /** Reciprocal lattice vectors (rows), WITH the 2π factor. */
+    def reciprocal: Array[Array[Double]] = {
+      val bc = cross(m(1), m(2)); val ca = cross(m(2), m(0)); val ab = cross(m(0), m(1))
+      val v = det3(m)
+      Array(bc.map(_ * 2 * math.Pi / v), ca.map(_ * 2 * math.Pi / v), ab.map(_ * 2 * math.Pi / v))
+    }
+  }
+
+  final case class Neighbor(siteIdx: Int, nbrIdx: Int, dist: Double)
+
+  /** All neighbor pairs within `cutoff` over periodic images: for each site
+    * i and each site j (including i's own images), every image translation
+    * whose distance is in (1e-8, cutoff]. O(n² · images) — n ≤ 40 here;
+    * at scale this parallelizes across materials, never across sites. */
+  def neighborList(lat: Lattice, frac: Array[Array[Double]], cutoff: Double): Seq[Neighbor] = {
+    val spacings = lat.planeSpacings
+    val reach = spacings.map(s => math.ceil(cutoff / s).toInt)
+    val carts = frac.map(lat.cart)
+    val out = Seq.newBuilder[Neighbor]
+    var i = 0
+    while (i < frac.length) {
+      var j = 0
+      while (j < frac.length) {
+        var na = -reach(0)
+        while (na <= reach(0)) {
+          var nb = -reach(1)
+          while (nb <= reach(1)) {
+            var nc = -reach(2)
+            while (nc <= reach(2)) {
+              val tx = na * lat.m(0)(0) + nb * lat.m(1)(0) + nc * lat.m(2)(0)
+              val ty = na * lat.m(0)(1) + nb * lat.m(1)(1) + nc * lat.m(2)(1)
+              val tz = na * lat.m(0)(2) + nb * lat.m(1)(2) + nc * lat.m(2)(2)
+              val dx = carts(j)(0) + tx - carts(i)(0)
+              val dy = carts(j)(1) + ty - carts(i)(1)
+              val dz = carts(j)(2) + tz - carts(i)(2)
+              val d2 = dx * dx + dy * dy + dz * dz
+              if (d2 > 1e-16 && d2 <= cutoff * cutoff)
+                out += Neighbor(i, j, math.sqrt(d2))
+              nc += 1
+            }
+            nb += 1
+          }
+          na += 1
+        }
+        j += 1
+      }
+      i += 1
+    }
+    out.result()
+  }
+
+  /** Per-site minimum neighbor distance (periodic). Expands the cutoff
+    * until every site has at least one neighbor. */
+  def minDistances(lat: Lattice, frac: Array[Array[Double]]): Array[Double] = {
+    var cutoff = math.max(4.0, lat.planeSpacings.min * 1.01)
+    var mins: Array[Double] = null
+    var done = false
+    while (!done) {
+      val nl = neighborList(lat, frac, cutoff)
+      val m = Array.fill(frac.length)(Double.MaxValue)
+      nl.foreach(n => if (n.dist < m(n.siteIdx)) m(n.siteIdx) = n.dist)
+      if (m.forall(_ < Double.MaxValue)) { mins = m; done = true }
+      else cutoff *= 1.6
+    }
+    mins
+  }
+
+  // ---- small vector helpers --------------------------------------------
+
+  def det3(m: Array[Array[Double]]): Double =
+    m(0)(0) * (m(1)(1) * m(2)(2) - m(1)(2) * m(2)(1)) -
+      m(0)(1) * (m(1)(0) * m(2)(2) - m(1)(2) * m(2)(0)) +
+      m(0)(2) * (m(1)(0) * m(2)(1) - m(1)(1) * m(2)(0))
+
+  def cross(a: Array[Double], b: Array[Double]): Array[Double] =
+    Array(a(1) * b(2) - a(2) * b(1), a(2) * b(0) - a(0) * b(2), a(0) * b(1) - a(1) * b(0))
+
+  def norm(a: Array[Double]): Double = math.sqrt(a(0) * a(0) + a(1) * a(1) + a(2) * a(2))
+}

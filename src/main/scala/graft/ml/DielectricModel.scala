@@ -44,6 +44,25 @@ object DielectricModel {
     }
   }
 
+  sealed trait ModelType { def key: String }
+  case object Comp extends ModelType { val key = "comp" }
+  case object CompSt extends ModelType { val key = "comp_st" }
+
+  object ModelType {
+    def parse(s: String): ModelType = s.toLowerCase match {
+      case "comp" => Comp
+      case "comp_st" => CompSt
+      case other => throw new IllegalArgumentException(
+        s"model type must be comp|comp_st, got $other")
+    }
+  }
+
+  /** Feature column set per model type (E1: ordered descriptor vectors). */
+  def featureCols(mt: ModelType): Seq[String] = mt match {
+    case Comp => CompositionFeaturizer.featureColumns
+    case CompSt => CompositionFeaturizer.featureColumns ++ StructureFeaturizer.featureColumns
+  }
+
   /** The 1,266-row training frame: (mp_id, comp, label = log10 ε_avg). */
   def trainingFrame(spark: SparkSession, diel: DielectricType): DataFrame = {
     val target = diel match {
@@ -55,17 +74,26 @@ object DielectricModel {
         log10(target).as("label"))
   }
 
-  /** Featurized training table. */
-  def featurizedTraining(spark: SparkSession, diel: DielectricType): DataFrame = {
+  /** Featurized training table (comp features always; structural features
+    * joined in for comp_st — both sides key on mp_id, one shuffle each). */
+  def featurizedTraining(spark: SparkSession, diel: DielectricType,
+      mt: ModelType = Comp): DataFrame = {
     val base = trainingFrame(spark, diel)
-    CompositionFeaturizer.featurize(spark, base, "mp_id", "comp")
+    val comp = CompositionFeaturizer.featurize(spark, base, "mp_id", "comp")
       .join(base.select("mp_id", "label"), Seq("mp_id"))
+    mt match {
+      case Comp => comp
+      case CompSt =>
+        val mats = Materials.referenceTrainingSet(Materials.readJson(spark))
+        comp.join(StructureFeaturizer.featurize(spark, mats), Seq("mp_id"))
+    }
   }
 
-  /** Assemble → scale → RF pipeline (compositional model). */
-  def pipeline(numTrees: Int = 200, maxDepth: Int = 12, seed: Long = 42L): Pipeline = {
+  /** Assemble → scale → RF pipeline. */
+  def pipeline(mt: ModelType = Comp, numTrees: Int = 200, maxDepth: Int = 12,
+      seed: Long = 42L): Pipeline = {
     val assembler = new VectorAssembler()
-      .setInputCols(CompositionFeaturizer.featureColumns.toArray)
+      .setInputCols(featureCols(mt).toArray)
       .setOutputCol("features_raw")
       .setHandleInvalid("keep")
     val scaler = new StandardScaler()
@@ -78,10 +106,10 @@ object DielectricModel {
     new Pipeline().setStages(Array(assembler, scaler, rf))
   }
 
-  /** Train the comp model for a dielectric type. */
-  def train(spark: SparkSession, diel: DielectricType,
+  /** Train a model for (dielectric type, model type). */
+  def train(spark: SparkSession, diel: DielectricType, mt: ModelType = Comp,
       numTrees: Int = 200, maxDepth: Int = 12): PipelineModel =
-    pipeline(numTrees, maxDepth).fit(featurizedTraining(spark, diel))
+    pipeline(mt, numTrees, maxDepth).fit(featurizedTraining(spark, diel, mt))
 
   /** Score arbitrary formulas: returns (formula, pred_log10, pred). */
   def predictFormulas(spark: SparkSession, model: PipelineModel,
@@ -97,9 +125,29 @@ object DielectricModel {
 
   /** In-sample predictions over the training set (golden-file comparable). */
   def predictTrainingSet(spark: SparkSession, model: PipelineModel,
-      diel: DielectricType): DataFrame =
-    model.transform(featurizedTraining(spark, diel))
+      diel: DielectricType, mt: ModelType = Comp): DataFrame =
+    model.transform(featurizedTraining(spark, diel, mt))
       .select(col("mp_id"), col("label"), col("prediction").as("pred_log10"))
+
+  /** Score a structure JSON file (reference main.py `-s` input): reads one
+    * material record, featurizes composition (+ structure for comp_st) and
+    * predicts. Comp-type models ignore the structural columns. */
+  def predictStructureJson(spark: SparkSession, model: PipelineModel, mt: ModelType,
+      path: String): DataFrame = {
+    val mat = spark.read.schema(graft.materials.MaterialSchema.schema)
+      .option("multiLine", true).json(path)
+    val base = mat.select(col("mp_id"), col("formula"),
+      FormulaParser.parseFormula(col("formula")).as("comp"))
+    val comp = CompositionFeaturizer.featurize(spark, base, "mp_id", "comp")
+      .join(base.select("mp_id", "formula"), Seq("mp_id"))
+    val feats = mt match {
+      case Comp => comp
+      case CompSt => comp.join(StructureFeaturizer.featurize(spark, mat), Seq("mp_id"))
+    }
+    model.transform(feats)
+      .select(col("mp_id"), col("formula"), col("prediction").as("pred_log10"),
+        pow(lit(10.0), col("prediction")).as("pred"))
+  }
 
   /** Golden prediction file → (mp_id, golden) frame. The file is one flat
     * JSON dict, parsed driver-side (1,266 entries) and parallelized. */

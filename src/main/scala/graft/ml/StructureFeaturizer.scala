@@ -1,0 +1,120 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.materials.{Ewald, Geometry, Materials}
+import graft.materials.Geometry.Lattice
+
+/** Structural (site-based) featurizers — SURVEY.md §2.C C11/C13/C14-lite/
+  * C17/C18 over the periodic-geometry kernels.
+  *
+  * Dataflow: one typed map over materials runs the per-site kernels
+  * (neighbor list, Gaussian symmetry functions, Ewald) inside
+  * mapPartitions — amortized setup, embarrassingly parallel across
+  * materials, zero shuffle — and emits per-site feature vectors; Spark then
+  * explodes sites and aggregates per material with max/avg/min/stddev_pop,
+  * the SiteFeaturizer reduction calculus (§2.D; np.std is population std).
+  */
+object StructureFeaturizer {
+
+  /** Per-site kernel output. */
+  final case class SiteFeatures(
+      min_dist: Double, min_rel_dist: Double, nbr_dist_var: Double,
+      g2_a: Double, g2_b: Double, g2_c: Double, ewald: Double)
+
+  final case class StructIn(
+      mp_id: String, matrix: Seq[Seq[Double]], abc: Seq[Seq[Double]],
+      elems: Seq[String], volume: Double, sg_number: Int, nsites: Int)
+
+  final case class StructOut(
+      mp_id: String, density: Double, vpa: Double, packing: Double,
+      sg_number: Double, nsites_d: Double, sites: Seq[SiteFeatures])
+
+  val NbrCutoff = 6.5 // Å, matminer GaussianSymmFunc default cutoff
+  val G2Etas = Array(0.05, 4.0, 20.0)
+
+  /** Cosine cutoff function fc(r). */
+  private def fc(r: Double, rc: Double): Double =
+    if (r >= rc) 0.0 else 0.5 * (math.cos(math.Pi * r / rc) + 1.0)
+
+  /** Run all site kernels for one material. */
+  def featurizeOne(in: StructIn): StructOut = {
+    val lat = Lattice(in.matrix.map(_.toArray).toArray)
+    val frac = in.abc.map(_.toArray).toArray
+    val n = frac.length
+    val radii = in.elems.map(e => ElementData.bySymbol(e).radius).toArray
+    val masses = in.elems.map(e => ElementData.bySymbol(e).mass).toArray
+
+    // one neighbor list drives min-dist, distance variation and G2
+    val nl = Geometry.neighborList(lat, frac, NbrCutoff)
+    val bySite = nl.groupBy(_.siteIdx)
+
+    // charges for Ewald from the composition-level guess
+    val counts = in.elems.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val states = OxidationStates.guess(counts)
+    val charges = in.elems.map(states).toArray
+    val ewald = Ewald.siteEnergies(lat, frac, charges)
+
+    val sites = (0 until n).map { i =>
+      val nbrs = bySite.getOrElse(i, Seq.empty)
+      val dists = nbrs.map(_.dist)
+      val minD = if (dists.nonEmpty) dists.min else NbrCutoff
+      val minNbr = nbrs.minByOption(_.dist)
+      val minRel = minNbr.map(nb => nb.dist / (radii(i) + radii(nb.nbrIdx))).getOrElse(1.0)
+      val meanD = if (dists.nonEmpty) dists.sum / dists.size else 0.0
+      val varD =
+        if (dists.size > 1 && meanD > 0)
+          math.sqrt(dists.map(d => (d - meanD) * (d - meanD)).sum / dists.size) / meanD
+        else 0.0
+      val g2 = G2Etas.map(eta =>
+        dists.map(r => math.exp(-eta * r * r / (NbrCutoff * NbrCutoff)) * fc(r, NbrCutoff)).sum)
+      SiteFeatures(minD, minRel, varD, g2(0), g2(1), g2(2), ewald(i))
+    }
+
+    val amuToG = 1.66053906660e-24
+    val density = masses.sum * amuToG / (lat.volume * 1e-24)
+    val packing = radii.map(r => 4.0 / 3 * math.Pi * r * r * r).sum / lat.volume
+    StructOut(in.mp_id, density, lat.volume / n, packing,
+      in.sg_number.toDouble, n.toDouble, sites)
+  }
+
+  /** Ordered structural feature columns. */
+  val featureColumns: Seq[String] = {
+    val siteAggs = for {
+      f <- Seq("min_dist", "min_rel_dist", "nbr_dist_var", "g2_a", "g2_b", "g2_c", "ewald")
+      a <- Seq("mean", "std", "min", "max")
+    } yield s"s_${f}_$a"
+    Seq("s_density", "s_vpa", "s_packing", "s_sg_number", "s_nsites") ++ siteAggs
+  }
+
+  /** Featurize the materials frame: kernels in a typed mapPartitions, then
+    * explode(sites) + groupBy(mp_id) with the §2.D aggregate calculus. */
+  def featurize(spark: SparkSession, materials: DataFrame): DataFrame = {
+    import spark.implicits._
+    val in = materials.select(
+      col("mp_id"),
+      col("structure.lattice.matrix").as("matrix"),
+      col("structure.sites.abc").as("abc"),
+      expr("transform(structure.sites, s -> s.species[0].element)").as("elems"),
+      col("structure.lattice.volume").as("volume"),
+      col("spacegroup.number").as("sg_number"),
+      col("nsites")).as[StructIn]
+
+    val out = in.mapPartitions(_.map(featurizeOne)).toDF()
+
+    val perSite = out.select(col("mp_id"), col("density"), col("vpa"), col("packing"),
+      col("sg_number"), col("nsites_d"), explode(col("sites")).as("sf"))
+
+    val siteFields = Seq("min_dist", "min_rel_dist", "nbr_dist_var", "g2_a", "g2_b", "g2_c", "ewald")
+    val aggs = siteFields.flatMap { f =>
+      val x = col("sf").getField(f)
+      Seq(avg(x).as(s"s_${f}_mean"), stddev_pop(x).as(s"s_${f}_std"),
+        min(x).as(s"s_${f}_min"), max(x).as(s"s_${f}_max"))
+    } ++ Seq(first("density").as("s_density"), first("vpa").as("s_vpa"),
+      first("packing").as("s_packing"), first("sg_number").as("s_sg_number"),
+      first("nsites_d").as("s_nsites"))
+
+    perSite.groupBy("mp_id").agg(aggs.head, aggs.tail: _*)
+  }
+}

@@ -1,0 +1,101 @@
+package graft.materials
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.materials.Geometry._
+import graft.ml.OxidationStates
+
+/** Kernel correctness: neighbor list vs brute-force supercell enumeration
+  * (incl. a skewed triclinic cell — SURVEY.md §7.4 risk #1), Ewald vs the
+  * rock-salt Madelung constant, oxidation-state guesser. */
+class GeometrySpec extends AnyFunSuite {
+
+  private def bruteForce(lat: Lattice, frac: Array[Array[Double]], cutoff: Double,
+      reach: Int): Seq[(Int, Int, Double)] = {
+    val carts = frac.map(lat.cart)
+    for {
+      i <- carts.indices
+      j <- carts.indices
+      na <- -reach to reach; nb <- -reach to reach; nc <- -reach to reach
+      t = Array(
+        na * lat.m(0)(0) + nb * lat.m(1)(0) + nc * lat.m(2)(0),
+        na * lat.m(0)(1) + nb * lat.m(1)(1) + nc * lat.m(2)(1),
+        na * lat.m(0)(2) + nb * lat.m(1)(2) + nc * lat.m(2)(2))
+      d = math.sqrt(
+        math.pow(carts(j)(0) + t(0) - carts(i)(0), 2) +
+        math.pow(carts(j)(1) + t(1) - carts(i)(1), 2) +
+        math.pow(carts(j)(2) + t(2) - carts(i)(2), 2))
+      if d > 1e-8 && d <= cutoff
+    } yield (i, j, d)
+  }
+
+  test("neighbor list matches brute force on a skewed triclinic cell") {
+    val lat = Lattice(Array(
+      Array(4.1, 0.0, 0.0),
+      Array(2.3, 3.6, 0.0),
+      Array(1.1, 1.9, 3.2)))
+    val frac = Array(
+      Array(0.0, 0.0, 0.0), Array(0.31, 0.47, 0.11), Array(0.73, 0.12, 0.64))
+    val cutoff = 5.0
+    val nl = neighborList(lat, frac, cutoff).map(n => (n.siteIdx, n.nbrIdx, n.dist))
+    val bf = bruteForce(lat, frac, cutoff, 4)
+    assert(nl.size == bf.size, s"count ${nl.size} vs ${bf.size}")
+    val sortKey = (t: (Int, Int, Double)) => (t._1, t._2, math.rint(t._3 * 1e9))
+    nl.sortBy(sortKey).zip(bf.sortBy(sortKey)).foreach { case (a, b) =>
+      assert(a._1 == b._1 && a._2 == b._2 && math.abs(a._3 - b._3) < 1e-9)
+    }
+  }
+
+  test("ewald reproduces the rock-salt Madelung constant") {
+    val a = 5.64
+    val lat = Lattice(Array(Array(a, 0, 0), Array(0, a, 0), Array(0, 0, a)))
+    val na = Array(Array(0.0, 0.0, 0.0), Array(0.5, 0.5, 0.0),
+      Array(0.5, 0.0, 0.5), Array(0.0, 0.5, 0.5))
+    val cl = Array(Array(0.5, 0.0, 0.0), Array(0.0, 0.5, 0.0),
+      Array(0.0, 0.0, 0.5), Array(0.5, 0.5, 0.5))
+    val frac = na ++ cl
+    val charges = Array(1.0, 1.0, 1.0, 1.0, -1.0, -1.0, -1.0, -1.0)
+    val total = Ewald.energy(lat, frac, charges)
+    // E per formula unit = -M * k / r0, M = 1.747565, r0 = a/2
+    val expected = 4 * (-1.7475645946 * Ewald.CoulombConstEvA / (a / 2))
+    assert(math.abs(total - expected) / math.abs(expected) < 1e-4,
+      s"ewald=$total expected=$expected")
+    // energy partition must sum to the total and be symmetric by species
+    val per = Ewald.siteEnergies(lat, frac, charges)
+    assert(math.abs(per.sum - total) < 1e-9)
+    assert(math.abs(per(0) - per(1)) < 1e-9 && math.abs(per(4) - per(7)) < 1e-9)
+  }
+
+  test("erfc accuracy against known values") {
+    assert(math.abs(Ewald.erfc(0.0) - 1.0) < 1e-7)
+    assert(math.abs(Ewald.erfc(1.0) - 0.15729920705) < 2e-7)
+    assert(math.abs(Ewald.erfc(-1.0) - 1.84270079295) < 2e-7)
+    assert(math.abs(Ewald.erfc(2.0) - 0.00467773498) < 2e-7)
+  }
+
+  test("oxidation guesser: textbook oxides and mixed valence fallback") {
+    assert(OxidationStates.guess(Map("Si" -> 1.0, "O" -> 2.0)) ==
+      Map("Si" -> 4.0, "O" -> -2.0))
+    assert(OxidationStates.guess(Map("Ca" -> 2.0, "Sn" -> 1.0, "O" -> 4.0)) ==
+      Map("Ca" -> 2.0, "Sn" -> 4.0, "O" -> -2.0))
+    assert(OxidationStates.guess(Map("Ba" -> 1.0, "Ti" -> 1.0, "O" -> 3.0)) ==
+      Map("Ba" -> 2.0, "Ti" -> 4.0, "O" -> -2.0))
+    // Mn3O4 (mixed valence 2x +3 + 1x +2): falls back to uniform 8/3
+    val mn = OxidationStates.guess(Map("Mn" -> 3.0, "O" -> 4.0))
+    assert(math.abs(mn("Mn") - 8.0 / 3) < 1e-9)
+    // charge neutrality always holds
+    Seq(Map("Al" -> 2.0, "O" -> 3.0), Map("Li" -> 1.0, "Nb" -> 1.0, "O" -> 3.0))
+      .foreach { c =>
+        val st = OxidationStates.guess(c)
+        val q = c.map { case (el, n) => st(el) * n }.sum
+        assert(math.abs(q) < 1e-9, s"$c -> $st")
+      }
+  }
+
+  test("lattice plane spacings bound the cutoff sphere correctly") {
+    // cubic: spacing = a on every axis
+    val lat = Lattice(Array(Array(3.0, 0, 0), Array(0, 3.0, 0), Array(0, 0, 3.0)))
+    assert(lat.planeSpacings.forall(s => math.abs(s - 3.0) < 1e-12))
+    assert(math.abs(lat.volume - 27.0) < 1e-12)
+  }
+}
