@@ -23,6 +23,12 @@ object CompositionFeaturizer {
   /** Stat suffixes emitted per elemental property. */
   val Stats = Seq("wmean", "wstd", "min", "max", "range")
 
+  /** Oxidation-state (C7) and electronegativity-difference (C6) features.
+    * (Declared before featureColumns — object val init order matters.) */
+  val oxiColumns: Seq[String] = Seq(
+    "f_oxi_min", "f_oxi_max", "f_oxi_range", "f_oxi_std",
+    "f_endiff_mean", "f_endiff_std", "f_endiff_min", "f_endiff_max", "f_endiff_range")
+
   /** Ordered feature column names produced by featurize(). */
   val featureColumns: Seq[String] = {
     val propStats = for {
@@ -31,7 +37,7 @@ object CompositionFeaturizer {
     } yield s"f_${p}_$s"
     propStats ++ Seq(
       "f_frac_tm", "f_band_center", "f_avg_ionic_char", "f_max_ionic_char",
-      "f_norm2", "f_norm3", "f_norm5", "f_norm7", "f_nelements")
+      "f_norm2", "f_norm3", "f_norm5", "f_norm7", "f_nelements") ++ oxiColumns
   }
 
   /** Broadcast-able element property frame. */
@@ -41,6 +47,46 @@ object CompositionFeaturizer {
       (e.symbol, numericProps.keys.toSeq.sorted.map(k => numericProps(k)(e)),
         if (e.isTM) 1.0 else 0.0)
     }.toDF("element", "props", "is_tm")
+  }
+
+  /** Per-element row for the oxidation-state featurizers: the guesser
+    * (C12) runs once per composition in a UDF; stats aggregate in Spark. */
+  final case class OxiRow(element: String, cnt: Double, state: Double, endiff: Option[Double])
+
+  private val oxiRows = udf { (comp: Map[String, Double]) =>
+    val states = OxidationStates.guess(comp)
+    val enO = ElementData.bySymbol("O").en
+    comp.toSeq.map { case (el, cnt) =>
+      OxiRow(el, cnt, states.getOrElse(el, 0.0),
+        ElementData.bySymbol.get(el).filter(_ => el != "O").map(p => enO - p.en))
+    }
+  }
+
+  /** C6/C7: weighted oxidation-state stats + cation-anion EN-difference
+    * stats (anion = O in this corpus), one groupBy over the exploded
+    * per-element rows. */
+  def oxiFeatures(df: DataFrame, idCol: String, compCol: String): DataFrame = {
+    val exploded = df
+      .select(col(idCol), explode(oxiRows(col(compCol))).as("r"))
+      .select(col(idCol), col("r.cnt").as("cnt"), col("r.state").as("state"),
+        col("r.endiff").as("endiff"))
+      .withColumn("w", col("cnt") / sum("cnt").over(
+        org.apache.spark.sql.expressions.Window.partitionBy(idCol)))
+    val wmeanSt = sum(col("w") * col("state")) / sum(col("w"))
+    val cw = when(col("endiff").isNotNull, col("cnt")).otherwise(lit(0.0))
+    val wmeanEd = sum(cw * col("endiff")) / sum(cw)
+    exploded.groupBy(col(idCol)).agg(
+      min("state").as("f_oxi_min"),
+      max("state").as("f_oxi_max"),
+      (max("state") - min("state")).as("f_oxi_range"),
+      sqrt(greatest(sum(col("w") * col("state") * col("state")) - wmeanSt * wmeanSt,
+        lit(0.0))).as("f_oxi_std"),
+      wmeanEd.as("f_endiff_mean"),
+      sqrt(greatest(sum(cw * col("endiff") * col("endiff")) / sum(cw) - wmeanEd * wmeanEd,
+        lit(0.0))).as("f_endiff_std"),
+      min("endiff").as("f_endiff_min"),
+      max("endiff").as("f_endiff_max"),
+      (max("endiff") - min("endiff")).as("f_endiff_range"))
   }
 
   /** Featurize a frame of (idCol, composition Map[String,Double] counts):
@@ -81,7 +127,7 @@ object CompositionFeaturizer {
         a.getField("f") * b.getField("f") *
           (lit(1.0) - exp(lit(-0.25) * pow(a.getField("en") - b.getField("en"), 2))))))
 
-    exploded.groupBy(col(idCol))
+    val main = exploded.groupBy(col(idCol))
       .agg(aggExprs.head, aggExprs.tail: _*)
       .withColumn("f_avg_ionic_char", aggregate(ionicTerms, lit(0.0), _ + _))
       .withColumn("f_max_ionic_char", array_max(ionicTerms))
@@ -90,5 +136,6 @@ object CompositionFeaturizer {
       .withColumn("f_norm5", pow(col("_s5"), 1.0 / 5))
       .withColumn("f_norm7", pow(col("_s7"), 1.0 / 7))
       .drop("_pairs", "_s2", "_s3", "_s5", "_s7")
+    main.join(oxiFeatures(df, idCol, compCol), Seq(idCol))
   }
 }

@@ -137,7 +137,7 @@ object Dedup {
     val a = e.select(col("vec_id").as("a_id"), col("v").as("va"))
     val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"))
     a.join(b, col("a_id") < col("b_id"))
-      .withColumn("cs", aggregate(zip_with(col("va"), col("vb"), _ * _), lit(0.0), _ + _))
+      .withColumn("cs", graft.plans.VectorOps.dot(col("va"), col("vb")))
       .filter(col("cs") >= 0.45)
       .select(col("a_id"), col("b_id"), round(col("cs"), 4).as("cs"))
       .orderBy("a_id", "b_id")

@@ -32,8 +32,10 @@ object Similarity {
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+  /** Codegen'd native dot product (same summation order as the
+    * zip_with+aggregate form — bit-identical results, no per-row array
+    * allocation; see graft.plans.DotProductExpr). */
+  private def dot(a: Column, b: Column): Column = graft.plans.VectorOps.dot(a, b)
 
   /** Exact top-k cosine neighbors for the query set, brute force.
     * Ranking is over ROUND(cs,6) with vec_id tiebreak so the oracle's

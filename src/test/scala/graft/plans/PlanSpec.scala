@@ -1,0 +1,95 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Relational, Similarity}
+import graft.sources.Tables
+
+/** Physical-plan quality gates (the "is this the plan you'd want" check):
+  * pushdown reaches the scans, dimension joins broadcast, hot paths stay
+  * inside WholeStageCodegen, and the native dot-product expression is
+  * bit-identical to the higher-order-function form. */
+class PlanSpec extends AnyFunSuite {
+
+  val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q1: filter and projection push into the parquet scan") {
+    val plan = planOf(Relational.q1FilterProject(spark, sf))
+    assert(plan.contains("PushedFilters:") &&
+      (plan.contains("EqualTo(l_returnflag,R)") || plan.contains("l_returnflag")),
+      s"missing pushed filter:\n$plan")
+    // column pruning: scan must NOT read l_tax (unused)
+    assert(!plan.contains("l_tax"), "scan reads unused column l_tax")
+  }
+
+  test("q3: dimension joins are broadcast, no shuffle of the fact side for dims") {
+    val plan = planOf(Relational.q3Join(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+  }
+
+  test("q2: aggregation is partial+final hash aggregate inside codegen") {
+    val df = Relational.q2Agg(spark, sf)
+    df.collect() // finalize the adaptive plan so codegen stages materialize
+    val plan = planOf(df)
+    assert(plan.contains("HashAggregate"), s"no hash aggregate:\n$plan")
+    assert(plan.contains("partial_"), s"no partial aggregation:\n$plan")
+    val codegen = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.CodegenMode)
+    assert(codegen.contains("WholeStageCodegen"), s"no codegen:\n${codegen.take(500)}")
+  }
+
+  test("q7: as-of join is a window pass, not a nested-loop join") {
+    val plan = planOf(Relational.q7AsOfJoin(spark, sf))
+    assert(plan.contains("Window"), s"no window:\n$plan")
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"quadratic join shape:\n$plan")
+  }
+
+  test("native dot product is bit-identical to zip_with+aggregate") {
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .limit(100)
+    val a = e.select(col("vec_id").as("a_id"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"))
+    val pairs = a.join(b, col("a_id") < col("b_id")).cache()
+    val native = pairs.select(col("a_id"), col("b_id"),
+      VectorOps.dot(col("va"), col("vb")).as("d")).collect()
+    val hof = pairs.select(col("a_id"), col("b_id"),
+      aggregate(zip_with(col("va"), col("vb"), _ * _), lit(0.0), _ + _).as("d")).collect()
+    assert(native.length == hof.length && native.nonEmpty)
+    native.zip(hof).foreach { case (n, h) =>
+      assert(n.getDouble(2) == h.getDouble(2), s"${n.getLong(0)},${n.getLong(1)}")
+    }
+  }
+
+  test("graft_dot is registered for SQL via SparkSessionExtensions") {
+    // suites share one JVM session; if another suite built it first the
+    // extensions config never ran — the on-session registrar covers that
+    GraftExtensions.register(spark)
+    Tables.embeddings(spark, sf).createOrReplaceTempView("emb_plan_test")
+    val r = spark.sql(
+      """SELECT graft_dot(CAST(embedding AS ARRAY<DOUBLE>), CAST(embedding AS ARRAY<DOUBLE>)) d
+        |FROM emb_plan_test LIMIT 5""".stripMargin).collect()
+    assert(r.length == 5)
+    r.foreach(row => assert(math.abs(row.getDouble(0) - 1.0) < 1e-4)) // unit vectors
+  }
+
+  test("similarity pipeline stays in codegen (no UDF in the hot path)") {
+    val plan = planOf(Similarity.bruteForceTopK(spark, sf))
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"UDF in hot path:\n$plan")
+  }
+}
