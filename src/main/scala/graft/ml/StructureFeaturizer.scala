@@ -18,10 +18,16 @@ import graft.materials.Geometry.Lattice
   */
 object StructureFeaturizer {
 
-  /** Per-site kernel output. */
+  /** Per-site kernel output. Voronoi-derived fields (SURVEY §2.C C14/C15/
+    * C19): cell volume, face-area stats, face-area-weighted bond-length
+    * variation, and face-area-weighted |Δproperty| to neighbors (the
+    * LocalPropertyDifference calculus) for EN / radius / mass. */
   final case class SiteFeatures(
       min_dist: Double, min_rel_dist: Double, nbr_dist_var: Double,
-      g2_a: Double, g2_b: Double, g2_c: Double, ewald: Double)
+      g2_a: Double, g2_b: Double, g2_c: Double, ewald: Double,
+      voro_vol: Double, voro_nfaces: Double, voro_area_mean: Double,
+      voro_area_std: Double, voro_bond_var: Double,
+      lpd_en: Double, lpd_radius: Double, lpd_mass: Double)
 
   final case class StructIn(
       mp_id: String, matrix: Seq[Seq[Double]], abc: Seq[Seq[Double]],
@@ -56,6 +62,10 @@ object StructureFeaturizer {
     val charges = in.elems.map(states).toArray
     val ewald = Ewald.siteEnergies(lat, frac, charges)
 
+    // Voronoi cells drive C14/C15/C19
+    val voro = graft.materials.Voronoi.cellsWithSites(lat, frac)
+    val ens = in.elems.map(e => ElementData.bySymbol(e).en).toArray
+
     val sites = (0 until n).map { i =>
       val nbrs = bySite.getOrElse(i, Seq.empty)
       val dists = nbrs.map(_.dist)
@@ -69,7 +79,26 @@ object StructureFeaturizer {
         else 0.0
       val g2 = G2Etas.map(eta =>
         dists.map(r => math.exp(-eta * r * r / (NbrCutoff * NbrCutoff)) * fc(r, NbrCutoff)).sum)
-      SiteFeatures(minD, minRel, varD, g2(0), g2(1), g2(2), ewald(i))
+
+      val (cell, siteMap) = voro(i)
+      val areas = cell.faces.map(_.area)
+      val areaSum = areas.sum.max(1e-12)
+      val areaMean = areas.sum / math.max(1, areas.size)
+      val areaStd =
+        if (areas.size > 1)
+          math.sqrt(areas.map(a => (a - areaMean) * (a - areaMean)).sum / areas.size)
+        else 0.0
+      // face-area-weighted bond lengths (face dist*2 = neighbor distance)
+      val wBond = cell.faces.map(f => f.area * 2 * f.dist).sum / areaSum
+      val bondVar =
+        if (wBond > 0)
+          math.sqrt(cell.faces.map(f => f.area * math.pow(2 * f.dist - wBond, 2)).sum / areaSum) / wBond
+        else 0.0
+      def lpd(prop: Int => Double): Double =
+        cell.faces.map(f => f.area * math.abs(prop(siteMap(f.nbrIdx)) - prop(i))).sum / areaSum
+      SiteFeatures(minD, minRel, varD, g2(0), g2(1), g2(2), ewald(i),
+        cell.volume, cell.faces.size.toDouble, areaMean, areaStd, bondVar,
+        lpd(j => ens(j)), lpd(j => radii(j)), lpd(j => masses(j)))
     }
 
     val amuToG = 1.66053906660e-24
@@ -79,10 +108,16 @@ object StructureFeaturizer {
       in.sg_number.toDouble, n.toDouble, sites)
   }
 
+  /** Per-site fields reduced with the §2.D calculus. */
+  val siteFields: Seq[String] = Seq(
+    "min_dist", "min_rel_dist", "nbr_dist_var", "g2_a", "g2_b", "g2_c", "ewald",
+    "voro_vol", "voro_nfaces", "voro_area_mean", "voro_area_std", "voro_bond_var",
+    "lpd_en", "lpd_radius", "lpd_mass")
+
   /** Ordered structural feature columns. */
   val featureColumns: Seq[String] = {
     val siteAggs = for {
-      f <- Seq("min_dist", "min_rel_dist", "nbr_dist_var", "g2_a", "g2_b", "g2_c", "ewald")
+      f <- siteFields
       a <- Seq("mean", "std", "min", "max")
     } yield s"s_${f}_$a"
     Seq("s_density", "s_vpa", "s_packing", "s_sg_number", "s_nsites") ++ siteAggs
@@ -106,7 +141,6 @@ object StructureFeaturizer {
     val perSite = out.select(col("mp_id"), col("density"), col("vpa"), col("packing"),
       col("sg_number"), col("nsites_d"), explode(col("sites")).as("sf"))
 
-    val siteFields = Seq("min_dist", "min_rel_dist", "nbr_dist_var", "g2_a", "g2_b", "g2_c", "ewald")
     val aggs = siteFields.flatMap { f =>
       val x = col("sf").getField(f)
       Seq(avg(x).as(s"s_${f}_mean"), stddev_pop(x).as(s"s_${f}_std"),
