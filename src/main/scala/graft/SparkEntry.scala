@@ -33,9 +33,11 @@ object SparkEntry {
     Relational.oracleSql ++ Dedup.oracleSql ++ Similarity.oracleSql ++
       TextAnalysis.oracleSql ++ Multimodal.oracleSql
 
-  /** Headline subset used by Bench (fast, scale-sensitive queries). */
+  /** Headline subset used by Bench (fast, scale-sensitive queries across
+    * all operator families: relational, dedup, similarity, text). */
   def benchQueries: Seq[String] = Seq(
     "q1_filter_project", "q2_agg", "q3_join", "q6_range_join",
     "q7_asof_join", "q8_window", "q10_distinct", "q11_rollup",
-    "q16_array", "q19_window_agg")
+    "q16_array", "q19_window_agg",
+    "dd_minhash_lsh", "dd_embed_cos", "ann_topk", "tx_quality")
 }

@@ -78,6 +78,76 @@ object Geometry {
     out.result()
   }
 
+  final case class NeighborVec(siteIdx: Int, nbrIdx: Int, dist: Double, vec: Array[Double])
+
+  /** Neighbor list with offset vectors (for angular featurizers, C16/C18). */
+  def neighborVectors(lat: Lattice, frac: Array[Array[Double]], cutoff: Double): Seq[NeighborVec] = {
+    val spacings = lat.planeSpacings
+    val reach = spacings.map(s => math.ceil(cutoff / s).toInt)
+    val carts = frac.map(lat.cart)
+    val out = Seq.newBuilder[NeighborVec]
+    var i = 0
+    while (i < frac.length) {
+      var j = 0
+      while (j < frac.length) {
+        var na = -reach(0)
+        while (na <= reach(0)) {
+          var nb = -reach(1)
+          while (nb <= reach(1)) {
+            var nc = -reach(2)
+            while (nc <= reach(2)) {
+              val v = Array(
+                carts(j)(0) + na * lat.m(0)(0) + nb * lat.m(1)(0) + nc * lat.m(2)(0) - carts(i)(0),
+                carts(j)(1) + na * lat.m(0)(1) + nb * lat.m(1)(1) + nc * lat.m(2)(1) - carts(i)(1),
+                carts(j)(2) + na * lat.m(0)(2) + nb * lat.m(1)(2) + nc * lat.m(2)(2) - carts(i)(2))
+              val d = norm(v)
+              if (d > 1e-8 && d <= cutoff) out += NeighborVec(i, j, d, v)
+              nc += 1
+            }
+            nb += 1
+          }
+          na += 1
+        }
+        j += 1
+      }
+      i += 1
+    }
+    out.result()
+  }
+
+  /** Tetrahedral order parameter over the 4 nearest neighbor vectors
+    * (Errington–Debenedetti): 1 − 3/8 Σ_{j<k}(cosθ_jk + 1/3)² — exactly 1
+    * for a perfect tetrahedron, ~0 for random arrangements (C16). */
+  def tetrahedralOrder(nbrVecs: Seq[Array[Double]]): Double = {
+    val vs = nbrVecs.take(4)
+    if (vs.size < 4) return 0.0
+    var s = 0.0
+    for (j <- 0 until 4; k <- j + 1 until 4) {
+      val cos = (vs(j)(0) * vs(k)(0) + vs(j)(1) * vs(k)(1) + vs(j)(2) * vs(k)(2)) /
+        (norm(vs(j)) * norm(vs(k)))
+      s += (cos + 1.0 / 3) * (cos + 1.0 / 3)
+    }
+    1.0 - 3.0 / 8 * s
+  }
+
+  /** Octahedral order parameter over the 6 nearest neighbors: every pair
+    * angle in a perfect octahedron is 90° or 180°; score 1 − normalized
+    * squared deviation of cosθ from the nearer of {0, −1} (C16). */
+  def octahedralOrder(nbrVecs: Seq[Array[Double]]): Double = {
+    val vs = nbrVecs.take(6)
+    if (vs.size < 6) return 0.0
+    var s = 0.0
+    var np = 0
+    for (j <- 0 until 6; k <- j + 1 until 6) {
+      val cos = (vs(j)(0) * vs(k)(0) + vs(j)(1) * vs(k)(1) + vs(j)(2) * vs(k)(2)) /
+        (norm(vs(j)) * norm(vs(k)))
+      val dev = math.min((cos - 0.0) * (cos - 0.0), (cos + 1.0) * (cos + 1.0))
+      s += dev
+      np += 1
+    }
+    math.max(0.0, 1.0 - s / np * 4) // scale so random ≈ 0
+  }
+
   /** Per-site minimum neighbor distance (periodic). Expands the cutoff
     * until every site has at least one neighbor. */
   def minDistances(lat: Lattice, frac: Array[Array[Double]]): Array[Double] = {

@@ -111,6 +111,14 @@ object DielectricModel {
       numTrees: Int = 200, maxDepth: Int = 12): PipelineModel =
     pipeline(mt, numTrees, maxDepth).fit(featurizedTraining(spark, diel, mt))
 
+  /** Persist a trained model in Spark-native ML format (A5: the engine's
+    * answer to the reference's joblib artifacts — loadable cluster-wide
+    * with PipelineModel.load, no per-call deserialization). */
+  def save(model: PipelineModel, path: String): Unit =
+    model.write.overwrite().save(path)
+
+  def load(path: String): PipelineModel = PipelineModel.load(path)
+
   /** Score arbitrary formulas: returns (formula, pred_log10, pred). */
   def predictFormulas(spark: SparkSession, model: PipelineModel,
       formulas: Seq[String]): DataFrame = {

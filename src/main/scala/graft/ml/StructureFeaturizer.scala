@@ -27,7 +27,8 @@ object StructureFeaturizer {
       g2_a: Double, g2_b: Double, g2_c: Double, ewald: Double,
       voro_vol: Double, voro_nfaces: Double, voro_area_mean: Double,
       voro_area_std: Double, voro_bond_var: Double,
-      lpd_en: Double, lpd_radius: Double, lpd_mass: Double)
+      lpd_en: Double, lpd_radius: Double, lpd_mass: Double,
+      op_tet: Double, op_oct: Double)
 
   final case class StructIn(
       mp_id: String, matrix: Seq[Seq[Double]], abc: Seq[Seq[Double]],
@@ -52,8 +53,9 @@ object StructureFeaturizer {
     val radii = in.elems.map(e => ElementData.bySymbol(e).radius).toArray
     val masses = in.elems.map(e => ElementData.bySymbol(e).mass).toArray
 
-    // one neighbor list drives min-dist, distance variation and G2
-    val nl = Geometry.neighborList(lat, frac, NbrCutoff)
+    // one vector neighbor list drives min-dist, distance variation, G2 and
+    // the coordination order parameters
+    val nl = Geometry.neighborVectors(lat, frac, NbrCutoff)
     val bySite = nl.groupBy(_.siteIdx)
 
     // charges for Ewald from the composition-level guess
@@ -96,9 +98,11 @@ object StructureFeaturizer {
         else 0.0
       def lpd(prop: Int => Double): Double =
         cell.faces.map(f => f.area * math.abs(prop(siteMap(f.nbrIdx)) - prop(i))).sum / areaSum
+      val sortedVecs = nbrs.sortBy(_.dist).map(_.vec)
       SiteFeatures(minD, minRel, varD, g2(0), g2(1), g2(2), ewald(i),
         cell.volume, cell.faces.size.toDouble, areaMean, areaStd, bondVar,
-        lpd(j => ens(j)), lpd(j => radii(j)), lpd(j => masses(j)))
+        lpd(j => ens(j)), lpd(j => radii(j)), lpd(j => masses(j)),
+        Geometry.tetrahedralOrder(sortedVecs), Geometry.octahedralOrder(sortedVecs))
     }
 
     val amuToG = 1.66053906660e-24
@@ -112,7 +116,7 @@ object StructureFeaturizer {
   val siteFields: Seq[String] = Seq(
     "min_dist", "min_rel_dist", "nbr_dist_var", "g2_a", "g2_b", "g2_c", "ewald",
     "voro_vol", "voro_nfaces", "voro_area_mean", "voro_area_std", "voro_bond_var",
-    "lpd_en", "lpd_radius", "lpd_mass")
+    "lpd_en", "lpd_radius", "lpd_mass", "op_tet", "op_oct")
 
   /** Ordered structural feature columns. */
   val featureColumns: Seq[String] = {

@@ -50,6 +50,7 @@ object Dedup {
     * is the 100 TB path. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingles(spark, dir).cache()
+    sh.count() // materialize once; feeds sizes + both join sides
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.select(col("doc_id").as("a_id"), col("s"))
     val b = sh.select(col("doc_id").as("b_id"), col("s"))
@@ -90,6 +91,8 @@ object Dedup {
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val rows = MinhashFuncs / MinhashBands
     val sig = signatures(spark, dir).cache()
+    sig.count() // materialize once: the signature frame feeds three plan
+    // branches (bands + both join sides) and would recompute 3x otherwise
     val bandCols = (0 until MinhashBands).map { bi =>
       val parts = (bi * rows until (bi + 1) * rows).map(i => col(s"mh$i"))
       struct(lit(bi).as("band_idx"), md5(concat(parts: _*)).as("band_hash"))

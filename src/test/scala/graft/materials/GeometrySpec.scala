@@ -92,6 +92,23 @@ class GeometrySpec extends AnyFunSuite {
       }
   }
 
+  test("order parameters: perfect motifs score 1, distorted score lower") {
+    val s3 = 1.0 / math.sqrt(3)
+    val tet = Seq(
+      Array(s3, s3, s3), Array(s3, -s3, -s3), Array(-s3, s3, -s3), Array(-s3, -s3, s3))
+    assert(math.abs(tetrahedralOrder(tet) - 1.0) < 1e-12)
+    val oct = Seq(
+      Array(1.0, 0, 0), Array(-1.0, 0, 0), Array(0, 1.0, 0),
+      Array(0, -1.0, 0), Array(0, 0, 1.0), Array(0, 0, -1.0))
+    assert(math.abs(octahedralOrder(oct) - 1.0) < 1e-12)
+    // octahedral environment is NOT tetrahedral and vice versa
+    assert(tetrahedralOrder(oct.take(4)) < 0.8)
+    assert(octahedralOrder(tet ++ tet.take(2)) < 0.8)
+    // distortion lowers the score
+    val distorted = tet.map(v => Array(v(0) + 0.3, v(1), v(2)))
+    assert(tetrahedralOrder(distorted) < 0.97)
+  }
+
   test("lattice plane spacings bound the cutoff sphere correctly") {
     // cubic: spacing = a on every axis
     val lat = Lattice(Array(Array(3.0, 0, 0), Array(0, 3.0, 0), Array(0, 0, 3.0)))

@@ -88,6 +88,19 @@ class MlSpec extends SparkSpec {
     assert(stats.getDouble(1) < 0.18, s"rmse ${stats.getDouble(1)}") // golden: 0.0870
   }
 
+  test("model persistence: save/load roundtrip predicts identically") {
+    import DielectricModel._
+    val model = train(spark, Electronic, Comp, numTrees = 20, maxDepth = 6)
+    val dir = java.nio.file.Files.createTempDirectory("graft_model").toString + "/el_comp"
+    save(model, dir)
+    val loaded = load(dir)
+    val a = predictFormulas(spark, model, Seq("SiO2", "BaTiO3")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val b = predictFormulas(spark, loaded, Seq("SiO2", "BaTiO3")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(a == b, s"$a vs $b")
+  }
+
   test("CLI semantics: accepts both spellings, rejects junk") {
     import DielectricModel._
     assert(DielectricType.parse("el") == Electronic)
