@@ -19,9 +19,25 @@ object ElementData {
   final case class ElementProps(
       symbol: String, z: Int, mass: Double, en: Double, radius: Double,
       meltingK: Double, row: Int, group: Int, block: String,
-      valS: Int, valP: Int, valD: Int, valF: Int, isTM: Boolean) {
+      valS: Int, valP: Int, valD: Int, valF: Int, isTM: Boolean,
+      ie: Double) {
     def valence: Int = valS + valP + valD + valF
   }
+
+  /** First ionization energies (eV, standard published values) — the
+    * highest-occupied-level proxy for the C8 orbital-energy featurizer. */
+  private val ionizationEnergy: Map[String, Double] = Map(
+    "Ag" -> 7.58, "Al" -> 5.99, "As" -> 9.79, "Au" -> 9.23, "B" -> 8.30,
+    "Ba" -> 5.21, "Be" -> 9.32, "Bi" -> 7.29, "Ca" -> 6.11, "Cd" -> 8.99,
+    "Co" -> 7.88, "Cr" -> 6.77, "Cs" -> 3.89, "Cu" -> 7.73, "Ga" -> 6.00,
+    "Ge" -> 7.90, "Hf" -> 6.83, "Hg" -> 10.44, "In" -> 5.79, "K" -> 4.34,
+    "La" -> 5.58, "Li" -> 5.39, "Mg" -> 7.65, "Mn" -> 7.43, "Mo" -> 7.09,
+    "Na" -> 5.14, "Nb" -> 6.76, "Ni" -> 7.64, "O" -> 13.62, "Os" -> 8.44,
+    "Pb" -> 7.42, "Pd" -> 8.34, "Pt" -> 8.96, "Rb" -> 4.18, "Re" -> 7.83,
+    "Rh" -> 7.46, "Sb" -> 8.61, "Sc" -> 6.56, "Si" -> 8.15, "Sn" -> 7.34,
+    "Sr" -> 5.69, "Ta" -> 7.55, "Tc" -> 7.28, "Th" -> 6.31, "Ti" -> 6.83,
+    "Tl" -> 6.11, "V" -> 6.75, "W" -> 7.86, "Y" -> 6.22, "Zn" -> 9.39,
+    "Zr" -> 6.63)
 
   // symbol -> (Z, mass, Pauling EN, atomic radius Å, melting K)
   private val raw: Seq[(String, Int, Double, Double, Double, Double)] = Seq(
@@ -118,7 +134,8 @@ object ElementData {
   val bySymbol: Map[String, ElementProps] = raw.map { case (sym, z, mass, en, r, melt) =>
     val (s, p, d, f, row, group, block) = configure(sym, z)
     val isTM = block == "d" && group >= 3 && group <= 12
-    sym -> ElementProps(sym, z, mass, en, r, melt, row, group, block, s, p, d, f, isTM)
+    sym -> ElementProps(sym, z, mass, en, r, melt, row, group, block, s, p, d, f, isTM,
+      ionizationEnergy(sym))
   }.toMap
 
   val all: Seq[ElementProps] = bySymbol.values.toSeq.sortBy(_.z)
@@ -136,5 +153,6 @@ object ElementData {
     "val_p" -> (_.valP.toDouble),
     "val_d" -> (_.valD.toDouble),
     "val_f" -> (_.valF.toDouble),
-    "valence" -> (_.valence.toDouble))
+    "valence" -> (_.valence.toDouble),
+    "ie" -> (_.ie))
 }

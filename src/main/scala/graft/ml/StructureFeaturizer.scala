@@ -28,7 +28,8 @@ object StructureFeaturizer {
       voro_vol: Double, voro_nfaces: Double, voro_area_mean: Double,
       voro_area_std: Double, voro_bond_var: Double,
       lpd_en: Double, lpd_radius: Double, lpd_mass: Double,
-      op_tet: Double, op_oct: Double)
+      op_tet: Double, op_oct: Double, op_lin: Double,
+      g4_pos: Double, g4_neg: Double)
 
   final case class StructIn(
       mp_id: String, matrix: Seq[Seq[Double]], abc: Seq[Seq[Double]],
@@ -98,11 +99,47 @@ object StructureFeaturizer {
         else 0.0
       def lpd(prop: Int => Double): Double =
         cell.faces.map(f => f.area * math.abs(prop(siteMap(f.nbrIdx)) - prop(i))).sum / areaSum
-      val sortedVecs = nbrs.sortBy(_.dist).map(_.vec)
+      val sortedNbrs = nbrs.sortBy(_.dist)
+      val sortedVecs = sortedNbrs.map(_.vec)
+      // linear CN_2 order parameter: angle between the two nearest
+      // neighbors, 1 at 180°
+      val opLin =
+        if (sortedVecs.size >= 2) {
+          val a = sortedVecs(0); val b = sortedVecs(1)
+          val cos = (a(0) * b(0) + a(1) * b(1) + a(2) * b(2)) /
+            (Geometry.norm(a) * Geometry.norm(b))
+          (1.0 - cos) / 2
+        } else 0.0
+      // G4 angular symmetry functions (Behler–Parrinello), η=0.005, ζ=4, λ=±1
+      var g4p = 0.0; var g4n = 0.0
+      val nn = sortedNbrs.size
+      var jj = 0
+      while (jj < nn) {
+        var kk = jj + 1
+        while (kk < nn) {
+          val a = sortedNbrs(jj); val b = sortedNbrs(kk)
+          val cos = (a.vec(0) * b.vec(0) + a.vec(1) * b.vec(1) + a.vec(2) * b.vec(2)) /
+            (a.dist * b.dist)
+          val djk = math.sqrt(
+            math.pow(a.vec(0) - b.vec(0), 2) + math.pow(a.vec(1) - b.vec(1), 2) +
+            math.pow(a.vec(2) - b.vec(2), 2))
+          if (djk < NbrCutoff) {
+            val expTerm = math.exp(-0.005 * (a.dist * a.dist + b.dist * b.dist + djk * djk) /
+              (NbrCutoff * NbrCutoff))
+            val cutTerm = fc(a.dist, NbrCutoff) * fc(b.dist, NbrCutoff) * fc(djk, NbrCutoff)
+            val zeta = 4
+            g4p += math.pow(2, 1 - zeta) * math.pow(1 + cos, zeta) * expTerm * cutTerm
+            g4n += math.pow(2, 1 - zeta) * math.pow(math.max(0.0, 1 - cos), zeta) * expTerm * cutTerm
+          }
+          kk += 1
+        }
+        jj += 1
+      }
       SiteFeatures(minD, minRel, varD, g2(0), g2(1), g2(2), ewald(i),
         cell.volume, cell.faces.size.toDouble, areaMean, areaStd, bondVar,
         lpd(j => ens(j)), lpd(j => radii(j)), lpd(j => masses(j)),
-        Geometry.tetrahedralOrder(sortedVecs), Geometry.octahedralOrder(sortedVecs))
+        Geometry.tetrahedralOrder(sortedVecs), Geometry.octahedralOrder(sortedVecs),
+        opLin, g4p, g4n)
     }
 
     val amuToG = 1.66053906660e-24
@@ -116,7 +153,8 @@ object StructureFeaturizer {
   val siteFields: Seq[String] = Seq(
     "min_dist", "min_rel_dist", "nbr_dist_var", "g2_a", "g2_b", "g2_c", "ewald",
     "voro_vol", "voro_nfaces", "voro_area_mean", "voro_area_std", "voro_bond_var",
-    "lpd_en", "lpd_radius", "lpd_mass", "op_tet", "op_oct")
+    "lpd_en", "lpd_radius", "lpd_mass", "op_tet", "op_oct", "op_lin",
+    "g4_pos", "g4_neg")
 
   /** Ordered structural feature columns. */
   val featureColumns: Seq[String] = {

@@ -108,9 +108,48 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** ANN via IVF (inverted-file index): a seeded MLlib KMeans coarse
+    * quantizer assigns every vector to a cell; queries probe only the
+    * `nProbe` nearest cells and rescore exactly. The scale path when LSH
+    * bucket tuning is awkward: the index is a tiny broadcastable centroid
+    * table + an equi join on cluster id — shuffle on a uniform key. */
+  def ivfTopK(spark: SparkSession, dir: String, nClusters: Int = 16, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = emb(spark, dir).withColumn("fv", array_to_vector(col("v"))).cache()
+    val km = new KMeans().setK(nClusters).setSeed(42L).setFeaturesCol("fv")
+      .setPredictionCol("cell").fit(e)
+    val assigned = km.transform(e).select(col("vec_id"), col("v"), col("cell"))
+    val centroids = km.clusterCenters.map(_.toArray)
+    // probe list per query: nProbe nearest centroids (driver-side math on a
+    // 16-row table — the centroid table is broadcast-scale by construction)
+    val centB = spark.sparkContext.broadcast(centroids)
+    val probeUdf = org.apache.spark.sql.functions.udf { (v: Seq[Double]) =>
+      centB.value.zipWithIndex.map { case (c, i) =>
+        var s = 0.0; var j = 0
+        while (j < c.length) { s += (c(j) - v(j)) * (c(j) - v(j)); j += 1 }
+        (i, s)
+      }.sortBy(_._2).take(nProbe).map(_._1)
+    }
+    val q = assigned.filter(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("q_id"), col("v").as("vq"),
+        explode(probeUdf(col("v"))).as("cell"))
+    val n = assigned.select(col("vec_id").as("nbr_id"), col("v").as("vn"), col("cell"))
+    val w = Window.partitionBy("q_id").orderBy(round(col("cs"), 6).desc, col("nbr_id"))
+    q.join(n, Seq("cell"))
+      .filter(col("q_id") =!= col("nbr_id"))
+      .dropDuplicates("q_id", "nbr_id")
+      .withColumn("cs", dot(col("vq"), col("vn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("nbr_id"), col("rank"), round(col("cs"), 4).as("cs"))
+      .orderBy("q_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk" -> bruteForceTopK _,
-    "ann_lsh_topk" -> lshTopK _, // no oracle: LSH recall is checked in SimilaritySpec
+    "ann_lsh_topk" -> lshTopK _, // no oracle: LSH recall is checked in ExtensionsSpec
+    "ann_ivf_topk" -> ((s: SparkSession, d: String) => ivfTopK(s, d)), // recall spec'd
   )
 
   val oracleSql: Map[String, String] = Map(

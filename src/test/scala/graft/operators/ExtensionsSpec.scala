@@ -27,6 +27,31 @@ class ExtensionsSpec extends SparkSpec {
     approx.foreach { r => assert(r.getDouble(3) <= 1.0001 && r.getDouble(3) >= -1.0001) }
   }
 
+  test("ann: IVF top-k achieves usable recall vs brute force") {
+    val exact = Similarity.bruteForceTopK(spark, sf)
+      .select("q_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(spark, sf)
+      .select("q_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    info(s"ivf recall=$recall")
+    assert(recall >= 0.3, s"recall=$recall")
+  }
+
+  test("weighted stats aggregator matches the expression form") {
+    import spark.implicits._
+    import graft.functions.WeightedStats
+    val df = Seq((1, 2.0, 0.5), (1, 4.0, 1.5), (1, 1.0, 1.0), (2, 10.0, 2.0))
+      .toDF("k", "x", "w")
+    val out = df.groupBy("k").agg(WeightedStats(col("x"), col("w")).as("s"))
+      .select(col("k"), col("s.mean"), col("s.std"), col("s.min"), col("s.max"))
+      .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // group 1: mean = (2*.5 + 4*1.5 + 1*1)/3 = 8/3
+    assert(math.abs(out(1)._1 - 8.0 / 3) < 1e-12)
+    val varExp = (0.5 * 4 + 1.5 * 16 + 1.0 * 1) / 3 - math.pow(8.0 / 3, 2)
+    assert(math.abs(out(1)._2 - math.sqrt(varExp)) < 1e-12)
+    assert(out(2)._2 == 0.0)
+  }
+
   test("langid: heuristic identifies curated real-language samples") {
     import spark.implicits._
     val samples = Seq(
