@@ -157,6 +157,39 @@ object DielectricModel {
         pow(lit(10.0), col("prediction")).as("pred"))
   }
 
+  /** Score a POSCAR file (reference main.py `-s POSCAR` input path, A3):
+    * composition from the expanded species line; structural features from
+    * the parsed lattice + coordinates (space group unknown from a bare
+    * POSCAR → P1). */
+  def predictPoscar(spark: SparkSession, model: PipelineModel, mt: ModelType,
+      path: String): DataFrame = {
+    import spark.implicits._
+    val p = graft.sources.Poscar.parse(
+      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8"))
+    val counts = p.siteElements.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val formula = counts.toSeq.sortBy(_._1).map { case (e, n) =>
+      if (n == 1.0) e else s"$e${n.toInt}" }.mkString
+    val base = Seq((path, formula, counts)).toDF("mp_id", "formula", "comp")
+    val comp = CompositionFeaturizer.featurize(spark, base, "mp_id", "comp")
+      .join(base.select("mp_id", "formula"), Seq("mp_id"))
+    val feats = mt match {
+      case Comp => comp
+      case CompSt =>
+        val lat = graft.materials.Geometry.Lattice(p.lattice)
+        val frac =
+          if (!p.cartesian) p.coords
+          else throw new IllegalArgumentException(
+            "cartesian POSCAR: use Poscar.read for conversion") // CLI path keeps Direct
+        val struct = Seq(StructureFeaturizer.StructIn(
+          path, p.lattice.map(_.toSeq).toSeq, frac.map(_.toSeq).toSeq,
+          p.siteElements.toSeq, lat.volume, 1, p.nsites)).toDS()
+        comp.join(StructureFeaturizer.featurizeStructs(spark, struct), Seq("mp_id"))
+    }
+    model.transform(feats)
+      .select(col("mp_id"), col("formula"), col("prediction").as("pred_log10"),
+        pow(lit(10.0), col("prediction")).as("pred"))
+  }
+
   /** Golden prediction file → (mp_id, golden) frame. The file is one flat
     * JSON dict, parsed driver-side (1,266 entries) and parallelized. */
   def goldenPredictions(spark: SparkSession, modelName: String): DataFrame = {

@@ -37,7 +37,9 @@ object PredictMain {
     val model = train(spark, diel, mt)
     val (label, row) = structPath match {
       case Some(p) =>
-        val r = predictStructureJson(spark, model, mt, p).head()
+        // JSON material record or POSCAR, as in the reference's main.py
+        val r = (if (p.endsWith(".json")) predictStructureJson(spark, model, mt, p)
+                 else predictPoscar(spark, model, mt, p)).head()
         (s"${r.getString(1)} (${r.getString(0)})", (r.getDouble(2), r.getDouble(3)))
       case None =>
         val r = predictFormulas(spark, model, Seq(formula.get)).head()

@@ -169,15 +169,20 @@ object StructureFeaturizer {
     * explode(sites) + groupBy(mp_id) with the §2.D aggregate calculus. */
   def featurize(spark: SparkSession, materials: DataFrame): DataFrame = {
     import spark.implicits._
-    val in = materials.select(
+    featurizeStructs(spark, materials.select(
       col("mp_id"),
       col("structure.lattice.matrix").as("matrix"),
       col("structure.sites.abc").as("abc"),
       expr("transform(structure.sites, s -> s.species[0].element)").as("elems"),
       col("structure.lattice.volume").as("volume"),
       col("spacegroup.number").as("sg_number"),
-      col("nsites")).as[StructIn]
+      col("nsites")).as[StructIn])
+  }
 
+  /** Featurize raw StructIn rows (e.g. POSCAR-derived structures). */
+  def featurizeStructs(spark: SparkSession,
+      in: org.apache.spark.sql.Dataset[StructIn]): DataFrame = {
+    import spark.implicits._
     val out = in.mapPartitions(_.map(featurizeOne)).toDF()
 
     val perSite = out.select(col("mp_id"), col("density"), col("vpa"), col("packing"),

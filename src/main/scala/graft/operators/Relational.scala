@@ -224,6 +224,37 @@ object Relational {
       .orderBy("o_custkey")
   }
 
+  /** G5 variant with a non-empty result (every customer has orders at
+    * sf0.01, so q5 is vacuous there): orders with no line items (257 rows
+    * at sf0.01). */
+  def q5bUnorderedParts(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"), "left_anti")
+      .select("o_orderkey")
+      .orderBy("o_orderkey")
+
+  /** Correlated scalar subquery (Catalyst decorrelates to an aggregate +
+    * join): customers' orders that exceed 1.5× their own average. The
+    * DataFrame form IS the decorrelated plan — a window average — proving
+    * the equivalence the optimizer performs. */
+  def q21Subquery(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+    Tables.orders(spark, dir)
+      .withColumn("avg_price", avg("o_totalprice").over(w))
+      .filter(col("o_totalprice") > col("avg_price") * 1.5)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("p"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Pivot (wide aggregation): quantity sums per returnflag × linestatus. */
+  def q22Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(round(sum("l_quantity"), 2))
+      .withColumnsRenamed(Map("F" -> "f_qty", "O" -> "o_qty"))
+      .orderBy("l_returnflag")
+
   /** All relational queries keyed by their SparkEntry name. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_filter_project" -> q1FilterProject _,
@@ -246,6 +277,9 @@ object Relational {
     "q18_json" -> q18Json _,
     "q19_window_agg" -> q19WindowAgg _,
     "q20_dedup" -> q20Dedup _,
+    "q5b_unordered_parts" -> q5bUnorderedParts _,
+    "q21_subquery" -> q21Subquery _,
+    "q22_pivot" -> q22Pivot _,
   )
 
   /** DuckDB oracle SQL per query (driver runs these on the same parquet). */
@@ -340,5 +374,19 @@ object Relational {
         |SELECT o_custkey, o_orderkey, o_totalprice,
         |ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
         |FROM orders) t WHERE rn = 1 ORDER BY o_custkey""".stripMargin.replaceAll("\n", " "),
+    "q5b_unordered_parts" ->
+      """SELECT o_orderkey FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin.replaceAll("\n", " "),
+    "q21_subquery" ->
+      """SELECT o_orderkey, ROUND(o_totalprice, 2) AS p FROM orders o
+        |WHERE o_totalprice > (SELECT AVG(o2.o_totalprice) * 1.5 FROM orders o2
+        |WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin.replaceAll("\n", " "),
+    "q22_pivot" ->
+      """SELECT l_returnflag,
+        |ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS f_qty,
+        |ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS o_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replaceAll("\n", " "),
   )
 }
