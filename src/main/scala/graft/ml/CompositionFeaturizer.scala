@@ -27,7 +27,39 @@ object CompositionFeaturizer {
     * (Declared before featureColumns — object val init order matters.) */
   val oxiColumns: Seq[String] = Seq(
     "f_oxi_min", "f_oxi_max", "f_oxi_range", "f_oxi_std",
-    "f_endiff_mean", "f_endiff_std", "f_endiff_min", "f_endiff_max", "f_endiff_range")
+    "f_endiff_mean", "f_endiff_std", "f_endiff_min", "f_endiff_max", "f_endiff_range",
+    "f_ape_mean", "f_ape_absdev")
+
+  /** Ideal center/neighbor radius ratios R*(N) for efficiently-packed
+    * clusters of coordination N (Miracle's atomic-packing-efficiency
+    * model; standard sphere-packing values) — the C9 lookup. */
+  private val idealRatio: Map[Int, Double] = Map(
+    3 -> 0.155, 4 -> 0.225, 5 -> 0.362, 6 -> 0.414, 7 -> 0.518, 8 -> 0.617,
+    9 -> 0.732, 10 -> 0.799, 11 -> 0.884, 12 -> 0.902, 13 -> 0.976,
+    14 -> 1.047, 15 -> 1.116, 16 -> 1.183, 17 -> 1.248, 18 -> 1.311,
+    19 -> 1.373, 20 -> 1.433, 21 -> 1.491, 22 -> 1.548, 23 -> 1.604, 24 -> 1.659)
+
+  /** C9: per-element deviation from the nearest ideal packing ratio, with
+    * the fraction-weighted mean neighbor radius as the shell radius;
+    * returns (weighted mean deviation, weighted abs deviation from it). */
+  private def apeDeviations(comp: Map[String, Double]): (Double, Double) = {
+    val present = comp.filter { case (el, _) => ElementData.bySymbol.contains(el) }
+    if (present.isEmpty) return (0.0, 0.0)
+    val total = present.values.sum
+    val rAvg = present.map { case (el, n) => ElementData.bySymbol(el).radius * n }.sum / total
+    val devs = present.toSeq.map { case (el, n) =>
+      val ratio = ElementData.bySymbol(el).radius / rAvg
+      val dev = idealRatio.values.map(r => math.abs(ratio - r)).min
+      (dev, n / total)
+    }
+    val mean = devs.map { case (d, w) => d * w }.sum
+    val absdev = devs.map { case (d, w) => math.abs(d - mean) * w }.sum
+    (mean, absdev)
+  }
+
+  private val apeUdf = udf { (comp: Map[String, Double]) =>
+    val (m, a) = apeDeviations(comp); Array(m, a)
+  }
 
   /** Ordered feature column names produced by featurize(). */
   val featureColumns: Seq[String] = {
@@ -136,6 +168,9 @@ object CompositionFeaturizer {
       .withColumn("f_norm5", pow(col("_s5"), 1.0 / 5))
       .withColumn("f_norm7", pow(col("_s7"), 1.0 / 7))
       .drop("_pairs", "_s2", "_s3", "_s5", "_s7")
-    main.join(oxiFeatures(df, idCol, compCol), Seq(idCol))
+    val ape = df.select(col(idCol), apeUdf(col(compCol)).as("_ape"))
+      .select(col(idCol), col("_ape").getItem(0).as("f_ape_mean"),
+        col("_ape").getItem(1).as("f_ape_absdev"))
+    main.join(oxiFeatures(df, idCol, compCol), Seq(idCol)).join(ape, Seq(idCol))
   }
 }

@@ -131,6 +131,26 @@ object Dedup {
         x => x.getField("b")), "").as("sh"))
       .orderBy("doc_id")
 
+  val SimhashMaxHamming = 1 // 32-bit fingerprints on a shared-vocab corpus: hd<=1 keeps the true near-dups, hd>=2 is dominated by vocabulary collisions
+
+  /** SimHash near-dup pairs: fingerprint pairs within Hamming distance 1
+    * (of 32 bits). The pair join runs on the tiny fingerprint table — at
+    * scale candidates come from banding fingerprint prefixes, same shape
+    * as minhashLsh. */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val fp = simhash(spark, dir)
+    val a = fp.select(col("doc_id").as("a_id"), col("sh").as("sha"))
+    val b = fp.select(col("doc_id").as("b_id"), col("sh").as("shb"))
+    val hamming = (1 to 32).map(j =>
+      when(expr(s"substr(sha, $j, 1)") =!= expr(s"substr(shb, $j, 1)"), 1).otherwise(0))
+      .reduce(_ + _)
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("hd", hamming.cast("long"))
+      .filter(col("hd") <= SimhashMaxHamming)
+      .orderBy("a_id", "b_id")
+      .select("a_id", "b_id", "hd")
+  }
+
   /** Embedding near-dup pairs: cosine ≥ 0.45 (vectors are L2-normalized so
     * cosine = dot). Brute-force pair join as the exact oracle; the scale
     * path is Similarity.lshBuckets (sign-random-projection buckets). */
@@ -152,6 +172,7 @@ object Dedup {
     "dd_minhash_sig" -> minhashSignatures _,
     "dd_minhash_lsh" -> minhashLsh _,
     "dd_simhash" -> simhash _,
+    "dd_simhash_pairs" -> simhashPairs _,
     "dd_embed_cos" -> embeddingCosine _,
   )
 
@@ -200,6 +221,23 @@ object Dedup {
         |FROM h, (SELECT unnest(generate_series(1,32)) j) GROUP BY doc_id, j)
         |SELECT doc_id, string_agg(b, '' ORDER BY j) AS sh FROM bits
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "dd_simhash_pairs" ->
+      ("""WITH h AS (SELECT doc_id, md5(unnest(string_split(text,' '))) h FROM documents),
+        |bits AS (SELECT doc_id, j,
+        |CASE WHEN SUM(CASE WHEN strpos('89abcdef', substr(h, j, 1)) > 0 THEN 1 ELSE -1 END) > 0
+        |THEN '1' ELSE '0' END AS b
+        |FROM h, (SELECT unnest(generate_series(1,32)) j) GROUP BY doc_id, j),
+        |fp AS (SELECT doc_id, string_agg(b, '' ORDER BY j) AS sh FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST((""" +
+        (1 to 32).map(j => s"CASE WHEN substr(a.sh,$j,1) <> substr(b.sh,$j,1) THEN 1 ELSE 0 END")
+          .mkString(" + ") +
+        """) AS BIGINT) AS hd
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE (""" +
+        (1 to 32).map(j => s"CASE WHEN substr(a.sh,$j,1) <> substr(b.sh,$j,1) THEN 1 ELSE 0 END")
+          .mkString(" + ") +
+        """) <= 1
+        |ORDER BY a_id, b_id""").stripMargin.replaceAll("\n", " "),
     "dd_embed_cos" ->
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
         |ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding),
