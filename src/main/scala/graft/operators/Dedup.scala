@@ -23,10 +23,15 @@ object Dedup {
   /** Word tokens of documents.text. */
   private def tokens: Column = split(col("text"), " ")
 
-  /** Distinct word-level 3-gram shingles per document: (doc_id, s). */
+  /** Distinct word-level 3-gram shingles per document: (doc_id, s).
+    * The corpus arrives as one small parquet file (one input split), so
+    * without an explicit repartition every downstream md5 runs on ONE
+    * core — the repartition buys full parallelism for the 16 hash
+    * functions at the cost of shuffling the (tiny) document table. */
   private def shingles(spark: SparkSession, dir: String): DataFrame = {
     val t = tokens
     Tables.documents(spark, dir)
+      .repartition(col("doc_id"))
       .select(col("doc_id"),
         explode(array_distinct(
           when(size(t) >= 3,
@@ -120,6 +125,7 @@ object Dedup {
     * md5 nibble. Emitted as a bitstring so the oracle compares exactly. */
   def simhash(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
+      .repartition(col("doc_id")) // single-file input: unlock parallel md5
       .select(col("doc_id"), explode(tokens).as("tok"))
       .select(col("doc_id"), md5(col("tok")).as("h"))
       .select(col("doc_id"), col("h"), explode(sequence(lit(1), lit(32))).as("j"))
