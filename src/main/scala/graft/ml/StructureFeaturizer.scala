@@ -28,6 +28,7 @@ object StructureFeaturizer {
       voro_vol: Double, voro_nfaces: Double, voro_area_mean: Double,
       voro_area_std: Double, voro_bond_var: Double,
       lpd_en: Double, lpd_radius: Double, lpd_mass: Double,
+      lpd_valence: Double, lpd_group: Double, lpd_row: Double,
       op_tet: Double, op_oct: Double, op_lin: Double,
       g4_pos: Double, g4_neg: Double)
 
@@ -67,7 +68,8 @@ object StructureFeaturizer {
 
     // Voronoi cells drive C14/C15/C19
     val voro = graft.materials.Voronoi.cellsWithSites(lat, frac)
-    val ens = in.elems.map(e => ElementData.bySymbol(e).en).toArray
+    val props = in.elems.map(e => ElementData.bySymbol(e)).toArray
+    val ens = props.map(_.en)
 
     val sites = (0 until n).map { i =>
       val nbrs = bySite.getOrElse(i, Seq.empty)
@@ -138,6 +140,8 @@ object StructureFeaturizer {
       SiteFeatures(minD, minRel, varD, g2(0), g2(1), g2(2), ewald(i),
         cell.volume, cell.faces.size.toDouble, areaMean, areaStd, bondVar,
         lpd(j => ens(j)), lpd(j => radii(j)), lpd(j => masses(j)),
+        lpd(j => props(j).valence.toDouble), lpd(j => props(j).group.toDouble),
+        lpd(j => props(j).row.toDouble),
         Geometry.tetrahedralOrder(sortedVecs), Geometry.octahedralOrder(sortedVecs),
         opLin, g4p, g4n)
     }
@@ -153,8 +157,8 @@ object StructureFeaturizer {
   val siteFields: Seq[String] = Seq(
     "min_dist", "min_rel_dist", "nbr_dist_var", "g2_a", "g2_b", "g2_c", "ewald",
     "voro_vol", "voro_nfaces", "voro_area_mean", "voro_area_std", "voro_bond_var",
-    "lpd_en", "lpd_radius", "lpd_mass", "op_tet", "op_oct", "op_lin",
-    "g4_pos", "g4_neg")
+    "lpd_en", "lpd_radius", "lpd_mass", "lpd_valence", "lpd_group", "lpd_row",
+    "op_tet", "op_oct", "op_lin", "g4_pos", "g4_neg")
 
   /** Ordered structural feature columns. */
   val featureColumns: Seq[String] = {

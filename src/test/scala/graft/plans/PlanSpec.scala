@@ -87,6 +87,22 @@ class PlanSpec extends AnyFunSuite {
     r.foreach(row => assert(math.abs(row.getDouble(0) - 1.0) < 1e-4)) // unit vectors
   }
 
+  test("partitioned parquet layout gives partition pruning (100 TB story)") {
+    import graft.materials.Materials
+    val dir = java.nio.file.Files.createTempDirectory("mat_part").toString
+    Materials.readJson(spark)
+      .withColumn("crystal_system", col("spacegroup.crystal_system"))
+      .write.partitionBy("crystal_system").mode("overwrite").parquet(dir)
+    val cubicOnly = spark.read.parquet(dir)
+      .filter(col("crystal_system") === "cubic")
+      .select("mp_id", "band_gap")
+    cubicOnly.collect()
+    val plan = cubicOnly.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("crystal_system"), s"no partition pruning:\n${plan.take(800)}")
+    assert(cubicOnly.count() == 87) // verified corpus count for cubic
+  }
+
   test("similarity pipeline stays in codegen (no UDF in the hot path)") {
     val plan = planOf(Similarity.bruteForceTopK(spark, sf))
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
