@@ -12,8 +12,11 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   *   SELECT graft_dot(a.embedding, b.embedding) FROM ...
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotFunction)
+    // eig_mean(M) → tr(M)/3 fusion (exact identity; see EigMeanExpr)
+    ext.injectOptimizerRule(_ => FuseEigMean)
+  }
 }
 
 object GraftExtensions {

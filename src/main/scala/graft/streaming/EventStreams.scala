@@ -47,6 +47,14 @@ object EventStreams {
       .agg(count(lit(1)).as("c"))
       .select(col("sw.start").as("ss"), col("user_id"), col("c"))
 
+  /** Streaming exact dedup: drop re-deliveries of the same event_id, with
+    * watermarked state so the dedup table doesn't grow unboundedly — the
+    * at-least-once→exactly-once repair stage of a 100 TB/day ingest. */
+  def dedupStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicates("event_id", "ts")
+
   case class UserRunning(user_id: Long, n: Long, total: Double)
 
   /** Custom keyed state: running per-user event count + value total via

@@ -103,6 +103,60 @@ class PlanSpec extends AnyFunSuite {
     assert(cubicOnly.count() == 87) // verified corpus count for cubic
   }
 
+  test("optimizer rule fuses eig-mean to trace/3 and matches stored averages") {
+    import graft.materials.Materials
+    // suites share one JVM session (may lack the extensions config):
+    // extraOptimizations is the session-agnostic way to add the rule
+    if (!spark.experimental.extraOptimizations.contains(FuseEigMean))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ FuseEigMean
+    val mats = Materials.readJson(spark).limit(50)
+      .select(col("mp_id"),
+        MaterialOps.epsAvg(col("dielectric.epsilon_electronic")).as("calc"),
+        col("dielectric.epsilon_electronic_avg").as("stored"))
+    // the rule must have rewritten the expression away
+    val optimized = mats.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("graft_eig_mean"), s"fusion did not fire:\n$optimized")
+    // and trace/3 equals the stored mean-of-eigenvalues (exact identity)
+    mats.collect().foreach { r =>
+      assert(math.abs(r.getDouble(1) - r.getDouble(2)) < 1e-6,
+        s"${r.getString(0)}: ${r.getDouble(1)} vs ${r.getDouble(2)}")
+    }
+  }
+
+  test("bucketed tables join without a shuffle (co-located join story)") {
+    val s2 = spark.newSession()
+    // warehouse.dir is static; default (./spark-warehouse) is fine for temp
+    // tables — but a fresh in-memory catalog won't know about leftover
+    // locations from an earlier JVM, so clear them first
+    Seq("orders_b", "lineitem_b").foreach { t =>
+      val p = java.nio.file.Paths.get(s"spark-warehouse/$t")
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    Tables.orders(s2, sf).write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("orders_b")
+    Tables.lineitem(s2, sf).write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("lineitem_b")
+    val joined = s2.table("orders_b")
+      .join(s2.table("lineitem_b"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderstatus").count()
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"unexpected join:\n${plan.take(600)}")
+    // the join itself must not shuffle either side (bucket co-location);
+    // only the final small aggregation exchanges
+    val joinPart = plan.substring(plan.indexOf("Join"))
+    val exchangesBelowJoin = "Exchange hashpartitioning\\((o_orderkey|l_orderkey)".r
+      .findAllIn(plan).size
+    assert(exchangesBelowJoin == 0, s"join key shuffle present:\n${plan.take(900)}")
+  }
+
   test("similarity pipeline stays in codegen (no UDF in the hot path)") {
     val plan = planOf(Similarity.bruteForceTopK(spark, sf))
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),

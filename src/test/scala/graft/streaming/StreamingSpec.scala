@@ -98,6 +98,23 @@ class StreamingSpec extends SparkSpec {
     assert(u1.map(_.getLong(2)).sorted.toSeq == Seq(1L, 3L))
   }
 
+  test("streaming dedup drops re-delivered events across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStreams.dedupStream(input.toDF()).writeStream
+      .format("memory").queryName("dedup_stream").outputMode(OutputMode.Append()).start()
+    def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    input.addData(Ev(1, ts(1), 1, "a", 1.0), Ev(2, ts(2), 1, "a", 2.0))
+    q.processAllAvailable()
+    // re-delivery of event 1 in a later micro-batch: must be dropped
+    input.addData(Ev(1, ts(1), 1, "a", 1.0), Ev(3, ts(3), 1, "a", 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_stream").select("event_id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L), s"got ${ids.toSeq}")
+  }
+
   test("mapGroupsWithState running totals match batch aggregation") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
