@@ -176,10 +176,7 @@ object DielectricModel {
       case Comp => comp
       case CompSt =>
         val lat = graft.materials.Geometry.Lattice(p.lattice)
-        val frac =
-          if (!p.cartesian) p.coords
-          else throw new IllegalArgumentException(
-            "cartesian POSCAR: use Poscar.read for conversion") // CLI path keeps Direct
+        val frac = graft.sources.Poscar.toFractional(p)
         val struct = Seq(StructureFeaturizer.StructIn(
           path, p.lattice.map(_.toSeq).toSeq, frac.map(_.toSeq).toSeq,
           p.siteElements.toSeq, lat.volume, 1, p.nsites)).toDS()

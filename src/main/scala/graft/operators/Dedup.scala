@@ -74,7 +74,14 @@ object Dedup {
   val MinhashBands = 4 // 4 bands × 4 rows
 
   /** Per-doc minhash signature columns mh0..mh15: MIN(md5("<seed>:"||shingle)).
-    * One groupBy computes all 16 mins in a single pass (partial+final agg). */
+    * One groupBy computes all 16 mins in a single pass (partial+final agg).
+    *
+    * Deliberately md5-per-seed (16 independent hash functions), NOT
+    * Kirsch–Mitzenmacher g_i = h1 + i·h2 double hashing: measured on this
+    * corpus, the linear family shares its argmin shingle across i (a
+    * shingle with small h1 AND h2 wins every function), inflating the
+    * match estimate — candidate pairs at est ≥ 0.5 went 25 → 101. The
+    * md5 cost is parallelized by the repartition in shingles(). */
   private def signatures(spark: SparkSession, dir: String): DataFrame = {
     val aggs = (0 until MinhashFuncs).map(i =>
       min(md5(concat(lit(s"$i:"), col("s")))).as(s"mh$i"))

@@ -103,7 +103,7 @@ object TextAnalysis {
     "tx_tokens" -> tokenCounts _,
     "tx_quality" -> quality _,
     "tx_fingerprint" -> fingerprint _,
-    "tx_langid" -> langId _, // no oracle: heuristic accuracy checked in TextAnalysisSpec
+    "tx_langid" -> langId _, // oracled below; accuracy also checked in ExtensionsSpec
   )
 
   private def inList(xs: Seq[String]) = xs.map(s => s"'$s'").mkString("(", ",", ")")
@@ -130,5 +130,21 @@ object TextAnalysis {
     "tx_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "tx_langid" -> {
+      // generated from LangMarkers so Spark and oracle can't drift
+      val scores = LangMarkers.map { case (lang, markers) =>
+        s"len(list_filter(string_split(text,' '), x -> x IN ${inList(markers)})) AS s_$lang"
+      }.mkString(", ")
+      // tie priority = LangMarkers order (en > de > es > fr), like the
+      // (score, prio) struct max on the Spark side
+      val langs = LangMarkers.map(_._1)
+      val cases = langs.init.zipWithIndex.map { case (l, i) =>
+        val rest = langs.drop(i + 1).map(o => s"s_$l >= s_$o").mkString(" AND ")
+        s"WHEN $rest THEN '$l'"
+      }.mkString(" ")
+      ("WITH s AS (SELECT doc_id, text, " + scores + " FROM documents) " +
+        "SELECT doc_id, CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh' " +
+        cases + s" ELSE '${langs.last}' END AS pred_lang FROM s ORDER BY doc_id")
+    },
   )
 }

@@ -49,6 +49,17 @@ object Poscar {
     PoscarStructure(comment, lattice, elements, counts, cartesian, coords)
   }
 
+  /** Fractional coordinates of a parsed POSCAR (converts cartesian). */
+  def toFractional(p: PoscarStructure): Array[Array[Double]] =
+    if (!p.cartesian) p.coords
+    else {
+      val inv = invert3(p.lattice)
+      p.coords.map(c => Array(
+        c(0) * inv(0)(0) + c(1) * inv(1)(0) + c(2) * inv(2)(0),
+        c(0) * inv(0)(1) + c(1) * inv(1)(1) + c(2) * inv(2)(1),
+        c(0) * inv(0)(2) + c(1) * inv(1)(2) + c(2) * inv(2)(2)))
+    }
+
   /** Distributed scan of a directory of POSCAR files → one structured row
     * per file: (path, comment, lattice, elements[], counts[], frac[]). */
   def read(spark: SparkSession, dir: String): DataFrame = {
@@ -57,16 +68,7 @@ object Poscar {
       .map { case (path, text) =>
         val p = parse(text)
         // normalize to fractional coords for a uniform downstream schema
-        val frac =
-          if (!p.cartesian) p.coords
-          else {
-            val lat = graft.materials.Geometry.Lattice(p.lattice)
-            val inv = invert3(p.lattice)
-            p.coords.map(c => Array(
-              c(0) * inv(0)(0) + c(1) * inv(1)(0) + c(2) * inv(2)(0),
-              c(0) * inv(0)(1) + c(1) * inv(1)(1) + c(2) * inv(2)(1),
-              c(0) * inv(0)(2) + c(1) * inv(1)(2) + c(2) * inv(2)(2)))
-          }
+        val frac = toFractional(p)
         (path, p.comment, p.lattice.map(_.toSeq).toSeq, p.siteElements.toSeq,
           frac.map(_.toSeq).toSeq)
       }
