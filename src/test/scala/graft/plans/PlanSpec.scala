@@ -157,6 +157,27 @@ class PlanSpec extends AnyFunSuite {
     assert(exchangesBelowJoin == 0, s"join key shuffle present:\n${plan.take(900)}")
   }
 
+  test("AQE splits skewed join partitions at runtime") {
+    val s3 = spark.newSession()
+    s3.conf.set("spark.sql.adaptive.enabled", true)
+    s3.conf.set("spark.sql.adaptive.skewJoin.enabled", true)
+    s3.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    s3.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    s3.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", 2)
+    s3.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    import org.apache.spark.sql.functions.{col, when}
+    // 90% of the fact rows share one key → one shuffle partition dwarfs the rest
+    val fact = s3.range(300000)
+      .select(when(col("id") % 10 =!= 0, 0L).otherwise(col("id")).as("k"), col("id").as("v"))
+    val dim = s3.range(30000).select(col("id").as("k"), (col("id") * 2).as("w"))
+    val joined = fact.join(dim, "k")
+    // execute THIS dataframe (count() builds a different queryExecution and
+    // the adaptive plan would stay isFinalPlan=false here)
+    assert(joined.collect().length > 0)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true"), s"skew split did not fire:\n${plan.take(800)}")
+  }
+
   test("similarity pipeline stays in codegen (no UDF in the hot path)") {
     val plan = planOf(Similarity.bruteForceTopK(spark, sf))
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
