@@ -148,6 +148,38 @@ object Geometry {
     math.max(0.0, 1.0 - s / np * 4) // scale so random ≈ 0
   }
 
+  /** Trigonal-planar order parameter over the 3 nearest neighbors: pair
+    * angles of the ideal motif are all 120° (C16). */
+  def trigonalPlanarOrder(nbrVecs: Seq[Array[Double]]): Double = {
+    val vs = nbrVecs.take(3)
+    if (vs.size < 3) return 0.0
+    val cosIdeal = -0.5
+    var s = 0.0
+    for (j <- 0 until 3; k <- j + 1 until 3) {
+      val cos = dotv(vs(j), vs(k)) / (norm(vs(j)) * norm(vs(k)))
+      s += (cos - cosIdeal) * (cos - cosIdeal)
+    }
+    math.max(0.0, 1.0 - s / 3 * 4)
+  }
+
+  /** Square-planar order parameter over the 4 nearest neighbors: pair
+    * angles 90° (4 pairs) or 180° (2 pairs) (C16). */
+  def squarePlanarOrder(nbrVecs: Seq[Array[Double]]): Double = {
+    val vs = nbrVecs.take(4)
+    if (vs.size < 4) return 0.0
+    var s = 0.0
+    var np = 0
+    for (j <- 0 until 4; k <- j + 1 until 4) {
+      val cos = dotv(vs(j), vs(k)) / (norm(vs(j)) * norm(vs(k)))
+      s += math.min(cos * cos, (cos + 1.0) * (cos + 1.0))
+      np += 1
+    }
+    math.max(0.0, 1.0 - s / np * 4)
+  }
+
+  private def dotv(a: Array[Double], b: Array[Double]): Double =
+    a(0) * b(0) + a(1) * b(1) + a(2) * b(2)
+
   /** Per-site minimum neighbor distance (periodic). Expands the cutoff
     * until every site has at least one neighbor. */
   def minDistances(lat: Lattice, frac: Array[Array[Double]]): Array[Double] = {

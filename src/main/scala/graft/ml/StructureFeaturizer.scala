@@ -30,6 +30,7 @@ object StructureFeaturizer {
       lpd_en: Double, lpd_radius: Double, lpd_mass: Double,
       lpd_valence: Double, lpd_group: Double, lpd_row: Double,
       op_tet: Double, op_oct: Double, op_lin: Double,
+      op_tri: Double, op_sqp: Double,
       g4_pos: Double, g4_neg: Double)
 
   final case class StructIn(
@@ -143,7 +144,8 @@ object StructureFeaturizer {
         lpd(j => props(j).valence.toDouble), lpd(j => props(j).group.toDouble),
         lpd(j => props(j).row.toDouble),
         Geometry.tetrahedralOrder(sortedVecs), Geometry.octahedralOrder(sortedVecs),
-        opLin, g4p, g4n)
+        opLin, Geometry.trigonalPlanarOrder(sortedVecs),
+        Geometry.squarePlanarOrder(sortedVecs), g4p, g4n)
     }
 
     val amuToG = 1.66053906660e-24
@@ -158,7 +160,7 @@ object StructureFeaturizer {
     "min_dist", "min_rel_dist", "nbr_dist_var", "g2_a", "g2_b", "g2_c", "ewald",
     "voro_vol", "voro_nfaces", "voro_area_mean", "voro_area_std", "voro_bond_var",
     "lpd_en", "lpd_radius", "lpd_mass", "lpd_valence", "lpd_group", "lpd_row",
-    "op_tet", "op_oct", "op_lin", "g4_pos", "g4_neg")
+    "op_tet", "op_oct", "op_lin", "op_tri", "op_sqp", "g4_pos", "g4_neg")
 
   /** Ordered structural feature columns. */
   val featureColumns: Seq[String] = {

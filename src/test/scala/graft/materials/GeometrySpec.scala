@@ -107,6 +107,15 @@ class GeometrySpec extends AnyFunSuite {
     // distortion lowers the score
     val distorted = tet.map(v => Array(v(0) + 0.3, v(1), v(2)))
     assert(tetrahedralOrder(distorted) < 0.97)
+    // trigonal planar: three 120°-spaced vectors in a plane
+    val tri = Seq(0, 1, 2).map(i => Array(
+      math.cos(2 * math.Pi * i / 3), math.sin(2 * math.Pi * i / 3), 0.0))
+    assert(math.abs(trigonalPlanarOrder(tri) - 1.0) < 1e-12)
+    assert(trigonalPlanarOrder(tet.take(3)) < 0.9)
+    // square planar: ±x, ±y
+    val sqp = Seq(Array(1.0, 0, 0), Array(-1.0, 0, 0), Array(0, 1.0, 0), Array(0, -1.0, 0))
+    assert(math.abs(squarePlanarOrder(sqp) - 1.0) < 1e-12)
+    assert(squarePlanarOrder(tet) < 0.8)
   }
 
   test("lattice plane spacings bound the cutoff sphere correctly") {
