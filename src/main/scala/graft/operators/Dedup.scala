@@ -53,12 +53,32 @@ object Dedup {
     * self-join on shingle → |∩| / (|A|+|B|−|∩|). The shingle join is the
     * scale bottleneck by design — this is the *oracle* form; minhashLsh below
     * is the 100 TB path. */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardImpl(spark, dir, maxShingleDocFreq = Int.MaxValue)
+
+  /** The exact-pair form with optional stop-shingle protection: shingles
+    * appearing in more than `maxShingleDocFreq` documents are excluded
+    * from the inverted-index join (but still count toward |A|,|B|). At
+    * 100 TB a boilerplate shingle shared by millions of docs would
+    * otherwise create a single quadratic join group — this caps the
+    * worst-case group size at maxShingleDocFreq² while only *lowering*
+    * |∩| (a document pair sharing nothing but boilerplate drops out,
+    * which is the intended semantics of stop-shingling). The declared
+    * oracle query runs without the cap (exact). */
+  def ngramJaccardImpl(spark: SparkSession, dir: String,
+      maxShingleDocFreq: Int): DataFrame = {
     val sh = shingles(spark, dir).cache()
     sh.count() // materialize once; feeds sizes + both join sides
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = sh.select(col("doc_id").as("a_id"), col("s"))
-    val b = sh.select(col("doc_id").as("b_id"), col("s"))
+    val joinable =
+      if (maxShingleDocFreq == Int.MaxValue) sh
+      else {
+        val df = sh.groupBy("s").agg(count(lit(1)).as("docfreq"))
+          .filter(col("docfreq") <= maxShingleDocFreq)
+        sh.join(df.select("s"), Seq("s"))
+      }
+    val a = joinable.select(col("doc_id").as("a_id"), col("s"))
+    val b = joinable.select(col("doc_id").as("b_id"), col("s"))
     val inter = a.join(b, Seq("s")).filter(col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("c"))
     inter

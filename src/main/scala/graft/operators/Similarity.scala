@@ -113,7 +113,10 @@ object Similarity {
     * `nProbe` nearest cells and rescore exactly. The scale path when LSH
     * bucket tuning is awkward: the index is a tiny broadcastable centroid
     * table + an equi join on cluster id — shuffle on a uniform key. */
-  def ivfTopK(spark: SparkSession, dir: String, nClusters: Int = 16, nProbe: Int = 4): DataFrame = {
+  // defaults from the AnnEval sweep at sf0.1 (2,000 vectors): k=16/probe=6
+  // gives recall 0.75 at 2.6s vs 0.60 at probe=4; more clusters lose recall
+  // on this corpus without probing most of them
+  def ivfTopK(spark: SparkSession, dir: String, nClusters: Int = 16, nProbe: Int = 6): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val e = emb(spark, dir).withColumn("fv", array_to_vector(col("v"))).cache()

@@ -90,6 +90,20 @@ class ExtensionsSpec extends SparkSpec {
     assert(math.abs(approx - exact).toDouble / exact < 0.15, s"exact=$exact approx=$approx")
   }
 
+  test("stop-shingle cap keeps true near-dups while bounding join groups") {
+    val exact = Dedup.ngramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(0))).toSet
+    // cap well above any true near-dup pair's shingle doc-frequency
+    val capped = Dedup.ngramJaccardImpl(spark, sf, maxShingleDocFreq = 10).collect()
+      .map(r => (r.getLong(1), r.getLong(0))).toSet
+    assert(exact.nonEmpty)
+    // dropping super-common shingles can only remove boilerplate-driven
+    // pairs; the planted near-dups share many rare shingles and survive
+    assert(exact.subsetOf(capped) || capped.subsetOf(exact))
+    assert((exact & capped).size.toDouble / exact.size >= 0.9,
+      s"lost ${(exact -- capped).size} of ${exact.size}")
+  }
+
   test("minhash estimate correlates with exact jaccard on near-dup pairs") {
     val exact = Dedup.ngramJaccard(spark, sf).collect()
       .map(r => (r.getLong(1), r.getLong(0)) -> r.getDouble(2)).toMap
