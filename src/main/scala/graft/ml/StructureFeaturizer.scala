@@ -39,7 +39,8 @@ object StructureFeaturizer {
 
   final case class StructOut(
       mp_id: String, density: Double, vpa: Double, packing: Double,
-      sg_number: Double, nsites_d: Double, sites: Seq[SiteFeatures])
+      sg_number: Double, nsites_d: Double,
+      lat_anis: Double, lat_angle_dev: Double, sites: Seq[SiteFeatures])
 
   val NbrCutoff = 6.5 // Å, matminer GaussianSymmFunc default cutoff
   val G2Etas = Array(0.05, 4.0, 20.0)
@@ -151,8 +152,16 @@ object StructureFeaturizer {
     val amuToG = 1.66053906660e-24
     val density = masses.sum * amuToG / (lat.volume * 1e-24)
     val packing = radii.map(r => 4.0 / 3 * math.Pi * r * r * r).sum / lat.volume
+    // lattice shape: axis-length anisotropy and mean angle deviation from
+    // 90° — soft/low-symmetry cells correlate with large ionic response
+    val lens = lat.m.map(Geometry.norm)
+    val anis = lens.max / lens.min
+    def angle(a: Array[Double], b: Array[Double]): Double = math.toDegrees(math.acos(
+      (a(0) * b(0) + a(1) * b(1) + a(2) * b(2)) / (Geometry.norm(a) * Geometry.norm(b))))
+    val angles = Seq(angle(lat.m(0), lat.m(1)), angle(lat.m(1), lat.m(2)), angle(lat.m(0), lat.m(2)))
+    val angleDev = angles.map(x => math.abs(x - 90.0)).sum / 3
     StructOut(in.mp_id, density, lat.volume / n, packing,
-      in.sg_number.toDouble, n.toDouble, sites)
+      in.sg_number.toDouble, n.toDouble, anis, angleDev, sites)
   }
 
   /** Per-site fields reduced with the §2.D calculus. */
@@ -168,7 +177,8 @@ object StructureFeaturizer {
       f <- siteFields
       a <- Seq("mean", "std", "min", "max")
     } yield s"s_${f}_$a"
-    Seq("s_density", "s_vpa", "s_packing", "s_sg_number", "s_nsites") ++ siteAggs
+    Seq("s_density", "s_vpa", "s_packing", "s_sg_number", "s_nsites",
+      "s_lat_anis", "s_lat_angle_dev") ++ siteAggs
   }
 
   /** Featurize the materials frame: kernels in a typed mapPartitions, then
@@ -192,7 +202,8 @@ object StructureFeaturizer {
     val out = in.mapPartitions(_.map(featurizeOne)).toDF()
 
     val perSite = out.select(col("mp_id"), col("density"), col("vpa"), col("packing"),
-      col("sg_number"), col("nsites_d"), explode(col("sites")).as("sf"))
+      col("sg_number"), col("nsites_d"), col("lat_anis"), col("lat_angle_dev"),
+      explode(col("sites")).as("sf"))
 
     val aggs = siteFields.flatMap { f =>
       val x = col("sf").getField(f)
@@ -200,7 +211,8 @@ object StructureFeaturizer {
         min(x).as(s"s_${f}_min"), max(x).as(s"s_${f}_max"))
     } ++ Seq(first("density").as("s_density"), first("vpa").as("s_vpa"),
       first("packing").as("s_packing"), first("sg_number").as("s_sg_number"),
-      first("nsites_d").as("s_nsites"))
+      first("nsites_d").as("s_nsites"),
+      first("lat_anis").as("s_lat_anis"), first("lat_angle_dev").as("s_lat_angle_dev"))
 
     perSite.groupBy("mp_id").agg(aggs.head, aggs.tail: _*)
   }
