@@ -31,7 +31,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ Dedup.oracleSql ++ Similarity.oracleSql ++
-      TextAnalysis.oracleSql ++ Multimodal.oracleSql
+      TextAnalysis.oracleSql ++ Multimodal.oracleSql ++ Materials.oracleSql
 
   /** Headline subset used by Bench (fast, scale-sensitive queries across
     * all operator families: relational, dedup, similarity, text). */

@@ -15,6 +15,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // raw-corpus export first: the mat_* oracle SQL reads this fixed-path
+    // parquet to recompute the materials queries independently in DuckDB
+    try graft.materials.Materials.exportRaw(spark)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] materials raw export failed: ${e.getMessage}")
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -21,13 +21,41 @@ object Materials {
 
   val DefaultDataDir = "/root/reference/oxi_diel_db/data"
 
-  /** Raw JSON ingest with the canonical schema. */
-  def readJson(spark: SparkSession, dataDir: String = DefaultDataDir): DataFrame =
-    spark.read.schema(MaterialSchema.schema)
+  /** Fixed path Verify exports the raw corpus to, so the DuckDB oracle can
+    * independently recompute the mat_* queries (it has no JSON multiline
+    * reader wired to this corpus, but reads parquet from any path). */
+  val RawExportPath = "/tmp/graft_materials_raw.parquet"
+
+  /** Raw JSON ingest with the canonical schema.
+    *
+    * `numPartitions` sizes the OUTPUT partitioning: 0 (default) coalesces
+    * the 1,278 tiny files to a handful of landing partitions (small-file
+    * I/O — do not spawn 1,278 tasks); pass the cluster parallelism for
+    * CPU-heavy downstream work. The featurization path does NOT rely on
+    * this default: StructureFeaturizer re-partitions to
+    * defaultParallelism before its kernels, so the Voronoi/Ewald stage
+    * never inherits the 4-partition landing layout. */
+  def readJson(spark: SparkSession, dataDir: String = DefaultDataDir,
+      numPartitions: Int = 0): DataFrame = {
+    val df = spark.read.schema(MaterialSchema.schema)
       .option("multiLine", true)
       .json(s"$dataDir/*.json")
-      // a handful of coalesced partitions: 1,278 tiny files, not 1,278 tasks
-      .coalesce(4)
+    if (numPartitions > 0) df.repartition(numPartitions) else df.coalesce(4)
+  }
+
+  /** Flat projection of the STORED corpus fields (no derived values) —
+    * the table the mat_* DuckDB oracles recompute from. */
+  def exportRaw(spark: SparkSession, path: String = RawExportPath): Unit =
+    readJson(spark).select(
+      col("mp_id"), col("formula"), col("band_gap"),
+      col("phonon.lowest_freq").as("lowest_freq"),
+      col("dielectric.epsilon_ionic_avg").as("eps_ionic_avg"),
+      col("dielectric.epsilon_electronic_avg").as("eps_el_avg"),
+      col("dielectric.epsilon_electronic").as("eps_el_tensor"),
+      col("dielectric.epsilon_ionic").as("eps_ion_tensor"),
+      col("phonon.frequency").as("frequency"),
+      col("born_effective_charge.tensors").as("born_tensors"))
+      .coalesce(1).write.mode("overwrite").parquet(path)
 
   /** Compact to parquet (canonical store). Returns the parquet-backed frame. */
   def compact(spark: SparkSession, dataDir: String, parquetPath: String): DataFrame = {
@@ -108,19 +136,25 @@ object Materials {
       .filter(col("n") > 1)
       .orderBy("formula")
 
-  // ---- rows-only query entries (no DuckDB table for the materials corpus)
+  // ---- oracle-backed materials query entries ---------------------------
+  // The DuckDB side reads the raw-corpus export (exportRaw → RawExportPath,
+  // written by Verify before the query dump) and recomputes each result
+  // independently from the STORED fields.
 
-  /** Per-record integrity report: max error of every recomputed derived
-    * quantity (all ≤ tolerance; asserted in MaterialsSpec). */
+  /** Per-record integrity report as cross-engine-checkable derived values:
+    * the B1/B2 spherical averages recomputed through eig3x3 (the oracle
+    * recomputes them as trace/3 — sum of eigenvalues ≡ trace, so any
+    * eigensolver drift >1e-6 breaks the hash match), plus recomputed B3
+    * lowest frequency and B4 Born |trace| average. The vs-STORED error
+    * tolerances (including full eigenvalue vectors) are asserted in
+    * MaterialsSpec via withDerived. */
   def integrityReport(spark: SparkSession): DataFrame =
     withDerived(readJson(spark))
       .select(col("mp_id"),
-        round(col("eig_el_err"), 6).as("eig_el_err"),
-        round(col("eig_ion_err"), 6).as("eig_ion_err"),
-        round(col("avg_el_err"), 9).as("avg_el_err"),
-        round(col("avg_ion_err"), 9).as("avg_ion_err"),
-        round(col("lowest_freq_err"), 9).as("lowest_freq_err"),
-        round(col("abs_trace_err"), 9).as("abs_trace_err"))
+        round(col("avg_el_calc"), 6).as("avg_el"),
+        round(col("avg_ion_calc"), 6).as("avg_ion"),
+        round(col("lowest_freq_calc"), 6).as("lowest_freq"),
+        round(col("abs_trace_calc"), 6).as("abs_trace"))
       .orderBy("mp_id")
 
   /** The reference's signature exploration query (SURVEY.md §7.2): stable
@@ -140,5 +174,28 @@ object Materials {
     "mat_dup_formulas" -> ((s: SparkSession, _: String) =>
       duplicateFormulas(readJson(s)).select("formula", "n", "keep")),
     "mat_top_ionic" -> ((s: SparkSession, _: String) => topIonicStableWideGap(s)),
+  )
+
+  private val rawTable = s"'$RawExportPath/*.parquet'"
+
+  val oracleSql: Map[String, String] = Map(
+    // avg_* recomputed as trace/3: analytically ≡ mean of the eig3x3
+    // eigenvalues the Spark side computes (root sum of the trace-shifted
+    // cubic is the trace), so this cross-checks the eigensolver
+    "mat_integrity" ->
+      s"""SELECT mp_id,
+         |ROUND((eps_el_tensor[1][1]+eps_el_tensor[2][2]+eps_el_tensor[3][3])/3, 6) AS avg_el,
+         |ROUND((eps_ion_tensor[1][1]+eps_ion_tensor[2][2]+eps_ion_tensor[3][3])/3, 6) AS avg_ion,
+         |ROUND(list_min(frequency), 6) AS lowest_freq,
+         |ROUND(list_sum(list_transform(born_tensors, t -> abs(t[1][1]+t[2][2]+t[3][3])/3))/len(born_tensors), 6) AS abs_trace
+         |FROM $rawTable ORDER BY mp_id""".stripMargin.replaceAll("\n", " "),
+    "mat_dup_formulas" ->
+      s"""SELECT formula, COUNT(*) AS n, MIN(mp_id) AS keep FROM $rawTable
+         |GROUP BY formula HAVING COUNT(*) > 1 ORDER BY formula""".stripMargin.replaceAll("\n", " "),
+    "mat_top_ionic" ->
+      s"""SELECT * FROM (SELECT mp_id, formula, band_gap,
+         |ROUND(eps_ionic_avg, 4) AS eps_ionic_avg, ROUND(eps_el_avg, 4) AS eps_el_avg
+         |FROM $rawTable WHERE lowest_freq > -0.1 AND band_gap > 3.0)
+         |ORDER BY eps_ionic_avg DESC, mp_id LIMIT 10""".stripMargin.replaceAll("\n", " "),
   )
 }

@@ -137,13 +137,43 @@ object DielectricModel {
     model.transform(featurizedTraining(spark, diel, mt))
       .select(col("mp_id"), col("label"), col("prediction").as("pred_log10"))
 
-  /** Score a structure JSON file (reference main.py `-s` input): reads one
-    * material record, featurizes composition (+ structure for comp_st) and
-    * predicts. Comp-type models ignore the structural columns. */
+  /** Score a structure JSON file (reference main.py `-s` input): accepts
+    * either a full material record or a BARE pymatgen Structure JSON (what
+    * `Structure.from_file` produces — no mp_id/formula fields). For a bare
+    * structure the composition is derived from the sites and the path
+    * doubles as the id (same convention as predictPoscar); space group is
+    * unknown → P1. Comp-type models ignore the structural columns. */
   def predictStructureJson(spark: SparkSession, model: PipelineModel, mt: ModelType,
       path: String): DataFrame = {
-    val mat = spark.read.schema(graft.materials.MaterialSchema.schema)
+    val mat0 = spark.read.schema(graft.materials.MaterialSchema.schema)
       .option("multiLine", true).json(path)
+    val head0 = mat0.select(col("mp_id"), col("formula"), col("structure.sites")).head()
+    val mat =
+      if (!head0.isNullAt(0) || !head0.isNullAt(1)) mat0
+      else {
+        // bare Structure JSON: re-read with the structure sub-schema and
+        // wrap it in the canonical record shape
+        val st = spark.read.schema(graft.materials.MaterialSchema.structure)
+          .option("multiLine", true).json(path)
+        val elemsRow = st
+          .select(expr("transform(sites, s -> s.species[0].element)").as("elems")).head()
+        if (elemsRow.isNullAt(0))
+          throw new IllegalArgumentException(
+            s"$path is neither a material record (mp_id/formula) nor a " +
+              "pymatgen Structure JSON (lattice/sites) — cannot featurize")
+        val counts = elemsRow.getSeq[String](0)
+          .groupBy(identity).view.mapValues(_.size.toDouble).toMap
+        val formula = counts.toSeq.sortBy(_._1).map { case (e, n) =>
+          if (n == 1.0) e else s"$e${n.toInt}" }.mkString
+        st.select(
+          lit(path).as("mp_id"), lit(formula).as("formula"),
+          struct(col("@module"), col("@class"), col("charge"),
+            col("lattice"), col("sites")).as("structure"),
+          struct(lit("none").as("source"), lit("P1").as("symbol"),
+            lit(1).as("number"), lit("1").as("point_group"),
+            lit("triclinic").as("crystal_system"), lit("P 1").as("hall")).as("spacegroup"),
+          size(col("sites")).as("nsites"))
+      }
     val base = mat.select(col("mp_id"), col("formula"),
       FormulaParser.parseFormula(col("formula")).as("comp"))
     val comp = CompositionFeaturizer.featurize(spark, base, "mp_id", "comp")

@@ -114,7 +114,10 @@ object ElementData {
     val byL = valenceOrbs.groupBy(_._1._2).view.mapValues(_.map(_._2).sum).toMap
     val (s, p, d, f) = (byL.getOrElse('s', 0), byL.getOrElse('p', 0),
       byL.getOrElse('d', 0), byL.getOrElse('f', 0))
-    val row = valenceOrbs.map(_._1._1).maxOption.getOrElse(1)
+    // Period from the noble-gas core, NOT max valence n: Aufbau exceptions
+    // like Pd (4d10 5s0) would otherwise under-report the row (Pd is
+    // period 5 even with no occupied n=5 orbital).
+    val row = nobleZ.indexOf(core) + 1
     val block = if (f > 0 && symbol != "La") "f"
       else if (d > 0 && d < 10) "d"
       else if (d == 10 && p == 0 && symbol != "Pd") "d" // Zn/Cd/Hg group 12

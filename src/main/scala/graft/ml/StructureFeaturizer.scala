@@ -199,7 +199,12 @@ object StructureFeaturizer {
   def featurizeStructs(spark: SparkSession,
       in: org.apache.spark.sql.Dataset[StructIn]): DataFrame = {
     import spark.implicits._
-    val out = in.mapPartitions(_.map(featurizeOne)).toDF()
+    // size the CPU-heavy kernel stage to the cluster, NOT to however the
+    // input landed (the JSON ingest coalesces to 4 partitions; a
+    // single-file parquet read is 1): the shuffle of this tiny frame is
+    // noise next to the Voronoi/Ewald cost it parallelizes
+    val par = spark.sparkContext.defaultParallelism
+    val out = in.repartition(par).mapPartitions(_.map(featurizeOne)).toDF()
 
     val perSite = out.select(col("mp_id"), col("density"), col("vpa"), col("packing"),
       col("sg_number"), col("nsites_d"), col("lat_anis"), col("lat_angle_dev"),

@@ -67,7 +67,11 @@ object Dedup {
     * oracle query runs without the cap (exact). */
   def ngramJaccardImpl(spark: SparkSession, dir: String,
       maxShingleDocFreq: Int): DataFrame = {
-    val sh = shingles(spark, dir).cache()
+    // MEMORY_AND_DISK, not MEMORY_ONLY: at 100 TB the exploded shingle
+    // frame exceeds executor memory, and MEMORY_ONLY eviction would
+    // silently recompute the md5 fan-out for each of the 3 plan branches
+    val sh = shingles(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sh.count() // materialize once; feeds sizes + both join sides
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val joinable =
@@ -122,9 +126,11 @@ object Dedup {
     * anywhere: this is the shape that survives 100 TB. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val rows = MinhashFuncs / MinhashBands
-    val sig = signatures(spark, dir).cache()
+    val sig = signatures(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sig.count() // materialize once: the signature frame feeds three plan
-    // branches (bands + both join sides) and would recompute 3x otherwise
+    // branches (bands + both join sides) and would recompute 3x otherwise;
+    // disk spill keeps that guarantee when signatures outgrow memory
     val bandCols = (0 until MinhashBands).map { bi =>
       val parts = (bi * rows until (bi + 1) * rows).map(i => col(s"mh$i"))
       struct(lit(bi).as("band_idx"), md5(concat(parts: _*)).as("band_hash"))
@@ -166,18 +172,40 @@ object Dedup {
 
   val SimhashMaxHamming = 1 // 32-bit fingerprints on a shared-vocab corpus: hd<=1 keeps the true near-dups, hd>=2 is dominated by vocabulary collisions
 
-  /** SimHash near-dup pairs: fingerprint pairs within Hamming distance 1
-    * (of 32 bits). The pair join runs on the tiny fingerprint table — at
-    * scale candidates come from banding fingerprint prefixes, same shape
-    * as minhashLsh. */
+  /** SimHash near-dup pairs within Hamming distance `SimhashMaxHamming` via
+    * pigeonhole banding: split the 32-bit fingerprint into hd+1 bands —
+    * any pair at Hamming distance ≤ hd agrees EXACTLY on at least one band
+    * (pigeonhole principle, so candidate generation is lossless, unlike
+    * minhash-LSH). Candidates come from an equi join on (band_idx,
+    * band_bits) — shuffle on a uniform key, same 100 TB shape as
+    * minhashLsh; the exact Hamming distance is then verified per candidate.
+    * No nested-loop/cartesian anywhere (asserted in PlanSpec). */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val nBands = SimhashMaxHamming + 1
+    val bandLen = 32 / nBands // 32-bit fingerprint, hd<=1 → two 16-bit halves
     val fp = simhash(spark, dir)
-    val a = fp.select(col("doc_id").as("a_id"), col("sh").as("sha"))
-    val b = fp.select(col("doc_id").as("b_id"), col("sh").as("shb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    fp.count() // materialize once: feeds both sides of the band join
+    val bandCols = (0 until nBands).map { bi =>
+      struct(lit(bi).as("band_idx"),
+        substring(col("sh"), bi * bandLen + 1, bandLen).as("band_bits"))
+    }
+    val bands = fp.select(col("doc_id"), col("sh"),
+        explode(array(bandCols: _*)).as("bd"))
+      .select(col("doc_id"), col("sh"),
+        col("bd.band_idx").as("band_idx"), col("bd.band_bits").as("band_bits"))
+    val x = bands.select(col("doc_id").as("a_id"), col("sh").as("sha"),
+      col("band_idx"), col("band_bits"))
+    val y = bands.select(col("doc_id").as("b_id"), col("sh").as("shb"),
+      col("band_idx"), col("band_bits"))
+    val cand = x.join(y, Seq("band_idx", "band_bits"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "sha", "shb")
+      .dropDuplicates("a_id", "b_id")
     val hamming = (1 to 32).map(j =>
       when(expr(s"substr(sha, $j, 1)") =!= expr(s"substr(shb, $j, 1)"), 1).otherwise(0))
       .reduce(_ + _)
-    a.join(b, col("a_id") < col("b_id"))
+    cand
       .withColumn("hd", hamming.cast("long"))
       .filter(col("hd") <= SimhashMaxHamming)
       .orderBy("a_id", "b_id")
@@ -186,7 +214,9 @@ object Dedup {
 
   /** Embedding near-dup pairs: cosine ≥ 0.45 (vectors are L2-normalized so
     * cosine = dot). Brute-force pair join as the exact oracle; the scale
-    * path is Similarity.lshBuckets (sign-random-projection buckets). */
+    * path buckets vectors first (sign-random-projection tables as in
+    * Similarity.lshTopK, or IVF cells as in Similarity.ivfTopK) and runs
+    * this exact verify only within buckets. */
   def embeddingCosine(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))

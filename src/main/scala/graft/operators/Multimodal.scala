@@ -73,16 +73,11 @@ object Multimodal {
   def meta(spark: SparkSession, dir: String): DataFrame =
     binaryAssets(spark, dir).toDF()
       .select(col("doc_id"), col("n_bytes"),
-        ascii(substring(col("text").cast("string"), 1, 1)).cast("long").as("first_byte"))
+        ascii(substring(col("content").cast("string"), 1, 1)).cast("long").as("first_byte"))
       .orderBy("doc_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm_meta" -> ((s: SparkSession, d: String) =>
-      binaryAssets(s, d).toDF()
-        .withColumn("first_byte",
-          ascii(substring(col("content").cast("string"), 1, 1)).cast("long"))
-        .select("doc_id", "n_bytes", "first_byte")
-        .orderBy("doc_id")),
+    "mm_meta" -> meta _,
     "mm_features" -> ((s: SparkSession, d: String) =>
       decodeFeatures(s, d).toDF().orderBy("doc_id")), // no oracle: stub decode, checked in MultimodalSpec
   )

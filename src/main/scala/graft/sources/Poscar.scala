@@ -31,9 +31,15 @@ object Poscar {
     val lines = text.linesIterator.map(_.trim).filter(_.nonEmpty).toArray
     require(lines.length >= 8, "POSCAR too short")
     val comment = lines(0)
-    val scale = lines(1).toDouble
-    val lattice = (2 to 4).map(i =>
-      lines(i).split("\\s+").take(3).map(_.toDouble * scale)).toArray
+    val rawScale = lines(1).toDouble
+    val lat0 = (2 to 4).map(i =>
+      lines(i).split("\\s+").take(3).map(_.toDouble)).toArray
+    // VASP semantics: a negative "scale" is a target cell VOLUME — the
+    // factor is (|scale| / det)^(1/3) of the unscaled lattice
+    val scale =
+      if (rawScale >= 0) rawScale
+      else math.cbrt(-rawScale / math.abs(graft.materials.Geometry.det3(lat0)))
+    val lattice = lat0.map(_.map(_ * scale))
     val elements = lines(5).split("\\s+")
     require(elements.forall(e => e.nonEmpty && e.head.isLetter),
       "POSCAR without element-symbols line (VASP 4 format) is not supported")
@@ -44,8 +50,12 @@ object Poscar {
       lines(idx).toLowerCase.startsWith("k")
     idx += 1
     val n = counts.sum
-    val coords = (idx until idx + n).map(i =>
-      lines(i).split("\\s+").take(3).map(_.toDouble)).toArray
+    // Cartesian coordinates are in the same scaled frame as the lattice —
+    // multiply by the universal scale factor (Direct coords are unitless)
+    val coords = (idx until idx + n).map { i =>
+      val c = lines(i).split("\\s+").take(3).map(_.toDouble)
+      if (cartesian) c.map(_ * scale) else c
+    }.toArray
     PoscarStructure(comment, lattice, elements, counts, cartesian, coords)
   }
 

@@ -29,7 +29,9 @@ class MlSpec extends SparkSpec {
     val cu = ElementData.bySymbol("Cu")
     assert(cu.valD == 10 && cu.valS == 1 && cu.group == 11)
     val pd = ElementData.bySymbol("Pd")
-    assert(pd.valD == 10 && pd.valS == 0 && pd.group == 10)
+    // row from the noble-gas core: Pd (4d10 5s0 exception) is period 5
+    // even with no occupied n=5 orbital
+    assert(pd.valD == 10 && pd.valS == 0 && pd.group == 10 && pd.row == 5)
     val ba = ElementData.bySymbol("Ba")
     assert(ba.valS == 2 && ba.group == 2 && ba.block == "s")
     // all 51 corpus elements present

@@ -16,8 +16,10 @@ class ExtensionsSpec extends SparkSpec {
       .select("q_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & approx).size.toDouble / exact.size
     assert(exact.nonEmpty)
-    // sign-LSH with 4 tables x 8 bits on 64-dim unit vectors; random-ish
-    // corpus so neighbors are weak — demand a meaningful fraction, not magic
+    // sign-LSH with Similarity.LshTables tables x LshBits bits (8 x 6) on
+    // 64-dim unit vectors, multi-probe over 1-bit-flip neighbor buckets;
+    // random-ish corpus so neighbors are weak — demand a meaningful
+    // fraction, not magic
     assert(recall >= 0.3, s"recall=$recall")
   }
 

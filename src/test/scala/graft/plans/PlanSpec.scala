@@ -58,6 +58,14 @@ class PlanSpec extends AnyFunSuite {
       s"quadratic join shape:\n$plan")
   }
 
+  test("simhash pairs: pigeonhole banding is an equi join, not a nested loop") {
+    val df = graft.operators.Dedup.simhashPairs(spark, sf)
+    df.collect() // finalize the adaptive plan
+    val plan = planOf(df)
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"quadratic pair join shape:\n$plan")
+  }
+
   test("native dot product is bit-identical to zip_with+aggregate") {
     val e = Tables.embeddings(spark, sf)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))

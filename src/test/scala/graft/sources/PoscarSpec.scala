@@ -63,6 +63,44 @@ class PoscarSpec extends SparkSpec {
     assert(row.getSeq[String](row.fieldIndex("elems")) == Seq("Mg"))
   }
 
+  test("poscar: cartesian coords are multiplied by the scale factor") {
+    // a=4 box under scale 2.0 → 8 Å box; cartesian (2,2,2) also scales
+    // to (4,4,4) → frac (.5,.5,.5). Unscaled coords would give .25.
+    val cart =
+      """cubic
+        |2.0
+        |4.0 0.0 0.0
+        |0.0 4.0 0.0
+        |0.0 0.0 4.0
+        |Mg
+        |1
+        |Cartesian
+        |2.0 2.0 2.0
+        |""".stripMargin
+    val p = Poscar.parse(cart)
+    assert(math.abs(p.lattice(0)(0) - 8.0) < 1e-12)
+    assert(math.abs(p.coords(0)(0) - 4.0) < 1e-12)
+    val frac = Poscar.toFractional(p)
+    assert(frac(0).forall(v => math.abs(v - 0.5) < 1e-12))
+  }
+
+  test("poscar: negative scale is a target cell volume") {
+    // |det| of the raw lattice is 64 Å³; scale -512 → factor (512/64)^(1/3)=2
+    val cart =
+      """cubic
+        |-512.0
+        |4.0 0.0 0.0
+        |0.0 4.0 0.0
+        |0.0 0.0 4.0
+        |Mg
+        |1
+        |Direct
+        |0.5 0.5 0.5
+        |""".stripMargin
+    val p = Poscar.parse(cart)
+    assert(math.abs(p.lattice(0)(0) - 8.0) < 1e-9)
+  }
+
   test("poscar: selective dynamics line is skipped") {
     val sel = poscar.replace("Direct\n", "Selective dynamics\nDirect\n")
     assert(Poscar.parse(sel).nsites == 9)
