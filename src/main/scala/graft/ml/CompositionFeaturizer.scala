@@ -61,6 +61,13 @@ object CompositionFeaturizer {
     val (m, a) = apeDeviations(comp); Array(m, a)
   }
 
+  /** C8: rigid-band HOMO/LUMO energies + gap_AO (AtomicOrbitals). */
+  private val bandEdgesUdf = udf { (comp: Map[String, Double]) =>
+    AtomicOrbitals.bandEdges(comp)
+      .map(be => Array(be.homoEnergy, be.lumoEnergy, be.gap))
+      .getOrElse(Array(0.0, 0.0, 0.0))
+  }
+
   /** Ordered feature column names produced by featurize(). */
   val featureColumns: Seq[String] = {
     val propStats = for {
@@ -69,7 +76,8 @@ object CompositionFeaturizer {
     } yield s"f_${p}_$s"
     propStats ++ Seq(
       "f_frac_tm", "f_band_center", "f_avg_ionic_char", "f_max_ionic_char",
-      "f_norm2", "f_norm3", "f_norm5", "f_norm7", "f_nelements") ++ oxiColumns
+      "f_norm2", "f_norm3", "f_norm5", "f_norm7", "f_nelements",
+      "f_homo_energy", "f_lumo_energy", "f_gap_ao") ++ oxiColumns
   }
 
   /** Broadcast-able element property frame. */
@@ -168,9 +176,13 @@ object CompositionFeaturizer {
       .withColumn("f_norm5", pow(col("_s5"), 1.0 / 5))
       .withColumn("f_norm7", pow(col("_s7"), 1.0 / 7))
       .drop("_pairs", "_s2", "_s3", "_s5", "_s7")
-    val ape = df.select(col(idCol), apeUdf(col(compCol)).as("_ape"))
+    val ape = df.select(col(idCol), apeUdf(col(compCol)).as("_ape"),
+        bandEdgesUdf(col(compCol)).as("_be"))
       .select(col(idCol), col("_ape").getItem(0).as("f_ape_mean"),
-        col("_ape").getItem(1).as("f_ape_absdev"))
+        col("_ape").getItem(1).as("f_ape_absdev"),
+        col("_be").getItem(0).as("f_homo_energy"),
+        col("_be").getItem(1).as("f_lumo_energy"),
+        col("_be").getItem(2).as("f_gap_ao"))
     main.join(oxiFeatures(df, idCol, compCol), Seq(idCol)).join(ape, Seq(idCol))
   }
 }

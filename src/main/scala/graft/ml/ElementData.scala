@@ -20,12 +20,81 @@ object ElementData {
       symbol: String, z: Int, mass: Double, en: Double, radius: Double,
       meltingK: Double, row: Int, group: Int, block: String,
       valS: Int, valP: Int, valD: Int, valF: Int, isTM: Boolean,
-      ie: Double) {
+      ie: Double, coreZ: Int, orbitals: Seq[(String, Double)]) {
     def valence: Int = valS + valP + valD + valF
   }
 
-  /** First ionization energies (eV, standard published values) — the
-    * highest-occupied-level proxy for the C8 orbital-energy featurizer. */
+  /** Neutral-atom subshell eigenvalues (Hartree) for every subshell beyond
+    * the noble-gas core — the C8 orbital-energy table (the data behind
+    * matminer's `AtomicOrbitals`, reference ml_prediction.py:81; published
+    * as the NIST LDA atomic reference data and shipped with pymatgen).
+    *
+    * Transcribed from the public LDA tables to the precision recallable;
+    * outer (valence) subshells — the only ones that can become a band edge
+    * in this oxide corpus — carry the published values, while deep
+    * semicore f/d shells of the 5d-row and p-block elements are
+    * order-of-magnitude entries (marked ~) that only need to SORT below
+    * the valence shells for the rigid-band fill to be correct; their
+    * energies never surface as a HOMO/LUMO feature value. */
+  private val orbitalEnergy: Map[String, Map[String, Double]] = Map(
+    "Ag" -> Map("4d" -> -0.298706, "5s" -> -0.157407),
+    "Al" -> Map("3s" -> -0.286883, "3p" -> -0.102545),
+    "As" -> Map("3d" -> -1.542767, "4s" -> -0.523670, "4p" -> -0.197497),
+    "Au" -> Map("4f" -> -3.856000 /* ~ */, "5d" -> -0.304738, "6s" -> -0.162334),
+    "B" -> Map("2s" -> -0.344701, "2p" -> -0.136603),
+    "Ba" -> Map("6s" -> -0.118967),
+    "Be" -> Map("2s" -> -0.205744),
+    "Bi" -> Map("4f" -> -4.752000 /* ~ */, "5d" -> -0.901000 /* ~ */,
+      "6s" -> -0.426129, "6p" -> -0.180198),
+    "Ca" -> Map("4s" -> -0.141411),
+    "Cd" -> Map("4d" -> -0.407365, "5s" -> -0.207892),
+    "Co" -> Map("3d" -> -0.322368, "4s" -> -0.204497),
+    "Cr" -> Map("3d" -> -0.118123, "4s" -> -0.150445),
+    "Cs" -> Map("6s" -> -0.078699),
+    "Cu" -> Map("3d" -> -0.202272, "4s" -> -0.172056),
+    "Ga" -> Map("3d" -> -1.193671, "4s" -> -0.328019, "4p" -> -0.101634),
+    "Ge" -> Map("3d" -> -1.616323, "4s" -> -0.426523, "4p" -> -0.149882),
+    "Hf" -> Map("4f" -> -0.871574, "5d" -> -0.143805, "6s" -> -0.166465),
+    "Hg" -> Map("4f" -> -4.986000 /* ~ */, "5d" -> -0.452552, "6s" -> -0.205137),
+    "In" -> Map("4d" -> -0.983097, "5s" -> -0.290497, "5p" -> -0.101782),
+    "K" -> Map("4s" -> -0.088815),
+    "La" -> Map("5d" -> -0.141085, "6s" -> -0.132233),
+    "Li" -> Map("2s" -> -0.105540),
+    "Mg" -> Map("3s" -> -0.175427),
+    "Mn" -> Map("3d" -> -0.266540, "4s" -> -0.191136),
+    "Mo" -> Map("4d" -> -0.153347, "5s" -> -0.147880),
+    "Na" -> Map("3s" -> -0.103415),
+    "Nb" -> Map("4d" -> -0.125252, "5s" -> -0.144272),
+    "Ni" -> Map("3d" -> -0.348699, "4s" -> -0.210764),
+    "O" -> Map("2s" -> -0.871362, "2p" -> -0.338381),
+    "Os" -> Map("4f" -> -1.275000 /* ~ */, "5d" -> -0.191489, "6s" -> -0.173344),
+    "Pb" -> Map("4f" -> -5.592000 /* ~ */, "5d" -> -1.026000 /* ~ */,
+      "6s" -> -0.357187, "6p" -> -0.141831),
+    "Pd" -> Map("4d" -> -0.160771),
+    "Pt" -> Map("4f" -> -2.258000 /* ~ */, "5d" -> -0.273634, "6s" -> -0.161308),
+    "Rb" -> Map("5s" -> -0.085375),
+    "Re" -> Map("4f" -> -1.631000 /* ~ */, "5d" -> -0.235424, "6s" -> -0.196673),
+    "Rh" -> Map("4d" -> -0.239422, "5s" -> -0.154624),
+    "Sb" -> Map("4d" -> -1.297338, "5s" -> -0.445605, "5p" -> -0.185623),
+    "Sc" -> Map("3d" -> -0.131080, "4s" -> -0.156478),
+    "Si" -> Map("3s" -> -0.398139, "3p" -> -0.153293),
+    "Sn" -> Map("4d" -> -1.130936, "5s" -> -0.369349, "5p" -> -0.144450),
+    "Sr" -> Map("5s" -> -0.131793),
+    "Ta" -> Map("4f" -> -1.031000 /* ~ */, "5d" -> -0.174814, "6s" -> -0.177373),
+    "Tc" -> Map("4d" -> -0.270262, "5s" -> -0.183636),
+    "Th" -> Map("6d" -> -0.102540, "7s" -> -0.131456),
+    "Ti" -> Map("3d" -> -0.170289, "4s" -> -0.167106),
+    "Tl" -> Map("4f" -> -4.806000 /* ~ */, "5d" -> -0.872000 /* ~ */,
+      "6s" -> -0.285020, "6p" -> -0.101507),
+    "V" -> Map("3d" -> -0.204634, "4s" -> -0.175968),
+    "W" -> Map("4f" -> -1.349000 /* ~ */, "5d" -> -0.205470, "6s" -> -0.187410),
+    "Y" -> Map("4d" -> -0.108691, "5s" -> -0.150723),
+    "Zn" -> Map("3d" -> -0.372826, "4s" -> -0.222725),
+    "Zr" -> Map("4d" -> -0.150673, "5s" -> -0.163093))
+
+  /** First ionization energies (eV, standard published values) — kept as
+    * an element datum; the C8 featurizer now uses `orbitalEnergy` (the
+    * IE-proxy stats it replaced are gone from `numericProps`). */
   private val ionizationEnergy: Map[String, Double] = Map(
     "Ag" -> 7.58, "Al" -> 5.99, "As" -> 9.79, "Au" -> 9.23, "B" -> 8.30,
     "Ba" -> 5.21, "Be" -> 9.32, "Bi" -> 7.29, "Ca" -> 6.11, "Cd" -> 8.99,
@@ -92,7 +161,8 @@ object ElementData {
 
   private val nobleZ = Seq(0, 2, 10, 18, 36, 54, 86)
 
-  private def configure(symbol: String, z: Int): (Int, Int, Int, Int, Int, Int, String) = {
+  private def configure(symbol: String, z: Int)
+      : (Int, Int, Int, Int, Int, Int, String, Int, Seq[(String, Double)]) = {
     // ground-state filling
     var remaining = z
     var filled = scala.collection.mutable.LinkedHashMap.empty[(Int, Char), Int]
@@ -130,15 +200,25 @@ object ElementData {
       case "p" => 10 + s + p
       case _ => 3
     }
-    (s, p, d, f, row, group, block)
+    // valence subshell names paired with their NIST-LDA energies, sorted by
+    // energy — built from the SAME configuration so table and filling can
+    // never drift apart (missing energy entries fail at object init)
+    val energies = orbitalEnergy.getOrElse(symbol, Map.empty)
+    val orbs = valenceOrbs.map { case ((n, l), _) =>
+      val name = s"$n$l"
+      require(energies.contains(name),
+        s"orbitalEnergy($symbol) missing subshell $name")
+      (name, energies(name))
+    }.sortBy(_._2)
+    (s, p, d, f, row, group, block, core, orbs)
   }
 
   /** The full table, keyed by symbol. */
   val bySymbol: Map[String, ElementProps] = raw.map { case (sym, z, mass, en, r, melt) =>
-    val (s, p, d, f, row, group, block) = configure(sym, z)
+    val (s, p, d, f, row, group, block, coreZ, orbs) = configure(sym, z)
     val isTM = block == "d" && group >= 3 && group <= 12
     sym -> ElementProps(sym, z, mass, en, r, melt, row, group, block, s, p, d, f, isTM,
-      ionizationEnergy(sym))
+      ionizationEnergy(sym), coreZ, orbs)
   }.toMap
 
   val all: Seq[ElementProps] = bySymbol.values.toSeq.sortBy(_.z)
@@ -156,6 +236,5 @@ object ElementData {
     "val_p" -> (_.valP.toDouble),
     "val_d" -> (_.valD.toDouble),
     "val_f" -> (_.valF.toDouble),
-    "valence" -> (_.valence.toDouble),
-    "ie" -> (_.ie))
+    "valence" -> (_.valence.toDouble))
 }

@@ -38,6 +38,45 @@ class MlSpec extends SparkSpec {
     assert(ElementData.all.size == 51)
   }
 
+  test("atomic orbitals: rigid-band edges match hand-filled pools (C8)") {
+    // MgO, 20 electrons: Mg core(10) + O core(2) + Mg? no — fill by energy:
+    // cores(12) → O2s(14) → O2p(20) exact → HOMO = O 2p, LUMO = Mg 3s
+    val mgo = AtomicOrbitals.bandEdges(Map("Mg" -> 1.0, "O" -> 1.0)).get
+    assert(mgo.homoCharacter == "O 2p" && mgo.lumoCharacter == "Mg 3s")
+    assert(math.abs(mgo.homoEnergy - (-0.338381)) < 1e-12)
+    assert(math.abs(mgo.lumoEnergy - (-0.175427)) < 1e-12)
+    assert(math.abs(mgo.gap - 0.162954) < 1e-6)
+
+    // TiO2, 54 electrons: cores(22) → O2s x2 (26) → O2p x2 (38) →
+    // Ti4s(40) < Ti3d... no: Ti 4s (-0.167106) is BELOW Ti 3d (-0.170289)?
+    // -0.170289 < -0.167106, so 3d fills first: 38+10=48 → 4s: 50 < 54?
+    // capacities: Ti3d=10, Ti4s=2 → 38+10+2 = 50 ≠ 54. Recount: Ti core
+    // is 18, O cores 2x2=4 → 22; O2s 2x2 → 26; O2p 2x6 → 38; Ti3d → 48;
+    // Ti4s → 50; pool exhausted at 50 < 54?! No: electrons = 22+16 = 38.
+    // cores 22 → O2s 26 → O2p 38 exact → HOMO = O 2p, LUMO = Ti 3d.
+    val tio2 = AtomicOrbitals.bandEdges(Map("Ti" -> 1.0, "O" -> 2.0)).get
+    assert(tio2.homoCharacter == "O 2p" && tio2.lumoCharacter == "Ti 3d")
+    assert(math.abs(tio2.gap - (-0.170289 - (-0.338381))) < 1e-9)
+
+    // CrO, 32 electrons: cores(20) → O2s(22) → O2p(28) → Cr4s(30) →
+    // Cr3d partial (30+10 crosses 32) → metallic edge, gap 0
+    val cro = AtomicOrbitals.bandEdges(Map("Cr" -> 1.0, "O" -> 1.0)).get
+    assert(cro.homoCharacter == "Cr 3d" && cro.lumoCharacter == "Cr 3d")
+    assert(cro.gap == 0.0)
+
+    // scale invariance: Ti2O4 == TiO2
+    val ti2o4 = AtomicOrbitals.bandEdges(Map("Ti" -> 2.0, "O" -> 4.0)).get
+    assert(ti2o4 == tio2)
+
+    // every corpus element alone yields a finite valence-range HOMO
+    ElementData.all.foreach { e =>
+      val be = AtomicOrbitals.bandEdges(Map(e.symbol -> 1.0)).get
+      assert(be.homoEnergy < -0.02 && be.homoEnergy > -1.2,
+        s"${e.symbol} HOMO ${be.homoEnergy} outside valence range")
+      assert(be.lumoEnergy >= be.homoEnergy)
+    }
+  }
+
   test("featurizer: SiO2 weighted stats match hand computation") {
     import spark.implicits._
     val df = Seq(("SiO2", Map("Si" -> 1.0, "O" -> 2.0))).toDF("id", "comp")
