@@ -177,6 +177,65 @@ object Geometry {
     math.max(0.0, 1.0 - s / np * 4)
   }
 
+  /** Single-bond order parameter (CN_1): how much the nearest neighbor
+    * dominates the second — (d₂−d₁)/d₂, 1 for an isolated bonded pair,
+    * 0 when the two nearest neighbors are equidistant (C16 "sgl_bd"). */
+  def singleBondOrder(nbrDists: Seq[Double]): Double = {
+    val ds = nbrDists.sorted.take(2)
+    if (ds.isEmpty) 0.0
+    else if (ds.size == 1) 1.0
+    else (ds(1) - ds(0)) / ds(1)
+  }
+
+  /** Bent-motif order parameter over the 2 nearest neighbors with an
+    * ideal bond angle in degrees (C16 "bent 150 degrees CN_2"). Same
+    * squared-cosine-deviation scale as the other motif scores. */
+  def bentOrder(nbrVecs: Seq[Array[Double]], idealDeg: Double): Double = {
+    val vs = nbrVecs.take(2)
+    if (vs.size < 2) return 0.0
+    val cos = dotv(vs(0), vs(1)) / (norm(vs(0)) * norm(vs(1)))
+    val cosIdeal = math.cos(math.toRadians(idealDeg))
+    math.max(0.0, 1.0 - (cos - cosIdeal) * (cos - cosIdeal) * 4)
+  }
+
+  /** Pentagonal-planar order parameter over the 5 nearest neighbors: the
+    * ideal motif's pair angles are 72° (adjacent) and 144° (skip-one);
+    * each pair scores against the nearer ideal cosine (C16). */
+  def pentagonalPlanarOrder(nbrVecs: Seq[Array[Double]]): Double = {
+    val vs = nbrVecs.take(5)
+    if (vs.size < 5) return 0.0
+    val c72 = math.cos(math.toRadians(72)); val c144 = math.cos(math.toRadians(144))
+    var s = 0.0
+    var np = 0
+    for (j <- 0 until 5; k <- j + 1 until 5) {
+      val cos = dotv(vs(j), vs(k)) / (norm(vs(j)) * norm(vs(k)))
+      s += math.min((cos - c72) * (cos - c72), (cos - c144) * (cos - c144))
+      np += 1
+    }
+    math.max(0.0, 1.0 - s / np * 4)
+  }
+
+  /** Steinhardt bond-orientational order q₆ over the `cn` nearest
+    * neighbors (C16 "q6 CN_12"): by the spherical-harmonic addition
+    * theorem, q₆² = mean over ordered neighbor pairs (including self) of
+    * P₆(cosθ) — no explicit Y₆m needed. ~0.575 for fcc CN-12, →0 for
+    * random directions. */
+  def q6Order(nbrVecs: Seq[Array[Double]], cn: Int = 12): Double = {
+    val vs = nbrVecs.take(cn)
+    if (vs.size < 2) return 0.0
+    val n = vs.size
+    def p6(x: Double): Double = {
+      val x2 = x * x
+      (231 * x2 * x2 * x2 - 315 * x2 * x2 + 105 * x2 - 5) / 16
+    }
+    var s = 0.0
+    for (j <- 0 until n; k <- 0 until n) {
+      val cos = dotv(vs(j), vs(k)) / (norm(vs(j)) * norm(vs(k)))
+      s += p6(math.min(1.0, math.max(-1.0, cos)))
+    }
+    math.sqrt(math.max(0.0, s / (n.toDouble * n)))
+  }
+
   private def dotv(a: Array[Double], b: Array[Double]): Double =
     a(0) * b(0) + a(1) * b(1) + a(2) * b(2)
 

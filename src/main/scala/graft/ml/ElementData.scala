@@ -22,7 +22,99 @@ object ElementData {
       valS: Int, valP: Int, valD: Int, valF: Int, isTM: Boolean,
       ie: Double, coreZ: Int, orbitals: Seq[(String, Double)]) {
     def valence: Int = valS + valP + valD + valF
+    /** Unfilled slots of a PARTIALLY filled valence subshell (a full or
+      * empty subshell contributes 0) — the Magpie N*Unfilled convention. */
+    private def unfilledOf(n: Int, cap: Int): Int =
+      if (n > 0 && n < cap) cap - n else 0
+    def unfilledS: Int = unfilledOf(valS, 2)
+    def unfilledP: Int = unfilledOf(valP, 6)
+    def unfilledD: Int = unfilledOf(valD, 10)
+    def unfilledF: Int = unfilledOf(valF, 14)
+    def unfilled: Int = unfilledS + unfilledP + unfilledD + unfilledF
+    def mendeleev: Int = ElementData.mendeleevNumber(symbol)
+    /** Ground-state volume per atom (Å³) from the elemental density. */
+    def gsVolPa: Double = ElementData.gsVolumePa(symbol)
+    def gsMagmom: Double = ElementData.gsMagneticMoment.getOrElse(symbol, 0.0)
+    def sgNumber: Int = ElementData.groundStateSpaceGroup(symbol)
+    def thermalCond: Double = ElementData.thermalConductivity(symbol)
   }
+
+  /** Pettifor chemical-scale ("Mendeleev") numbers — the published 1984
+    * one-dimensional ordering of the elements (the scale Magpie's
+    * MendeleevNumber feature uses). Values for the 51 corpus elements;
+    * adjacent-transition-metal entries can differ by ±1 between published
+    * tabulations, which perturbs |Δmendeleev| site stats by ≤1. */
+  private val mendeleevNumber: Map[String, Int] = Map(
+    "Cs" -> 8, "Rb" -> 9, "K" -> 10, "Na" -> 11, "Li" -> 12,
+    "Ba" -> 14, "Sr" -> 15, "Ca" -> 16, "Sc" -> 19, "Y" -> 25, "La" -> 33,
+    "Th" -> 47, "Zr" -> 49, "Hf" -> 50, "Ti" -> 51, "Ta" -> 52, "Nb" -> 53,
+    "V" -> 54, "W" -> 55, "Mo" -> 56, "Cr" -> 57, "Re" -> 58, "Tc" -> 59,
+    "Mn" -> 60, "Os" -> 62, "Rh" -> 66, "Co" -> 64, "Ni" -> 67, "Pt" -> 68,
+    "Pd" -> 69, "Au" -> 70, "Ag" -> 71, "Cu" -> 72, "Mg" -> 73, "Hg" -> 74,
+    "Cd" -> 75, "Zn" -> 76, "Be" -> 77, "Tl" -> 78, "In" -> 79, "Al" -> 80,
+    "Ga" -> 81, "Pb" -> 82, "Sn" -> 83, "Ge" -> 84, "Si" -> 85, "B" -> 86,
+    "Bi" -> 87, "Sb" -> 88, "As" -> 89, "O" -> 101)
+
+  /** Elemental densities (g/cm³, standard published RT values; O is the
+    * DFT-ground-state molecular solid, entered as volume below). */
+  private val densityGcc: Map[String, Double] = Map(
+    "Ag" -> 10.49, "Al" -> 2.70, "As" -> 5.73, "Au" -> 19.30, "B" -> 2.34,
+    "Ba" -> 3.62, "Be" -> 1.85, "Bi" -> 9.78, "Ca" -> 1.55, "Cd" -> 8.65,
+    "Co" -> 8.90, "Cr" -> 7.19, "Cs" -> 1.93, "Cu" -> 8.96, "Ga" -> 5.91,
+    "Ge" -> 5.32, "Hf" -> 13.31, "Hg" -> 13.53, "In" -> 7.31, "K" -> 0.89,
+    "La" -> 6.15, "Li" -> 0.53, "Mg" -> 1.74, "Mn" -> 7.21, "Mo" -> 10.28,
+    "Na" -> 0.97, "Nb" -> 8.57, "Ni" -> 8.91, "Os" -> 22.59, "Pb" -> 11.34,
+    "Pd" -> 12.02, "Pt" -> 21.45, "Rb" -> 1.53, "Re" -> 21.02, "Rh" -> 12.41,
+    "Sb" -> 6.68, "Sc" -> 2.99, "Si" -> 2.33, "Sn" -> 5.77 /* α (gray) */,
+    "Sr" -> 2.64, "Ta" -> 16.69, "Tc" -> 11.0, "Th" -> 11.72, "Ti" -> 4.51,
+    "Tl" -> 11.85, "V" -> 6.11, "W" -> 19.25, "Y" -> 4.47, "Zn" -> 7.14,
+    "Zr" -> 6.52)
+
+  private val amuPerGcc = 1.66053906660 // amu/(g/cm³) → Å³
+
+  private def gsVolumePa(sym: String): Double =
+    if (sym == "O") 9.2 // molecular-solid DFT ground state, no bulk density
+    else bySymbol(sym).mass * amuPerGcc / densityGcc(sym)
+
+  /** DFT ground-state magnetic moments (μB/atom, approximate published
+    * values); zero for the non-magnetic majority. */
+  private val gsMagneticMoment: Map[String, Double] = Map(
+    "Cr" -> 1.54, "Mn" -> 2.0, "Co" -> 1.6, "Ni" -> 0.6, "O" -> 1.0)
+
+  /** Space-group number of the elemental ground-state crystal structure
+    * (standard published assignments). */
+  private val groundStateSpaceGroup: Map[String, Int] = Map(
+    // fcc (Fm-3m)
+    "Al" -> 225, "Ca" -> 225, "Sr" -> 225, "Ni" -> 225, "Cu" -> 225,
+    "Ag" -> 225, "Au" -> 225, "Pd" -> 225, "Pt" -> 225, "Rh" -> 225,
+    "Pb" -> 225, "Th" -> 225,
+    // bcc (Im-3m)
+    "Li" -> 229, "Na" -> 229, "K" -> 229, "Rb" -> 229, "Cs" -> 229,
+    "Ba" -> 229, "V" -> 229, "Nb" -> 229, "Ta" -> 229, "Cr" -> 229,
+    "Mo" -> 229, "W" -> 229,
+    // hcp / dhcp (P6₃/mmc)
+    "Be" -> 194, "Mg" -> 194, "Sc" -> 194, "Y" -> 194, "Ti" -> 194,
+    "Zr" -> 194, "Hf" -> 194, "Tc" -> 194, "Re" -> 194, "Os" -> 194,
+    "Co" -> 194, "Zn" -> 194, "Cd" -> 194, "Tl" -> 194, "La" -> 194,
+    // other ground states
+    "Si" -> 227, "Ge" -> 227, "Sn" -> 227 /* α */, "B" -> 166,
+    "Ga" -> 64, "In" -> 139, "As" -> 166, "Sb" -> 166, "Bi" -> 166,
+    "Hg" -> 166, "Mn" -> 217, "O" -> 12)
+
+  /** Thermal conductivities (W/(m·K), standard published RT values) —
+    * the PymatgenData thermal_conductivity element property. */
+  private val thermalConductivity: Map[String, Double] = Map[String, Double](
+    "Ag" -> 429, "Al" -> 237, "As" -> 50, "Au" -> 318, "B" -> 27,
+    "Ba" -> 18, "Be" -> 200, "Bi" -> 8, "Ca" -> 201, "Cd" -> 97,
+    "Co" -> 100, "Cr" -> 94, "Cs" -> 36, "Cu" -> 401, "Ga" -> 41,
+    "Ge" -> 60, "Hf" -> 23, "Hg" -> 8.3, "In" -> 82, "K" -> 102,
+    "La" -> 13, "Li" -> 85, "Mg" -> 156, "Mn" -> 7.8, "Mo" -> 138,
+    "Na" -> 142, "Nb" -> 54, "Ni" -> 91, "O" -> 0.027, "Os" -> 88,
+    "Pb" -> 35, "Pd" -> 72, "Pt" -> 72, "Rb" -> 58, "Re" -> 48,
+    "Rh" -> 150, "Sb" -> 24, "Sc" -> 16, "Si" -> 150, "Sn" -> 67,
+    "Sr" -> 35, "Ta" -> 57, "Tc" -> 51, "Th" -> 54, "Ti" -> 22,
+    "Tl" -> 46, "V" -> 31, "W" -> 173, "Y" -> 17, "Zn" -> 116,
+    "Zr" -> 23)
 
   /** Neutral-atom subshell eigenvalues (Hartree) for every subshell beyond
     * the noble-gas core — the C8 orbital-energy table (the data behind
@@ -236,5 +328,12 @@ object ElementData {
     "val_p" -> (_.valP.toDouble),
     "val_d" -> (_.valD.toDouble),
     "val_f" -> (_.valF.toDouble),
-    "valence" -> (_.valence.toDouble))
+    "valence" -> (_.valence.toDouble),
+    // Magpie-style additions (C19 ward-preset / PymatgenData props)
+    "mendeleev" -> (_.mendeleev.toDouble),
+    "unfilled" -> (_.unfilled.toDouble),
+    "gs_vol" -> (_.gsVolPa),
+    "gs_magmom" -> (_.gsMagmom),
+    "sg_num" -> (_.sgNumber.toDouble),
+    "thermal_cond" -> (_.thermalCond))
 }

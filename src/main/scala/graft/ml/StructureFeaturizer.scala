@@ -19,18 +19,31 @@ import graft.materials.Geometry.Lattice
 object StructureFeaturizer {
 
   /** Per-site kernel output. Voronoi-derived fields (SURVEY §2.C C14/C15/
-    * C19): cell volume, face-area stats, face-area-weighted bond-length
-    * variation, and face-area-weighted |Δproperty| to neighbors (the
-    * LocalPropertyDifference calculus) for EN / radius / mass. */
+    * C19): cell volume, face area/distance/pyramid-volume stats,
+    * symmetry-weighted indices (solid-angle-weighted fraction of n-edged
+    * faces, n = 3..6 — matminer's Symmetry_weighted_index_n with
+    * use_symm_weights=True, reference ml_prediction.py:249-254), face-
+    * area-weighted bond-length variation, and face-area-weighted
+    * |Δproperty| to neighbors (LocalPropertyDifference, ward-prb-2017
+    * preset property list, reference ml_prediction.py:213-219, 257-275). */
   final case class SiteFeatures(
       min_dist: Double, min_rel_dist: Double, nbr_dist_var: Double,
       g2_a: Double, g2_b: Double, g2_c: Double, ewald: Double,
       voro_vol: Double, voro_nfaces: Double, voro_area_mean: Double,
-      voro_area_std: Double, voro_bond_var: Double,
+      voro_area_std: Double, voro_area_min: Double, voro_area_max: Double,
+      voro_dist_mean: Double, voro_dist_std: Double,
+      voro_dist_min: Double, voro_dist_max: Double,
+      voro_subvol_max: Double, voro_bond_var: Double,
+      symm_wt3: Double, symm_wt4: Double, symm_wt5: Double, symm_wt6: Double,
       lpd_en: Double, lpd_radius: Double, lpd_mass: Double,
       lpd_valence: Double, lpd_group: Double, lpd_row: Double,
+      lpd_z: Double, lpd_mendeleev: Double, lpd_melting: Double,
+      lpd_nd_valence: Double, lpd_n_unfilled: Double,
+      lpd_ns_unfilled: Double, lpd_nd_unfilled: Double,
+      lpd_gs_vol: Double, lpd_gs_magmom: Double, lpd_sg_num: Double,
       op_tet: Double, op_oct: Double, op_lin: Double,
       op_tri: Double, op_sqp: Double,
+      op_sgl: Double, op_bent150: Double, op_pent: Double, op_q6: Double,
       g4_pos: Double, g4_neg: Double)
 
   final case class StructIn(
@@ -95,6 +108,23 @@ object StructureFeaturizer {
         if (areas.size > 1)
           math.sqrt(areas.map(a => (a - areaMean) * (a - areaMean)).sum / areas.size)
         else 0.0
+      // face-distance stats (matminer Voro_dist_*; face dist = d_nbr/2)
+      val fdists = cell.faces.map(_.dist)
+      val distMean = if (fdists.nonEmpty) fdists.sum / fdists.size else 0.0
+      val distStd =
+        if (fdists.size > 1)
+          math.sqrt(fdists.map(d => (d - distMean) * (d - distMean)).sum / fdists.size)
+        else 0.0
+      // largest face-pyramid sub-volume (matminer Voro_vol_maximum)
+      val subvolMax = cell.faces.map(f => f.area * f.dist / 3).maxOption.getOrElse(0.0)
+      // symmetry-weighted indices: fraction of the total solid angle
+      // subtended by n-edged faces (solid angle of a face pyramid ∝
+      // area/dist² — exact enough for a weight; n-gonal faces mark
+      // n-fold local symmetry)
+      val solidW = cell.faces.map(f => f.area / (f.dist * f.dist).max(1e-12))
+      val solidSum = solidW.sum.max(1e-12)
+      def symmWt(n: Int): Double =
+        cell.faces.zip(solidW).collect { case (f, w) if f.nVerts == n => w }.sum / solidSum
       // face-area-weighted bond lengths (face dist*2 = neighbor distance)
       val wBond = cell.faces.map(f => f.area * 2 * f.dist).sum / areaSum
       val bondVar =
@@ -140,13 +170,27 @@ object StructureFeaturizer {
         jj += 1
       }
       SiteFeatures(minD, minRel, varD, g2(0), g2(1), g2(2), ewald(i),
-        cell.volume, cell.faces.size.toDouble, areaMean, areaStd, bondVar,
+        cell.volume, cell.faces.size.toDouble, areaMean, areaStd,
+        areas.minOption.getOrElse(0.0), areas.maxOption.getOrElse(0.0),
+        distMean, distStd,
+        fdists.minOption.getOrElse(0.0), fdists.maxOption.getOrElse(0.0),
+        subvolMax, bondVar,
+        symmWt(3), symmWt(4), symmWt(5), symmWt(6),
         lpd(j => ens(j)), lpd(j => radii(j)), lpd(j => masses(j)),
         lpd(j => props(j).valence.toDouble), lpd(j => props(j).group.toDouble),
         lpd(j => props(j).row.toDouble),
+        lpd(j => props(j).z.toDouble), lpd(j => props(j).mendeleev.toDouble),
+        lpd(j => props(j).meltingK),
+        lpd(j => props(j).valD.toDouble), lpd(j => props(j).unfilled.toDouble),
+        lpd(j => props(j).unfilledS.toDouble), lpd(j => props(j).unfilledD.toDouble),
+        lpd(j => props(j).gsVolPa), lpd(j => props(j).gsMagmom),
+        lpd(j => props(j).sgNumber.toDouble),
         Geometry.tetrahedralOrder(sortedVecs), Geometry.octahedralOrder(sortedVecs),
         opLin, Geometry.trigonalPlanarOrder(sortedVecs),
-        Geometry.squarePlanarOrder(sortedVecs), g4p, g4n)
+        Geometry.squarePlanarOrder(sortedVecs),
+        Geometry.singleBondOrder(dists), Geometry.bentOrder(sortedVecs, 150.0),
+        Geometry.pentagonalPlanarOrder(sortedVecs), Geometry.q6Order(sortedVecs),
+        g4p, g4n)
     }
 
     val amuToG = 1.66053906660e-24
@@ -167,9 +211,16 @@ object StructureFeaturizer {
   /** Per-site fields reduced with the §2.D calculus. */
   val siteFields: Seq[String] = Seq(
     "min_dist", "min_rel_dist", "nbr_dist_var", "g2_a", "g2_b", "g2_c", "ewald",
-    "voro_vol", "voro_nfaces", "voro_area_mean", "voro_area_std", "voro_bond_var",
+    "voro_vol", "voro_nfaces", "voro_area_mean", "voro_area_std",
+    "voro_area_min", "voro_area_max", "voro_dist_mean", "voro_dist_std",
+    "voro_dist_min", "voro_dist_max", "voro_subvol_max", "voro_bond_var",
+    "symm_wt3", "symm_wt4", "symm_wt5", "symm_wt6",
     "lpd_en", "lpd_radius", "lpd_mass", "lpd_valence", "lpd_group", "lpd_row",
-    "op_tet", "op_oct", "op_lin", "op_tri", "op_sqp", "g4_pos", "g4_neg")
+    "lpd_z", "lpd_mendeleev", "lpd_melting", "lpd_nd_valence", "lpd_n_unfilled",
+    "lpd_ns_unfilled", "lpd_nd_unfilled", "lpd_gs_vol", "lpd_gs_magmom",
+    "lpd_sg_num",
+    "op_tet", "op_oct", "op_lin", "op_tri", "op_sqp",
+    "op_sgl", "op_bent150", "op_pent", "op_q6", "g4_pos", "g4_neg")
 
   /** Ordered structural feature columns. */
   val featureColumns: Seq[String] = {

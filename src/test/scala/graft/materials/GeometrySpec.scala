@@ -116,6 +116,38 @@ class GeometrySpec extends AnyFunSuite {
     val sqp = Seq(Array(1.0, 0, 0), Array(-1.0, 0, 0), Array(0, 1.0, 0), Array(0, -1.0, 0))
     assert(math.abs(squarePlanarOrder(sqp) - 1.0) < 1e-12)
     assert(squarePlanarOrder(tet) < 0.8)
+    // pentagonal planar: five 72°-spaced vectors in a plane
+    val pent = (0 until 5).map(i => Array(
+      math.cos(2 * math.Pi * i / 5), math.sin(2 * math.Pi * i / 5), 0.0)).toSeq
+    assert(math.abs(pentagonalPlanarOrder(pent) - 1.0) < 1e-12)
+    assert(pentagonalPlanarOrder(oct.take(5)) < 0.9)
+    // bent 150°: exact at the ideal angle, lower at 90°
+    val c150 = math.toRadians(150)
+    val bent = Seq(Array(1.0, 0, 0), Array(math.cos(c150), math.sin(c150), 0))
+    assert(math.abs(bentOrder(bent, 150.0) - 1.0) < 1e-12)
+    assert(bentOrder(sqp.take(2), 150.0) < bentOrder(bent, 150.0))
+    // single bond: dominant nearest neighbor → 1, equidistant pair → 0
+    assert(singleBondOrder(Seq(2.0)) == 1.0)
+    assert(math.abs(singleBondOrder(Seq(1.0, 4.0)) - 0.75) < 1e-12)
+    assert(singleBondOrder(Seq(2.0, 2.0)) == 0.0)
+  }
+
+  test("q6: fcc CN-12 shell matches the published Steinhardt value") {
+    // 12 fcc nearest neighbors: permutations of (±1, ±1, 0)/√2
+    val fcc12 = (for {
+      (i, j) <- Seq((0, 1), (0, 2), (1, 2))
+      si <- Seq(1.0, -1.0); sj <- Seq(1.0, -1.0)
+    } yield {
+      val v = Array(0.0, 0.0, 0.0); v(i) = si / math.sqrt(2); v(j) = sj / math.sqrt(2); v
+    }).toSeq
+    assert(fcc12.size == 12)
+    // published Steinhardt reference value: q6(fcc) ≈ 0.57452
+    assert(math.abs(q6Order(fcc12) - 0.57452) < 5e-4, s"q6=${q6Order(fcc12)}")
+    // simple-cubic octahedral shell: q6(sc) ≈ 0.35355 (published)
+    val oct = Seq(
+      Array(1.0, 0, 0), Array(-1.0, 0, 0), Array(0, 1.0, 0),
+      Array(0, -1.0, 0), Array(0, 0, 1.0), Array(0, 0, -1.0))
+    assert(math.abs(q6Order(oct, 6) - 0.35355) < 5e-3, s"q6=${q6Order(oct, 6)}")
   }
 
   test("lattice plane spacings bound the cutoff sphere correctly") {
