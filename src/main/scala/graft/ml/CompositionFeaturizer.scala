@@ -77,7 +77,10 @@ object CompositionFeaturizer {
     propStats ++ Seq(
       "f_frac_tm", "f_band_center", "f_avg_ionic_char", "f_max_ionic_char",
       "f_norm2", "f_norm3", "f_norm5", "f_norm7", "f_nelements",
-      "f_homo_energy", "f_lumo_energy", "f_gap_ao") ++ oxiColumns
+      "f_homo_energy", "f_lumo_energy", "f_gap_ao",
+      // ValenceOrbital "frac ℓ valence electrons": avg ℓ-electrons over
+      // avg total valence electrons
+      "f_frac_val_s", "f_frac_val_p", "f_frac_val_d") ++ oxiColumns
   }
 
   /** Broadcast-able element property frame. */
@@ -175,7 +178,12 @@ object CompositionFeaturizer {
       .withColumn("f_norm3", pow(col("_s3"), 1.0 / 3))
       .withColumn("f_norm5", pow(col("_s5"), 1.0 / 5))
       .withColumn("f_norm7", pow(col("_s7"), 1.0 / 7))
-      .drop("_pairs", "_s2", "_s3", "_s5", "_s7")
+      .withColumn("_val_tot", col("f_val_s_wmean") + col("f_val_p_wmean") +
+        col("f_val_d_wmean") + col("f_val_f_wmean"))
+      .withColumn("f_frac_val_s", col("f_val_s_wmean") / col("_val_tot"))
+      .withColumn("f_frac_val_p", col("f_val_p_wmean") / col("_val_tot"))
+      .withColumn("f_frac_val_d", col("f_val_d_wmean") / col("_val_tot"))
+      .drop("_pairs", "_s2", "_s3", "_s5", "_s7", "_val_tot")
     val ape = df.select(col(idCol), apeUdf(col(compCol)).as("_ape"),
         bandEdgesUdf(col(compCol)).as("_be"))
       .select(col(idCol), col("_ape").getItem(0).as("f_ape_mean"),

@@ -331,6 +331,9 @@ object ElementData {
     "valence" -> (_.valence.toDouble),
     // Magpie-style additions (C19 ward-preset / PymatgenData props)
     "mendeleev" -> (_.mendeleev.toDouble),
+    // block as its orbital angular momentum ℓ (s=0, p=1, d=2, f=3) — the
+    // numeric encoding behind "PymatgenData mean/std_dev block"
+    "block_num" -> (e => "spdf".indexOf(e.block).toDouble),
     "unfilled" -> (_.unfilled.toDouble),
     "gs_vol" -> (_.gsVolPa),
     "gs_magmom" -> (_.gsMagmom),

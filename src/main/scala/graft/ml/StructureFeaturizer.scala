@@ -28,7 +28,7 @@ object StructureFeaturizer {
     * preset property list, reference ml_prediction.py:213-219, 257-275). */
   final case class SiteFeatures(
       min_dist: Double, min_rel_dist: Double, nbr_dist_var: Double,
-      g2_a: Double, g2_b: Double, g2_c: Double, ewald: Double,
+      g2_a: Double, g2_b: Double, g2_c: Double, g2_d: Double, ewald: Double,
       voro_vol: Double, voro_nfaces: Double, voro_area_mean: Double,
       voro_area_std: Double, voro_area_min: Double, voro_area_max: Double,
       voro_dist_mean: Double, voro_dist_std: Double,
@@ -56,7 +56,7 @@ object StructureFeaturizer {
       lat_anis: Double, lat_angle_dev: Double, sites: Seq[SiteFeatures])
 
   val NbrCutoff = 6.5 // Å, matminer GaussianSymmFunc default cutoff
-  val G2Etas = Array(0.05, 4.0, 20.0)
+  val G2Etas = Array(0.05, 4.0, 20.0, 80.0) // matminer default eta set
 
   /** Cosine cutoff function fc(r). */
   private def fc(r: Double, rc: Double): Double =
@@ -169,7 +169,7 @@ object StructureFeaturizer {
         }
         jj += 1
       }
-      SiteFeatures(minD, minRel, varD, g2(0), g2(1), g2(2), ewald(i),
+      SiteFeatures(minD, minRel, varD, g2(0), g2(1), g2(2), g2(3), ewald(i),
         cell.volume, cell.faces.size.toDouble, areaMean, areaStd,
         areas.minOption.getOrElse(0.0), areas.maxOption.getOrElse(0.0),
         distMean, distStd,
@@ -210,7 +210,7 @@ object StructureFeaturizer {
 
   /** Per-site fields reduced with the §2.D calculus. */
   val siteFields: Seq[String] = Seq(
-    "min_dist", "min_rel_dist", "nbr_dist_var", "g2_a", "g2_b", "g2_c", "ewald",
+    "min_dist", "min_rel_dist", "nbr_dist_var", "g2_a", "g2_b", "g2_c", "g2_d", "ewald",
     "voro_vol", "voro_nfaces", "voro_area_mean", "voro_area_std",
     "voro_area_min", "voro_area_max", "voro_dist_mean", "voro_dist_std",
     "voro_dist_min", "voro_dist_max", "voro_subvol_max", "voro_bond_var",

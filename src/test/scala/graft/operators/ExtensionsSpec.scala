@@ -17,10 +17,23 @@ class ExtensionsSpec extends SparkSpec {
     val recall = (exact & approx).size.toDouble / exact.size
     assert(exact.nonEmpty)
     // sign-LSH with Similarity.LshTables tables x LshBits bits (8 x 6) on
-    // 64-dim unit vectors, multi-probe over 1-bit-flip neighbor buckets;
-    // random-ish corpus so neighbors are weak — demand a meaningful
-    // fraction, not magic
-    assert(recall >= 0.3, s"recall=$recall")
+    // 64-dim unit vectors, multi-probe over 1-bit-flip neighbor buckets
+    // (measured 0.90 at sf0.1 by AnnEval; single-probe was 0.38) —
+    // demand a solid floor with margin for corpus-draw variance
+    assert(recall >= 0.6, s"recall=$recall")
+  }
+
+  test("ann: IVF index save/load roundtrip yields identical top-k") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf").toString
+    val idx = Similarity.buildIvfIndex(spark, sf)
+    Similarity.saveIvfIndex(idx, dir)
+    val loaded = Similarity.loadIvfIndex(spark, dir)
+    assert(loaded.centroids.length == idx.centroids.length)
+    assert(loaded.centroids.zip(idx.centroids).forall { case (a, b) => a.sameElements(b) })
+    val direct = Similarity.ivfTopK(spark, sf, index = Some(idx)).collect().toSeq
+    val viaDisk = Similarity.ivfTopK(spark, sf, index = Some(loaded)).collect().toSeq
+    assert(direct == viaDisk)
+    assert(direct.nonEmpty)
   }
 
   test("ann: every LSH hit is a true cosine score (no fabricated scores)") {
