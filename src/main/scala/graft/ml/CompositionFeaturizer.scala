@@ -39,9 +39,12 @@ object CompositionFeaturizer {
     14 -> 1.047, 15 -> 1.116, 16 -> 1.183, 17 -> 1.248, 18 -> 1.311,
     19 -> 1.373, 20 -> 1.433, 21 -> 1.491, 22 -> 1.548, 23 -> 1.604, 24 -> 1.659)
 
-  /** C9: per-element deviation from the nearest ideal packing ratio, with
-    * the fraction-weighted mean neighbor radius as the shell radius;
-    * returns (weighted mean deviation, weighted abs deviation from it). */
+  /** C9: per-element SIGNED deviation from the nearest ideal packing
+    * ratio (matminer's "simul. packing efficiency": positive = atom too
+    * large for its shell, negative = too small; signs cancel in the mean,
+    * which is why the reference's scaler mean sits near zero), with the
+    * fraction-weighted mean neighbor radius as the shell radius; returns
+    * (weighted mean deviation, weighted mean |deviation|). */
   private def apeDeviations(comp: Map[String, Double]): (Double, Double) = {
     val present = comp.filter { case (el, _) => ElementData.bySymbol.contains(el) }
     if (present.isEmpty) return (0.0, 0.0)
@@ -49,12 +52,12 @@ object CompositionFeaturizer {
     val rAvg = present.map { case (el, n) => ElementData.bySymbol(el).radius * n }.sum / total
     val devs = present.toSeq.map { case (el, n) =>
       val ratio = ElementData.bySymbol(el).radius / rAvg
-      val dev = idealRatio.values.map(r => math.abs(ratio - r)).min
-      (dev, n / total)
+      val dev = idealRatio.values.minBy(r => math.abs(ratio - r))
+      (ratio - dev, n / total)
     }
     val mean = devs.map { case (d, w) => d * w }.sum
-    val absdev = devs.map { case (d, w) => math.abs(d - mean) * w }.sum
-    (mean, absdev)
+    val meanAbs = devs.map { case (d, w) => math.abs(d) * w }.sum
+    (mean, meanAbs)
   }
 
   private val apeUdf = udf { (comp: Map[String, Double]) =>
@@ -83,12 +86,13 @@ object CompositionFeaturizer {
       "f_frac_val_s", "f_frac_val_p", "f_frac_val_d") ++ oxiColumns
   }
 
-  /** Broadcast-able element property frame. */
+  /** Broadcast-able element property frame. `is_tm` follows matminer's
+    * TMetalFraction element list, not the d-block predicate. */
   def elementFrame(spark: SparkSession): DataFrame = {
     import spark.implicits._
     ElementData.all.map { e =>
       (e.symbol, numericProps.keys.toSeq.sorted.map(k => numericProps(k)(e)),
-        if (e.isTM) 1.0 else 0.0)
+        if (ElementData.tmFractionElements(e.symbol)) 1.0 else 0.0)
     }.toDF("element", "props", "is_tm")
   }
 
@@ -118,15 +122,22 @@ object CompositionFeaturizer {
     val wmeanSt = sum(col("w") * col("state")) / sum(col("w"))
     val cw = when(col("endiff").isNotNull, col("cnt")).otherwise(lit(0.0))
     val wmeanEd = sum(cw * col("endiff")) / sum(cw)
+    // both stds use the unbiased reliability-weight denominator 1 − Σw²
+    // (same matminer PropertyStats convention as the element stats)
+    val w2St = sum(col("w") * col("w"))
+    val w2Ed = sum(cw * cw) / (sum(cw) * sum(cw))
+    def unb(variance: Column, w2: Column): Column =
+      when(w2 > 0.999999, lit(0.0))
+        .otherwise(sqrt(greatest(variance / (lit(1.0) - w2), lit(0.0))))
     exploded.groupBy(col(idCol)).agg(
       min("state").as("f_oxi_min"),
       max("state").as("f_oxi_max"),
       (max("state") - min("state")).as("f_oxi_range"),
-      sqrt(greatest(sum(col("w") * col("state") * col("state")) - wmeanSt * wmeanSt,
-        lit(0.0))).as("f_oxi_std"),
+      unb(sum(col("w") * col("state") * col("state")) - wmeanSt * wmeanSt, w2St)
+        .as("f_oxi_std"),
       wmeanEd.as("f_endiff_mean"),
-      sqrt(greatest(sum(cw * col("endiff") * col("endiff")) / sum(cw) - wmeanEd * wmeanEd,
-        lit(0.0))).as("f_endiff_std"),
+      unb(sum(cw * col("endiff") * col("endiff")) / sum(cw) - wmeanEd * wmeanEd, w2Ed)
+        .as("f_endiff_std"),
       min("endiff").as("f_endiff_min"),
       max("endiff").as("f_endiff_max"),
       (max("endiff") - min("endiff")).as("f_endiff_range"))
@@ -144,19 +155,31 @@ object CompositionFeaturizer {
       .withColumn("f", col("cnt") / col("total"))
       .join(broadcast(elementFrame(spark)), Seq("element"))
 
-    // per-property weighted aggregates, all in one groupBy pass
+    // per-property weighted aggregates, all in one groupBy pass.
+    // Weighted std uses the UNBIASED reliability-weight denominator
+    // 1 − Σw² (matminer PropertyStats std_dev convention — confirmed to
+    // <1% against the reference's shipped scaler vectors; the population
+    // form σ_pop = √(Σw·x² − μ²) sits a uniform ~25% low). Σw² = 1 for a
+    // single-element composition → std defined as 0.
+    val w2 = sum(col("f") * col("f"))
+    def wstd(sumWx2: Column, wmean: Column): Column =
+      when(w2 > 0.999999, lit(0.0))
+        .otherwise(sqrt(greatest((sumWx2 - wmean * wmean) / (lit(1.0) - w2), lit(0.0))))
     val aggExprs: Seq[Column] = propNames.zipWithIndex.flatMap { case (p, i) =>
       val x = col("props").getItem(i)
       val wmean = sum(col("f") * x)
       Seq(
         wmean.as(s"f_${p}_wmean"),
-        sqrt(greatest(sum(col("f") * x * x) - wmean * wmean, lit(0.0))).as(s"f_${p}_wstd"),
+        wstd(sum(col("f") * x * x), wmean).as(s"f_${p}_wstd"),
         min(x).as(s"f_${p}_min"),
         max(x).as(s"f_${p}_max"),
         (max(x) - min(x)).as(s"f_${p}_range"))
     } ++ Seq(
       sum(col("f") * col("is_tm")).as("f_frac_tm"),
-      exp(sum(col("f") * log(col("props").getItem(propNames.indexOf("en"))))).as("f_band_center"),
+      // matminer BandCenter: NEGATED geometric mean of electronegativity
+      // (an absolute band-center position estimate — confirmed against
+      // the shipped scaler mean, which is exactly −our geo-mean)
+      (-exp(sum(col("f") * log(col("props").getItem(propNames.indexOf("en")))))).as("f_band_center"),
       collect_list(struct(col("f").as("f"),
         col("props").getItem(propNames.indexOf("en")).as("en"))).as("_pairs"),
       aggregate(collect_list(pow(col("f"), 2)), lit(0.0), _ + _).as("_s2"),
@@ -172,7 +195,9 @@ object CompositionFeaturizer {
 
     val main = exploded.groupBy(col(idCol))
       .agg(aggExprs.head, aggExprs.tail: _*)
-      .withColumn("f_avg_ionic_char", aggregate(ionicTerms, lit(0.0), _ + _))
+      // ÷2: matminer sums UNORDERED pairs i<j; ionicTerms enumerates both
+      // orders (diagonal is 0) — confirmed exactly 2x the scaler mean
+      .withColumn("f_avg_ionic_char", aggregate(ionicTerms, lit(0.0), _ + _) / 2)
       .withColumn("f_max_ionic_char", array_max(ionicTerms))
       .withColumn("f_norm2", pow(col("_s2"), 1.0 / 2))
       .withColumn("f_norm3", pow(col("_s3"), 1.0 / 3))

@@ -77,9 +77,12 @@ object ElementData {
     else bySymbol(sym).mass * amuPerGcc / densityGcc(sym)
 
   /** DFT ground-state magnetic moments (μB/atom, approximate published
-    * values); zero for the non-magnetic majority. */
+    * values): nonzero ONLY for the ferromagnetic ground states (Fe/Co/Ni
+    * — the Magpie convention; antiferromagnets like Cr/Mn and molecular
+    * O₂ carry zero NET moment per atom, confirmed by the reference
+    * scaler's near-zero GSmagmom local-difference mean). */
   private val gsMagneticMoment: Map[String, Double] = Map(
-    "Cr" -> 1.54, "Mn" -> 2.0, "Co" -> 1.6, "Ni" -> 0.6, "O" -> 1.0)
+    "Co" -> 1.7, "Ni" -> 0.6)
 
   /** Space-group number of the elemental ground-state crystal structure
     * (standard published assignments). */
@@ -305,6 +308,17 @@ object ElementData {
     (s, p, d, f, row, group, block, core, orbs)
   }
 
+  /** The matminer TMetalFraction element list (its `magn_elem`): the
+    * d-block METALS minus Sc, the filled-shell group-12 tail (Zn, Cd,
+    * Hg), Au, and the early electropositives (Y, Zr, Hf, La) — NOT the
+    * same as "block == d". Confirmed EXACTLY against the shipped scaler
+    * mean: this list reproduces 0.07670 on the 1,266-record corpus
+    * (d-block gives 0.138; with Sc, 0.0828). */
+  val tmFractionElements: Set[String] = Set(
+    "Ti", "V", "Cr", "Mn", "Fe", "Co", "Ni", "Cu",
+    "Nb", "Mo", "Tc", "Ru", "Rh", "Pd", "Ag",
+    "Ta", "W", "Re", "Os", "Ir", "Pt")
+
   /** The full table, keyed by symbol. */
   val bySymbol: Map[String, ElementProps] = raw.map { case (sym, z, mass, en, r, melt) =>
     val (s, p, d, f, row, group, block, coreZ, orbs) = configure(sym, z)
@@ -331,9 +345,15 @@ object ElementData {
     "valence" -> (_.valence.toDouble),
     // Magpie-style additions (C19 ward-preset / PymatgenData props)
     "mendeleev" -> (_.mendeleev.toDouble),
-    // block as its orbital angular momentum ℓ (s=0, p=1, d=2, f=3) — the
-    // numeric encoding behind "PymatgenData mean/std_dev block"
-    "block_num" -> (e => "spdf".indexOf(e.block).toDouble),
+    // numeric block encoding behind "PymatgenData mean/std_dev block":
+    // s=1, p=2, d=3, f=4 over pymatgen's LAST-FILLED-SUBSHELL block rule
+    // (group 11/12 configs ...d10 ns1/ns2 read as s-block; lanthanoids/
+    // actinoids as f) — the variant that reproduces the shipped scaler
+    // mean to 0.4% (1.949 vs 1.942; the group-number rule gives 2.025)
+    "block_num" -> (e =>
+      if (e.symbol == "La" || e.symbol == "Th") 4.0
+      else if (Set("Cu", "Ag", "Au", "Zn", "Cd", "Hg")(e.symbol)) 1.0
+      else ("spdf".indexOf(e.block) + 1).toDouble),
     "unfilled" -> (_.unfilled.toDouble),
     "gs_vol" -> (_.gsVolPa),
     "gs_magmom" -> (_.gsMagmom),

@@ -144,7 +144,10 @@ object ScalerDrift {
         l("gap_AO", "f_gap_ao"),
         l("density", "s_density"),
         l("packing fraction", "s_packing"),
-        l("mean neighbor distance variation", "s_nbr_dist_var_mean"),
+        // StructuralHeterogeneity's variation is over VORONOI-weighted
+        // bond lengths — the engine's voro_bond_var, not the raw
+        // cutoff-shell variation
+        l("mean neighbor distance variation", "s_voro_bond_var_mean"),
         ("avg_dev neighbor distance variation", None),
         l("sgl_bd CN_1 mean", "s_op_sgl_mean"),
         l("bent 150 degrees CN_2 mean", "s_op_bent150_mean"),

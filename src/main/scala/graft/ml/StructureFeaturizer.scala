@@ -108,8 +108,10 @@ object StructureFeaturizer {
         if (areas.size > 1)
           math.sqrt(areas.map(a => (a - areaMean) * (a - areaMean)).sum / areas.size)
         else 0.0
-      // face-distance stats (matminer Voro_dist_*; face dist = d_nbr/2)
-      val fdists = cell.faces.map(_.dist)
+      // neighbor-distance stats (matminer Voro_dist_* are over the
+      // NEIGHBOR distances, 2x the bisector-face distance — confirmed
+      // against the shipped scaler means, which sit at exactly 2x)
+      val fdists = cell.faces.map(_.dist * 2)
       val distMean = if (fdists.nonEmpty) fdists.sum / fdists.size else 0.0
       val distStd =
         if (fdists.size > 1)
@@ -135,6 +137,27 @@ object StructureFeaturizer {
         cell.faces.map(f => f.area * math.abs(prop(siteMap(f.nbrIdx)) - prop(i))).sum / areaSum
       val sortedNbrs = nbrs.sortBy(_.dist)
       val sortedVecs = sortedNbrs.map(_.vec)
+      // CN-match weight for the order-parameter family (the matminer
+      // OPSiteFingerprint "op CN_c" convention resolves each motif score
+      // by how plausibly the site HAS coordination c): based on the
+      // relative distance gap after the c-th neighbor,
+      // (d_{c+1} − d_c)/d_{c+1} — 0 when neighbors c and c+1 are
+      // equidistant (shell continues), →1 when a clean shell of c
+      // closes. Calibrated against the shipped scaler vectors: sgl_bd
+      // CN_1 equals the LINEAR gap to 0.25%, while the c≥2 motifs match
+      // the reference's smoothed-histogram weighting at the HALF-POWER
+      // of the gap (a perovskite Ti–O₆ shell then scores ~0.63 vs the
+      // reference's 0.61 max; the raw gap sits 3x low, no weight 2–6x
+      // high).
+      val sdist = sortedNbrs.map(_.dist)
+      def cnGap(c: Int): Double =
+        if (sdist.size < c) 0.0
+        else {
+          val dc = sdist(c - 1)
+          val dn = if (sdist.size > c) sdist(c) else NbrCutoff
+          (dn - dc) / dn
+        }
+      def cnW(c: Int): Double = math.sqrt(cnGap(c))
       // linear CN_2 order parameter: angle between the two nearest
       // neighbors, 1 at 180°
       val opLin =
@@ -185,11 +208,15 @@ object StructureFeaturizer {
         lpd(j => props(j).unfilledS.toDouble), lpd(j => props(j).unfilledD.toDouble),
         lpd(j => props(j).gsVolPa), lpd(j => props(j).gsMagmom),
         lpd(j => props(j).sgNumber.toDouble),
-        Geometry.tetrahedralOrder(sortedVecs), Geometry.octahedralOrder(sortedVecs),
-        opLin, Geometry.trigonalPlanarOrder(sortedVecs),
-        Geometry.squarePlanarOrder(sortedVecs),
-        Geometry.singleBondOrder(dists), Geometry.bentOrder(sortedVecs, 150.0),
-        Geometry.pentagonalPlanarOrder(sortedVecs), Geometry.q6Order(sortedVecs),
+        cnW(4) * Geometry.tetrahedralOrder(sortedVecs),
+        cnW(6) * Geometry.octahedralOrder(sortedVecs),
+        cnW(2) * opLin,
+        cnW(3) * Geometry.trigonalPlanarOrder(sortedVecs),
+        cnW(4) * Geometry.squarePlanarOrder(sortedVecs),
+        cnGap(1),
+        cnW(2) * Geometry.bentOrder(sortedVecs, 150.0),
+        cnW(5) * Geometry.pentagonalPlanarOrder(sortedVecs),
+        cnW(12) * Geometry.q6Order(sortedVecs),
         g4p, g4n)
     }
 

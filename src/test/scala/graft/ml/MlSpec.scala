@@ -86,7 +86,10 @@ class MlSpec extends SparkSpec {
     val enSi = 1.90; val enO = 3.44
     val wmean = enSi / 3 + 2 * enO / 3
     assert(math.abs(v("f_en_wmean") - wmean) < 1e-9)
-    val wstd = math.sqrt(enSi * enSi / 3 + 2 * enO * enO / 3 - wmean * wmean)
+    // unbiased reliability-weight std: pop variance / (1 − Σw²);
+    // Σw² = 1/9 + 4/9 = 5/9 for (1/3, 2/3)
+    val popVar = enSi * enSi / 3 + 2 * enO * enO / 3 - wmean * wmean
+    val wstd = math.sqrt(popVar / (1.0 - 5.0 / 9.0))
     assert(math.abs(v("f_en_wstd") - wstd) < 1e-9)
     assert(math.abs(v("f_en_min") - enSi) < 1e-12)
     assert(math.abs(v("f_en_max") - enO) < 1e-12)
@@ -94,9 +97,12 @@ class MlSpec extends SparkSpec {
     assert(math.abs(v("f_norm3") - math.pow(1.0 / 3, 1.0 / 3)) < 1e-9)
     assert(v("f_nelements") == 2.0)
     assert(v("f_frac_tm") == 0.0)
-    // ionic char: 2 * fSi*fO * (1 - exp(-0.25 dEN^2)) for the two cross terms
-    val ic = 2 * (1.0 / 3) * (2.0 / 3) * (1 - math.exp(-0.25 * math.pow(enSi - enO, 2)))
+    // ionic char over UNORDERED pairs: fSi*fO * (1 - exp(-0.25 dEN^2))
+    val ic = (1.0 / 3) * (2.0 / 3) * (1 - math.exp(-0.25 * math.pow(enSi - enO, 2)))
     assert(math.abs(v("f_avg_ionic_char") - ic) < 1e-9)
+    // band center: negated geometric mean of electronegativity
+    assert(math.abs(v("f_band_center") +
+      math.exp(math.log(enSi) / 3 + 2 * math.log(enO) / 3)) < 1e-9)
   }
 
   test("el_comp model: quality gates vs golden predictions") {
