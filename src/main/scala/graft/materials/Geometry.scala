@@ -215,6 +215,27 @@ object Geometry {
     math.max(0.0, 1.0 - s / np * 4)
   }
 
+  /** Rectangular see-saw order parameter over the 4 nearest neighbors:
+    * ONE axial pair at 180° and all five remaining pairs at 90° (C16
+    * "rectangular see-saw-like CN_4"). Unlike square planar ({90°×4,
+    * 180°×2}), only the single best axial pair is allowed at 180° — a
+    * square-planar site pays a full cos²=1 penalty on its second axial
+    * pair, which keeps the two motifs distinguishable. */
+  def seeSawOrder(nbrVecs: Seq[Array[Double]]): Double = {
+    val vs = nbrVecs.take(4)
+    if (vs.size < 4) return 0.0
+    val cosines = for (j <- 0 until 4; k <- j + 1 until 4)
+      yield dotv(vs(j), vs(k)) / (norm(vs(j)) * norm(vs(k)))
+    val axial = cosines.minBy(c => (c + 1.0) * (c + 1.0))
+    var s = (axial + 1.0) * (axial + 1.0)
+    var taken = false
+    cosines.foreach { c =>
+      if (c == axial && !taken) taken = true
+      else s += c * c
+    }
+    math.max(0.0, 1.0 - s / 6 * 4)
+  }
+
   /** Steinhardt bond-orientational order q₆ over the `cn` nearest
     * neighbors (C16 "q6 CN_12"): by the spherical-harmonic addition
     * theorem, q₆² = mean over ordered neighbor pairs (including self) of

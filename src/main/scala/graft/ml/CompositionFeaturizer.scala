@@ -28,7 +28,7 @@ object CompositionFeaturizer {
   val oxiColumns: Seq[String] = Seq(
     "f_oxi_min", "f_oxi_max", "f_oxi_range", "f_oxi_std",
     "f_endiff_mean", "f_endiff_std", "f_endiff_min", "f_endiff_max", "f_endiff_range",
-    "f_ape_mean", "f_ape_absdev")
+    "f_ape_mean", "f_ape_absdev", "f_ape_dist1", "f_ape_dist3", "f_ape_dist5")
 
   /** Ideal center/neighbor radius ratios R*(N) for efficiently-packed
     * clusters of coordination N (Miracle's atomic-packing-efficiency
@@ -60,8 +60,65 @@ object CompositionFeaturizer {
     (mean, meanAbs)
   }
 
+  /** C9: "dist from N clusters |APE| < 0.010" — composition-space
+    * distance to the nearest efficiently-packed clusters buildable from
+    * the composition's own elements. A cluster is (center c, CN n, shell
+    * mix of elements s1/s2) with shell radius solving r_c/r_shell =
+    * R*(n) exactly (binary-mix solve; single-element shells admitted
+    * within the 1% threshold); its composition vector is c:1/(n+1),
+    * shell:n/(n+1) split by the mix, and the feature is the mean
+    * Euclidean distance of the nearest 1/3/5 clusters. */
+  private def apeClusterDistances(comp: Map[String, Double]): (Double, Double, Double) = {
+    val present = comp.filter { case (el, n) => n > 0 && ElementData.bySymbol.contains(el) }
+    if (present.isEmpty) return (0.0, 0.0, 0.0)
+    val els = present.keys.toSeq.sorted
+    val total = present.values.sum
+    val frac = els.map(e => present(e) / total)
+    val r = els.map(e => ElementData.bySymbol(e).radius)
+    val k = els.length
+    val dists = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def dist(cluster: Seq[Double]): Double =
+      math.sqrt(frac.zip(cluster).map { case (a, b) => (a - b) * (a - b) }.sum)
+    for {
+      ci <- 0 until k
+      (n, ideal) <- idealRatio.toSeq
+    } {
+      val target = r(ci) / ideal // required shell radius
+      val shellFrac = n.toDouble / (n + 1)
+      // single-element shells within the 1% APE threshold
+      for (si <- 0 until k)
+        if (math.abs(r(ci) / r(si) / ideal - 1.0) < 0.010) {
+          val v = Array.fill(k)(0.0)
+          v(ci) += 1.0 / (n + 1); v(si) += shellFrac
+          dists += dist(v.toSeq)
+        }
+      // binary shell mixes solving the ratio exactly
+      for {
+        si <- 0 until k; sj <- si + 1 until k
+        if math.abs(r(si) - r(sj)) > 1e-12
+      } {
+        val x = (target - r(sj)) / (r(si) - r(sj))
+        if (x >= 0.0 && x <= 1.0) {
+          val v = Array.fill(k)(0.0)
+          v(ci) += 1.0 / (n + 1)
+          v(si) += x * shellFrac; v(sj) += (1 - x) * shellFrac
+          dists += dist(v.toSeq)
+        }
+      }
+    }
+    if (dists.isEmpty) return (1.0, 1.0, 1.0) // no packable cluster at all
+    val sorted = dists.sorted
+    def meanOf(m: Int): Double = {
+      val take = sorted.take(math.min(m, sorted.length))
+      take.sum / take.length
+    }
+    (meanOf(1), meanOf(3), meanOf(5))
+  }
+
   private val apeUdf = udf { (comp: Map[String, Double]) =>
-    val (m, a) = apeDeviations(comp); Array(m, a)
+    val (m, a) = apeDeviations(comp)
+    val (d1, d3, d5) = apeClusterDistances(comp)
+    Array(m, a, d1, d3, d5)
   }
 
   /** C8: rigid-band HOMO/LUMO energies + gap_AO (AtomicOrbitals). */
@@ -213,6 +270,9 @@ object CompositionFeaturizer {
         bandEdgesUdf(col(compCol)).as("_be"))
       .select(col(idCol), col("_ape").getItem(0).as("f_ape_mean"),
         col("_ape").getItem(1).as("f_ape_absdev"),
+        col("_ape").getItem(2).as("f_ape_dist1"),
+        col("_ape").getItem(3).as("f_ape_dist3"),
+        col("_ape").getItem(4).as("f_ape_dist5"),
         col("_be").getItem(0).as("f_homo_energy"),
         col("_be").getItem(1).as("f_lumo_energy"),
         col("_be").getItem(2).as("f_gap_ao"))

@@ -103,9 +103,9 @@ object ScalerDrift {
         l("gap_AO", "f_gap_ao"),
         l("mean simul. packing efficiency", "f_ape_mean"),
         l("mean abs simul. packing efficiency", "f_ape_absdev"),
-        ("dist from 1 clusters |APE| < 0.010", None),
-        ("dist from 3 clusters |APE| < 0.010", None),
-        ("dist from 5 clusters |APE| < 0.010", None)),
+        l("dist from 1 clusters |APE| < 0.010", "f_ape_dist1"),
+        l("dist from 3 clusters |APE| < 0.010", "f_ape_dist3"),
+        l("dist from 5 clusters |APE| < 0.010", "f_ape_dist5")),
       "el_comp_st" -> Seq(
         l("PymatgenData std_dev X", "f_en_wstd"),
         l("PymatgenData mean block", "f_block_num_wmean"),
@@ -120,7 +120,7 @@ object ScalerDrift {
         l("mean dist_btw_nn", "s_min_rel_dist_mean"),
         l("std dist_btw_nn", "s_min_rel_dist_std"),
         l("tetrahedral CN_4 max", "s_op_tet_max"),
-        ("rectangular see-saw-like CN_4 max", None),
+        l("rectangular see-saw-like CN_4 max", "s_op_ssw_max"),
         l("Ewald site energy max", "s_ewald_max"),
         l("Voro_area_std_dev max", "s_voro_area_std_max"),
         l("Voro_area_std_dev mean", "s_voro_area_std_mean"),
@@ -148,7 +148,7 @@ object ScalerDrift {
         // bond lengths — the engine's voro_bond_var, not the raw
         // cutoff-shell variation
         l("mean neighbor distance variation", "s_voro_bond_var_mean"),
-        ("avg_dev neighbor distance variation", None),
+        l("avg_dev neighbor distance variation", "s_voro_bond_var_avgdev"),
         l("sgl_bd CN_1 mean", "s_op_sgl_mean"),
         l("bent 150 degrees CN_2 mean", "s_op_bent150_mean"),
         l("linear CN_2 mean", "s_op_lin_mean"),

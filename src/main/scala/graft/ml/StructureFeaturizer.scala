@@ -42,7 +42,7 @@ object StructureFeaturizer {
       lpd_ns_unfilled: Double, lpd_nd_unfilled: Double,
       lpd_gs_vol: Double, lpd_gs_magmom: Double, lpd_sg_num: Double,
       op_tet: Double, op_oct: Double, op_lin: Double,
-      op_tri: Double, op_sqp: Double,
+      op_tri: Double, op_sqp: Double, op_ssw: Double,
       op_sgl: Double, op_bent150: Double, op_pent: Double, op_q6: Double,
       g4_pos: Double, g4_neg: Double)
 
@@ -213,6 +213,7 @@ object StructureFeaturizer {
         cnW(2) * opLin,
         cnW(3) * Geometry.trigonalPlanarOrder(sortedVecs),
         cnW(4) * Geometry.squarePlanarOrder(sortedVecs),
+        cnW(4) * Geometry.seeSawOrder(sortedVecs),
         cnGap(1),
         cnW(2) * Geometry.bentOrder(sortedVecs, 150.0),
         cnW(5) * Geometry.pentagonalPlanarOrder(sortedVecs),
@@ -246,7 +247,7 @@ object StructureFeaturizer {
     "lpd_z", "lpd_mendeleev", "lpd_melting", "lpd_nd_valence", "lpd_n_unfilled",
     "lpd_ns_unfilled", "lpd_nd_unfilled", "lpd_gs_vol", "lpd_gs_magmom",
     "lpd_sg_num",
-    "op_tet", "op_oct", "op_lin", "op_tri", "op_sqp",
+    "op_tet", "op_oct", "op_lin", "op_tri", "op_sqp", "op_ssw",
     "op_sgl", "op_bent150", "op_pent", "op_q6", "g4_pos", "g4_neg")
 
   /** Ordered structural feature columns. */
@@ -256,7 +257,7 @@ object StructureFeaturizer {
       a <- Seq("mean", "std", "min", "max")
     } yield s"s_${f}_$a"
     Seq("s_density", "s_vpa", "s_packing", "s_sg_number", "s_nsites",
-      "s_lat_anis", "s_lat_angle_dev") ++ siteAggs
+      "s_lat_anis", "s_lat_angle_dev", "s_voro_bond_var_avgdev") ++ siteAggs
   }
 
   /** Featurize the materials frame: kernels in a typed mapPartitions, then
@@ -284,9 +285,18 @@ object StructureFeaturizer {
     val par = spark.sparkContext.defaultParallelism
     val out = in.repartition(par).mapPartitions(_.map(featurizeOne)).toDF()
 
-    val perSite = out.select(col("mp_id"), col("density"), col("vpa"), col("packing"),
+    // avg_dev (mean absolute deviation) reduction for the bond-length
+    // variation — StructuralHeterogeneity's second reducer. Computed as
+    // two higher-order-function passes over the still-arrayed sites
+    // (mean, then mean |x − mean|): no extra shuffle, stays in codegen.
+    val bv = transform(col("sites"), s => s.getField("voro_bond_var"))
+    val bvMean = aggregate(bv, lit(0.0), _ + _) / size(bv)
+    val withAvgDev = out.withColumn("bond_var_avgdev",
+      aggregate(bv, lit(0.0), (acc, x) => acc + abs(x - bvMean)) / size(bv))
+
+    val perSite = withAvgDev.select(col("mp_id"), col("density"), col("vpa"), col("packing"),
       col("sg_number"), col("nsites_d"), col("lat_anis"), col("lat_angle_dev"),
-      explode(col("sites")).as("sf"))
+      col("bond_var_avgdev"), explode(col("sites")).as("sf"))
 
     val aggs = siteFields.flatMap { f =>
       val x = col("sf").getField(f)
@@ -295,7 +305,8 @@ object StructureFeaturizer {
     } ++ Seq(first("density").as("s_density"), first("vpa").as("s_vpa"),
       first("packing").as("s_packing"), first("sg_number").as("s_sg_number"),
       first("nsites_d").as("s_nsites"),
-      first("lat_anis").as("s_lat_anis"), first("lat_angle_dev").as("s_lat_angle_dev"))
+      first("lat_anis").as("s_lat_anis"), first("lat_angle_dev").as("s_lat_angle_dev"),
+      first("bond_var_avgdev").as("s_voro_bond_var_avgdev"))
 
     perSite.groupBy("mp_id").agg(aggs.head, aggs.tail: _*)
   }

@@ -126,6 +126,12 @@ class GeometrySpec extends AnyFunSuite {
     val bent = Seq(Array(1.0, 0, 0), Array(math.cos(c150), math.sin(c150), 0))
     assert(math.abs(bentOrder(bent, 150.0) - 1.0) < 1e-12)
     assert(bentOrder(sqp.take(2), 150.0) < bentOrder(bent, 150.0))
+    // see-saw: axial ±z + equatorial x, y scores 1; square planar pays
+    // the second-axial-pair penalty and drops to 1/3
+    val ssw = Seq(Array(0.0, 0, 1), Array(0.0, 0, -1), Array(1.0, 0, 0), Array(0.0, 1, 0))
+    assert(math.abs(seeSawOrder(ssw) - 1.0) < 1e-12)
+    assert(seeSawOrder(sqp) < 0.5)
+    assert(seeSawOrder(tet) < seeSawOrder(ssw))
     // single bond: dominant nearest neighbor → 1, equidistant pair → 0
     assert(singleBondOrder(Seq(2.0)) == 1.0)
     assert(math.abs(singleBondOrder(Seq(1.0, 4.0)) - 0.75) < 1e-12)

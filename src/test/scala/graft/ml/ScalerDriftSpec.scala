@@ -19,10 +19,9 @@ class ScalerDriftSpec extends SparkSpec {
     assert(byModel("ion_comp").length == 42)
     assert(byModel("el_comp_st").length == 29)
     assert(byModel("ion_comp_st").length == 45)
-    // mapping rate: ≥ 85% of all labels have an engine counterpart
+    // every reference label has an engine counterpart
     val mapped = rep.count(_.getString(3) != null)
-    assert(mapped.toDouble / rep.length >= 0.85,
-      s"only $mapped/${rep.length} labels mapped")
+    assert(mapped == rep.length, s"only $mapped/${rep.length} labels mapped")
     // unambiguous features: mean atomic mass / EN / row agree within 2%
     val tight = Set("f_mass_wmean", "f_en_wmean", "f_en_min", "f_row_wmean")
     rep.filter(r => r.getString(3) != null && tight(r.getString(3))).foreach { r =>
