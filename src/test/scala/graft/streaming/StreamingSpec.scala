@@ -140,4 +140,34 @@ class StreamingSpec extends SparkSpec {
       assert(math.abs(r.getDouble(2) - r.getDouble(3)) < 1e-6)
     }
   }
+
+  test("streaming near-dup candidates equal batch and cover batch LSH pairs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val input = MemoryStream[(Long, String)]
+    val stream = DocStreams.nearDupCandidates(spark, input.toDF().toDF("doc_id", "text"))
+    val q = stream.writeStream.format("memory").queryName("neardup")
+      .outputMode(OutputMode.Append()).start()
+    // three chunks: pairs must surface across batch boundaries via state
+    docs.grouped(math.max(1, docs.size / 3)).foreach { chunk =>
+      input.addData(chunk)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("neardup").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical operator over the same data as one static frame
+    val batch = DocStreams.nearDupCandidates(spark,
+      Tables.documents(spark, sf).select("doc_id", "text")).collect()
+      .map(p => (p.a_id, p.b_id)).toSet
+    assert(streamed == batch, s"stream ${streamed.size} vs batch ${batch.size}")
+    assert(streamed.nonEmpty)
+    // every batch-LSH near-dup pair (est >= 0.5) shares a band, so the
+    // candidate stream must cover them all
+    val lsh = graft.operators.Dedup.minhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(streamed), s"missing ${(lsh -- streamed).size} LSH pairs")
+  }
 }
