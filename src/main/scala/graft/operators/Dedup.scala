@@ -119,21 +119,43 @@ object Dedup {
       .select(col("doc_id") +: (0 until MinhashFuncs).map(i => col(s"mh$i")): _*)
       .orderBy("doc_id")
 
+  /** xxhash64-seeded minhash signatures — the 100 TB hashing path: one
+    * codegen'd 64-bit xxhash per (seed, shingle) instead of an md5 hex
+    * string (no 32-char string materialization, no hex encode). Seeding
+    * via a leading literal column gives 16 independent functions, same
+    * estimator family as the md5 form. NOT in the oracle set (DuckDB's
+    * hash() is a different xxhash flavor) — spec'd against the md5
+    * family's near-dup pairs instead. */
+  private def signaturesFast(spark: SparkSession, dir: String): DataFrame = {
+    val aggs = (0 until MinhashFuncs).map(i =>
+      min(xxhash64(lit(i), col("s"))).as(s"mh$i"))
+    shingles(spark, dir).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
   /** MinHash + LSH banding near-dup pairs: candidates = docs sharing one
     * full band (4 of 4 sig rows equal), verified by estimated Jaccard
     * (matching sigs / 16) ≥ 0.5. The band join is an *equi* join on
     * (band_idx, band_hash) — shuffle on a uniform key, no cross product
     * anywhere: this is the shape that survives 100 TB. */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    lshPairs(signatures(spark, dir), parts => md5(concat(parts: _*)))
+
+  /** The xxhash64 form of minhashLsh — identical plan shape, cheaper
+    * hashing (see signaturesFast). Near-dup pair agreement with the md5
+    * family is asserted in ExtensionsSpec. */
+  def minhashLshFast(spark: SparkSession, dir: String): DataFrame =
+    lshPairs(signaturesFast(spark, dir), parts => xxhash64(parts: _*))
+
+  private def lshPairs(sig0: DataFrame, bandHash: Seq[Column] => Column): DataFrame = {
     val rows = MinhashFuncs / MinhashBands
-    val sig = signatures(spark, dir)
+    val sig = sig0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sig.count() // materialize once: the signature frame feeds three plan
     // branches (bands + both join sides) and would recompute 3x otherwise;
     // disk spill keeps that guarantee when signatures outgrow memory
     val bandCols = (0 until MinhashBands).map { bi =>
       val parts = (bi * rows until (bi + 1) * rows).map(i => col(s"mh$i"))
-      struct(lit(bi).as("band_idx"), md5(concat(parts: _*)).as("band_hash"))
+      struct(lit(bi).as("band_idx"), bandHash(parts).as("band_hash"))
     }
     val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bd"))
       .select(col("doc_id"), col("bd.band_idx").as("band_idx"), col("bd.band_hash").as("band_hash"))
@@ -234,6 +256,7 @@ object Dedup {
     "dd_ngram_jaccard" -> ngramJaccard _,
     "dd_minhash_sig" -> minhashSignatures _,
     "dd_minhash_lsh" -> minhashLsh _,
+    "dd_minhash_lsh_fast" -> minhashLshFast _, // no oracle: engine-internal hash family, spec'd vs md5 form
     "dd_simhash" -> simhash _,
     "dd_simhash_pairs" -> simhashPairs _,
     "dd_embed_cos" -> embeddingCosine _,

@@ -52,6 +52,18 @@ class ExtensionsSpec extends SparkSpec {
     assert(recall >= 0.3, s"recall=$recall")
   }
 
+  test("xxhash64 minhash family finds the same near-dups as the md5 family") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val md5Pairs = pairs(Dedup.minhashLsh(spark, sf))
+    val fastPairs = pairs(Dedup.minhashLshFast(spark, sf))
+    assert(md5Pairs.nonEmpty)
+    // two 16-function minhash estimators of the same Jaccard: pair sets
+    // agree up to threshold noise on borderline pairs
+    val overlap = (md5Pairs & fastPairs).size.toDouble / (md5Pairs | fastPairs).size
+    assert(overlap >= 0.8, s"overlap=$overlap md5=${md5Pairs.size} fast=${fastPairs.size}")
+  }
+
   test("weighted stats aggregator matches the expression form") {
     import spark.implicits._
     import graft.functions.WeightedStats
