@@ -251,6 +251,32 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** The 100 TB embedding near-dup path: sign-random-projection buckets
+    * (Similarity's 8 tables × 6 bits, multi-probe over 1-bit flips on
+    * one join side) generate candidates via an equi join on
+    * (tbl, bucket); only candidates get the exact dot-product verify.
+    * Same contract as minhashLsh-vs-ngramJaccard: embeddingCosine is
+    * the quadratic oracle, this is the scale shape (recall measured in
+    * ExtensionsSpec). */
+  def embeddingCosineBucketed(spark: SparkSession, dir: String,
+      threshold: Double = 0.45): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val b = Similarity.withBuckets(e)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val x = b.select(col("vec_id").as("a_id"), col("v").as("va"), col("tbl"),
+      explode(Similarity.probeBuckets(col("bucket"))).as("bucket"))
+    val y = b.select(col("vec_id").as("b_id"), col("v").as("vb"), col("tbl"), col("bucket"))
+    x.join(y, Seq("tbl", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "va", "vb")
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("cs", graft.plans.VectorOps.dot(col("va"), col("vb")))
+      .filter(col("cs") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("cs"), 4).as("cs"))
+      .orderBy("a_id", "b_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> exact _,
     "dd_ngram_jaccard" -> ngramJaccard _,
@@ -260,6 +286,8 @@ object Dedup {
     "dd_simhash" -> simhash _,
     "dd_simhash_pairs" -> simhashPairs _,
     "dd_embed_cos" -> embeddingCosine _,
+    "dd_embed_cos_lsh" -> ((s: SparkSession, d: String) =>
+      embeddingCosineBucketed(s, d)), // no oracle: bucketed scale path, recall spec'd vs the exact form
   )
 
   private val shingleCte =

@@ -76,8 +76,10 @@ object Similarity {
     }
   }
 
-  /** Bucket id columns: for each table, the bitstring of hyperplane signs. */
-  private def withBuckets(df: DataFrame): DataFrame = {
+  /** Bucket id columns: for each table, the bitstring of hyperplane signs.
+    * Package-visible so Dedup's bucketed near-dup pair path reuses the
+    * same tables. */
+  private[operators] def withBuckets(df: DataFrame): DataFrame = {
     val bucketCols = (0 until LshTables).map { t =>
       val bits = (0 until LshBits).map { p =>
         val plane = hyperplane(t, p)
@@ -93,7 +95,7 @@ object Similarity {
   /** Multi-probe bucket list: the bucket itself plus every 1-bit flip —
     * the standard multi-probe LSH trick (a near-miss neighbor most likely
     * differs in exactly one hyperplane sign). */
-  private def probeBuckets(bucket: Column): Column = {
+  private[operators] def probeBuckets(bucket: Column): Column = {
     val flips = (0 until LshBits).map { p =>
       val ch = substring(bucket, p + 1, 1)
       concat(substring(bucket, 1, p),

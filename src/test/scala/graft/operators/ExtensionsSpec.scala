@@ -64,6 +64,18 @@ class ExtensionsSpec extends SparkSpec {
     assert(overlap >= 0.8, s"overlap=$overlap md5=${md5Pairs.size} fast=${fastPairs.size}")
   }
 
+  test("bucketed embedding near-dup recovers the exact pairs with a precise verify") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Dedup.embeddingCosine(spark, sf))
+    val bucketed = pairs(Dedup.embeddingCosineBucketed(spark, sf))
+    assert(exact.nonEmpty)
+    // candidates are exact-verified, so no false positives ever
+    assert(bucketed.subsetOf(exact), s"false positives: ${bucketed -- exact}")
+    val recall = (exact & bucketed).size.toDouble / exact.size
+    assert(recall >= 0.7, s"recall=$recall (${bucketed.size}/${exact.size})")
+  }
+
   test("weighted stats aggregator matches the expression form") {
     import spark.implicits._
     import graft.functions.WeightedStats
