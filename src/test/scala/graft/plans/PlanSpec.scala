@@ -66,6 +66,18 @@ class PlanSpec extends AnyFunSuite {
       s"quadratic pair join shape:\n$plan")
   }
 
+  test("bucketed embedding near-dup and multi-probe LSH are equi joins, not nested loops") {
+    Seq(
+      graft.operators.Dedup.embeddingCosineBucketed(spark, sf),
+      Similarity.lshTopK(spark, sf)
+    ).foreach { df =>
+      df.collect() // finalize the adaptive plan
+      val plan = planOf(df)
+      assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+        s"quadratic join shape:\n$plan")
+    }
+  }
+
   test("native dot product is bit-identical to zip_with+aggregate") {
     val e = Tables.embeddings(spark, sf)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
