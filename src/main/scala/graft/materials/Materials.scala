@@ -37,9 +37,13 @@ object Materials {
     * never inherits the 4-partition landing layout. */
   def readJson(spark: SparkSession, dataDir: String = DefaultDataDir,
       numPartitions: Int = 0): DataFrame = {
+    // pathGlobFilter instead of a "/*.json" glob path: same selection,
+    // but avoids Spark's glob-existence probe (a benign-but-noisy
+    // FileNotFoundException logged on every read)
     val df = spark.read.schema(MaterialSchema.schema)
       .option("multiLine", true)
-      .json(s"$dataDir/*.json")
+      .option("pathGlobFilter", "*.json")
+      .json(dataDir)
     if (numPartitions > 0) df.repartition(numPartitions) else df.coalesce(4)
   }
 

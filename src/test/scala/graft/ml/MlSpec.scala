@@ -148,6 +148,29 @@ class MlSpec extends SparkSpec {
     assert(a == b, s"$a vs $b")
   }
 
+  test("bare pymatgen Structure JSON predicts (composition derived from sites)") {
+    import DielectricModel._
+    import org.apache.spark.sql.functions._
+    // extract one record's structure object as a BARE structure file
+    // (what Structure.from_file / main.py -s passes around)
+    val rec = graft.materials.Materials.readJson(spark)
+      .select(to_json(col("structure")).as("sj"), col("formula"))
+      .head()
+    val dir = java.nio.file.Files.createTempDirectory("bare").toString
+    val path = s"$dir/structure.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), rec.getString(0))
+    val model = train(spark, Electronic, Comp, numTrees = 10, maxDepth = 5)
+    val out = predictStructureJson(spark, model, Comp, path).collect()
+    assert(out.length == 1)
+    val row = out.head
+    assert(row.getString(0) == path) // synthesized id = path
+    assert(row.getDouble(3) > 0.0) // pred = 10^log10 is positive
+    // derived composition covers the same elements as the record formula
+    val derived = graft.functions.FormulaParser.fractions(row.getString(1))
+    val expected = graft.functions.FormulaParser.fractions(rec.getString(1))
+    assert(derived.keySet == expected.keySet, s"$derived vs $expected")
+  }
+
   test("CLI semantics: accepts both spellings, rejects junk") {
     import DielectricModel._
     assert(DielectricType.parse("el") == Electronic)
