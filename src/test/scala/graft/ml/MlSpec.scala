@@ -171,6 +171,37 @@ class MlSpec extends SparkSpec {
     assert(derived.keySet == expected.keySet, s"$derived vs $expected")
   }
 
+  test("POSCAR file predicts through the comp_st path (P1 space group)") {
+    import DielectricModel._
+    val poscar =
+      """rutile TiO2
+        |1.0
+        |4.594 0.000 0.000
+        |0.000 4.594 0.000
+        |0.000 0.000 2.959
+        |Ti O
+        |2 4
+        |Direct
+        |0.000 0.000 0.000
+        |0.500 0.500 0.500
+        |0.305 0.305 0.000
+        |0.695 0.695 0.000
+        |0.805 0.195 0.500
+        |0.195 0.805 0.500
+        |""".stripMargin
+    val dir = java.nio.file.Files.createTempDirectory("poscar_pred").toString
+    val path = s"$dir/POSCAR"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), poscar)
+    val model = train(spark, Electronic, CompSt, numTrees = 10, maxDepth = 5)
+    val out = predictPoscar(spark, model, CompSt, path).collect()
+    assert(out.length == 1)
+    assert(out.head.getString(1) == "O4Ti2")
+    val pred = out.head.getDouble(3)
+    // rutile's electronic dielectric constant is ~6-7; any trained model
+    // must land in a physically sane oxide range
+    assert(pred > 1.0 && pred < 100.0, s"pred=$pred")
+  }
+
   test("CLI semantics: accepts both spellings, rejects junk") {
     import DielectricModel._
     assert(DielectricType.parse("el") == Electronic)
