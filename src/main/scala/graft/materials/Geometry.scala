@@ -179,12 +179,19 @@ object Geometry {
 
   /** Single-bond order parameter (CN_1): how much the nearest neighbor
     * dominates the second — (d₂−d₁)/d₂, 1 for an isolated bonded pair,
-    * 0 when the two nearest neighbors are equidistant (C16 "sgl_bd"). */
-  def singleBondOrder(nbrDists: Seq[Double]): Double = {
+    * 0 when the two nearest neighbors are equidistant (C16 "sgl_bd").
+    * With a finite `cutoff`, a site whose only neighbor is inside the
+    * cutoff scores (cutoff−d₁)/cutoff — the exact CN-gap weight the
+    * featurizer uses for every motif, so spec and pipeline share ONE
+    * definition. */
+  def singleBondOrder(nbrDists: Seq[Double],
+      cutoff: Double = Double.PositiveInfinity): Double = {
     val ds = nbrDists.sorted.take(2)
     if (ds.isEmpty) 0.0
-    else if (ds.size == 1) 1.0
-    else (ds(1) - ds(0)) / ds(1)
+    else {
+      val d2 = if (ds.size > 1) ds(1) else cutoff
+      if (d2.isPosInfinity) 1.0 else (d2 - ds(0)) / d2
+    }
   }
 
   /** Bent-motif order parameter over the 2 nearest neighbors with an

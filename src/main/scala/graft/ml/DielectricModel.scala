@@ -163,6 +163,7 @@ object DielectricModel {
               "pymatgen Structure JSON (lattice/sites) — cannot featurize")
         val counts = elemsRow.getSeq[String](0)
           .groupBy(identity).view.mapValues(_.size.toDouble).toMap
+        requireKnownElements(counts.keys, path)
         val formula = counts.toSeq.sortBy(_._1).map { case (e, n) =>
           if (n == 1.0) e else s"$e${n.toInt}" }.mkString
         st.select(
@@ -197,6 +198,7 @@ object DielectricModel {
     val p = graft.sources.Poscar.parse(
       new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8"))
     val counts = p.siteElements.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    requireKnownElements(counts.keys, path)
     val formula = counts.toSeq.sortBy(_._1).map { case (e, n) =>
       if (n == 1.0) e else s"$e${n.toInt}" }.mkString
     val base = Seq((path, formula, counts)).toDF("mp_id", "formula", "comp")
@@ -215,6 +217,19 @@ object DielectricModel {
     model.transform(feats)
       .select(col("mp_id"), col("formula"), col("prediction").as("pred_log10"),
         pow(lit(10.0), col("prediction")).as("pred"))
+  }
+
+  /** CLI inputs can contain arbitrary elements; the featurizers silently
+    * drop anything outside the 51-element corpus table (broadcast inner
+    * join, band-edge filter), which would turn an Fe₂O₃ request into a
+    * confident prediction for plain O. Fail loudly instead. */
+  private def requireKnownElements(elems: Iterable[String], source: String): Unit = {
+    val unknown = elems.filterNot(ElementData.bySymbol.contains).toSeq.sorted
+    if (unknown.nonEmpty)
+      throw new IllegalArgumentException(
+        s"$source contains element(s) outside the model's 51-element corpus " +
+          s"table: ${unknown.mkString(", ")} — prediction would silently " +
+          "ignore them, so it is refused")
   }
 
   /** Golden prediction file → (mp_id, golden) frame. The file is one flat

@@ -214,7 +214,7 @@ object StructureFeaturizer {
         cnW(3) * Geometry.trigonalPlanarOrder(sortedVecs),
         cnW(4) * Geometry.squarePlanarOrder(sortedVecs),
         cnW(4) * Geometry.seeSawOrder(sortedVecs),
-        cnGap(1),
+        Geometry.singleBondOrder(sdist, NbrCutoff), // ≡ cnGap(1): one shared definition
         cnW(2) * Geometry.bentOrder(sortedVecs, 150.0),
         cnW(5) * Geometry.pentagonalPlanarOrder(sortedVecs),
         cnW(12) * Geometry.q6Order(sortedVecs),

@@ -67,12 +67,12 @@ object Dedup {
     * oracle query runs without the cap (exact). */
   def ngramJaccardImpl(spark: SparkSession, dir: String,
       maxShingleDocFreq: Int): DataFrame = {
-    // MEMORY_AND_DISK, not MEMORY_ONLY: at 100 TB the exploded shingle
-    // frame exceeds executor memory, and MEMORY_ONLY eviction would
-    // silently recompute the md5 fan-out for each of the 3 plan branches
-    val sh = shingles(spark, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sh.count() // materialize once; feeds sizes + both join sides
+    // MEMORY_AND_DISK (via the memoized slot), not MEMORY_ONLY: at 100 TB
+    // the exploded shingle frame exceeds executor memory, and MEMORY_ONLY
+    // eviction would silently recompute the md5 fan-out for each of the
+    // 3 plan branches; the slot also shares one materialized frame across
+    // repeated invocations
+    val sh = PersistSlots.cached(spark, s"ngram-shingles:$dir")(shingles(spark, dir))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val joinable =
       if (maxShingleDocFreq == Int.MaxValue) sh
@@ -138,21 +138,22 @@ object Dedup {
     * (band_idx, band_hash) — shuffle on a uniform key, no cross product
     * anywhere: this is the shape that survives 100 TB. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
-    lshPairs(signatures(spark, dir), parts => md5(concat(parts: _*)))
+    lshPairs(spark, s"lsh-md5:$dir", signatures(spark, dir), parts => md5(concat(parts: _*)))
 
   /** The xxhash64 form of minhashLsh — identical plan shape, cheaper
     * hashing (see signaturesFast). Near-dup pair agreement with the md5
     * family is asserted in ExtensionsSpec. */
   def minhashLshFast(spark: SparkSession, dir: String): DataFrame =
-    lshPairs(signaturesFast(spark, dir), parts => xxhash64(parts: _*))
+    lshPairs(spark, s"lsh-xxh:$dir", signaturesFast(spark, dir), parts => xxhash64(parts: _*))
 
-  private def lshPairs(sig0: DataFrame, bandHash: Seq[Column] => Column): DataFrame = {
+  private def lshPairs(spark: SparkSession, slot: String, sig0: DataFrame,
+      bandHash: Seq[Column] => Column): DataFrame = {
     val rows = MinhashFuncs / MinhashBands
-    val sig = sig0
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sig.count() // materialize once: the signature frame feeds three plan
-    // branches (bands + both join sides) and would recompute 3x otherwise;
-    // disk spill keeps that guarantee when signatures outgrow memory
+    // materialized once via the memoized slot: the signature frame feeds
+    // three plan branches (bands + both join sides) and would recompute
+    // 3x per call — and fully per invocation — otherwise; disk spill
+    // keeps the guarantee when signatures outgrow memory
+    val sig = PersistSlots.cached(spark, slot)(sig0)
     val bandCols = (0 until MinhashBands).map { bi =>
       val parts = (bi * rows until (bi + 1) * rows).map(i => col(s"mh$i"))
       struct(lit(bi).as("band_idx"), bandHash(parts).as("band_hash"))
@@ -205,9 +206,7 @@ object Dedup {
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val nBands = SimhashMaxHamming + 1
     val bandLen = 32 / nBands // 32-bit fingerprint, hd<=1 → two 16-bit halves
-    val fp = simhash(spark, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    fp.count() // materialize once: feeds both sides of the band join
+    val fp = PersistSlots.cached(spark, s"simhash-fp:$dir")(simhash(spark, dir))
     val bandCols = (0 until nBands).map { bi =>
       struct(lit(bi).as("band_idx"),
         substring(col("sh"), bi * bandLen + 1, bandLen).as("band_bits"))
@@ -262,8 +261,7 @@ object Dedup {
       threshold: Double = 0.45): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
-    val b = Similarity.withBuckets(e)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val b = PersistSlots.cached(spark, s"embed-buckets:$dir")(Similarity.withBuckets(e))
     val x = b.select(col("vec_id").as("a_id"), col("v").as("va"), col("tbl"),
       explode(Similarity.probeBuckets(col("bucket"))).as("bucket"))
     val y = b.select(col("vec_id").as("b_id"), col("v").as("vb"), col("tbl"), col("bucket"))

@@ -113,8 +113,7 @@ object Similarity {
     * bruteForceTopK in ExtensionsSpec) — the price of never
     * materializing Q×N. */
   def lshTopK(spark: SparkSession, dir: String): DataFrame = {
-    val e = withBuckets(emb(spark, dir))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e = PersistSlots.cached(spark, s"lsh-buckets:$dir")(withBuckets(emb(spark, dir)))
     val q = e.filter(col("vec_id") < QuerySetSize)
       .select(col("vec_id").as("q_id"), col("v").as("vq"), col("tbl"),
         explode(probeBuckets(col("bucket"))).as("bucket"))
@@ -150,7 +149,12 @@ object Similarity {
     val fitOn = if (sampleFraction >= 1.0) e else e.sample(sampleFraction, 42L)
     val km = new KMeans().setK(nClusters).setSeed(42L).setFeaturesCol("fv")
       .setPredictionCol("cell").fit(fitOn)
+    // materialize the assignments, then release the fit-time frame: the
+    // index must not keep the raw-embedding scan pinned for its lifetime
     val assigned = km.transform(e).select(col("vec_id"), col("v"), col("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assigned.count()
+    e.unpersist(false)
     IvfIndex(km.clusterCenters.map(_.toArray), assigned)
   }
 
@@ -174,9 +178,21 @@ object Similarity {
   }
 
   // per-process index reuse: queries and benches hitting the same corpus
-  // share one fitted quantizer instead of re-fitting per invocation
+  // share one fitted quantizer instead of re-fitting per invocation.
+  // Keyed by Spark application id as well as (dir, k): a cached index's
+  // assignments DataFrame is bound to the session that built it, and must
+  // never be served to a later session in the same JVM. If the parquet
+  // under `dir` is REWRITTEN in-place mid-process, call clearIvfCache().
   private val ivfCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Int), IvfIndex]
+    scala.collection.concurrent.TrieMap.empty[(String, String, Int), IvfIndex]
+
+  /** Drop all cached indexes (and release their persisted assignments) —
+    * required after rewriting a corpus dir in-place. */
+  def clearIvfCache(): Unit = {
+    ivfCache.values.foreach(i =>
+      try i.assignments.unpersist(false) catch { case _: Throwable => () })
+    ivfCache.clear()
+  }
 
   /** ANN via IVF (inverted-file index): the coarse quantizer assigns every
     * vector to a cell; queries probe only the `nProbe` nearest cells and
@@ -189,7 +205,8 @@ object Similarity {
   def ivfTopK(spark: SparkSession, dir: String, nClusters: Int = 16, nProbe: Int = 6,
       index: Option[IvfIndex] = None): DataFrame = {
     val idx = index.getOrElse(
-      ivfCache.getOrElseUpdate((dir, nClusters), buildIvfIndex(spark, dir, nClusters)))
+      ivfCache.getOrElseUpdate((spark.sparkContext.applicationId, dir, nClusters),
+        buildIvfIndex(spark, dir, nClusters)))
     val assigned = idx.assignments
     val centroids = idx.centroids
     // probe list per query: nProbe nearest centroids (driver-side math on a

@@ -49,6 +49,12 @@ object DocStreams {
     }
     docs.select(col("doc_id"), shingles.as("_sh"))
       .select(col("doc_id") +: sigs: _*)
+      // a doc with <3 tokens has no shingles → NULL signature; drop it
+      // BEFORE banding (concat_ws would silently skip the NULL hash and
+      // collapse every short doc into the same 4 band keys, emitting
+      // bogus all-pairs candidates). Matches the batch path, where
+      // explode of an empty shingle array drops the doc entirely.
+      .filter(col("mh0").isNotNull)
       .select(col("doc_id"), explode(array(bandCols: _*)).as("band_key"))
   }
 

@@ -136,6 +136,9 @@ class GeometrySpec extends AnyFunSuite {
     assert(singleBondOrder(Seq(2.0)) == 1.0)
     assert(math.abs(singleBondOrder(Seq(1.0, 4.0)) - 0.75) < 1e-12)
     assert(singleBondOrder(Seq(2.0, 2.0)) == 0.0)
+    // finite cutoff (the featurizer form): lone neighbor scores the gap
+    // to the cutoff, not a flat 1
+    assert(math.abs(singleBondOrder(Seq(2.0), 6.5) - 4.5 / 6.5) < 1e-12)
   }
 
   test("q6: fcc CN-12 shell matches the published Steinhardt value") {

@@ -200,6 +200,15 @@ class MlSpec extends SparkSpec {
     // rutile's electronic dielectric constant is ~6-7; any trained model
     // must land in a physically sane oxide range
     assert(pred > 1.0 && pred < 100.0, s"pred=$pred")
+
+    // an element outside the 51-element corpus table must be refused, not
+    // silently dropped by the featurizer joins
+    val feposcar = poscar.replace("Ti O", "Fe O")
+    val fpath = s"$dir/POSCAR_FE"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(fpath), feposcar)
+    val ex = intercept[IllegalArgumentException](
+      predictPoscar(spark, model, CompSt, fpath).collect())
+    assert(ex.getMessage.contains("Fe"))
   }
 
   test("CLI semantics: accepts both spellings, rejects junk") {

@@ -150,14 +150,19 @@ class StreamingSpec extends SparkSpec {
     val stream = DocStreams.nearDupCandidates(spark, input.toDF().toDF("doc_id", "text"))
     val q = stream.writeStream.format("memory").queryName("neardup")
       .outputMode(OutputMode.Append()).start()
-    // three chunks: pairs must surface across batch boundaries via state
-    docs.grouped(math.max(1, docs.size / 3)).foreach { chunk =>
+    // three chunks: pairs must surface across batch boundaries via state.
+    // Two shingle-less short docs ride along — they must never pair with
+    // anything (a NULL signature must not collapse into a shared bucket).
+    val shorties = Seq((900001L, "hello world"), (900002L, "foo bar"))
+    (docs ++ shorties).grouped(math.max(1, docs.size / 3)).foreach { chunk =>
       input.addData(chunk)
       q.processAllAvailable()
     }
     q.stop()
     val streamed = spark.table("neardup").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!streamed.exists { case (a, b) => a >= 900000L || b >= 900000L },
+      "short docs must not produce candidates")
     // identical operator over the same data as one static frame
     val batch = DocStreams.nearDupCandidates(spark,
       Tables.documents(spark, sf).select("doc_id", "text")).collect()
