@@ -34,5 +34,13 @@ class ScalerDriftSpec extends SparkSpec {
       assert(!r.isNullAt(r.fieldIndex("eng_mean")) && !r.isNullAt(r.fieldIndex("eng_std")),
         s"${r.getString(2)}: missing engine stats")
     }
+    // overall parity floor: round 2 measured 115/150 components within 5%
+    // on BOTH mean and scale — never regress below 105
+    val tight5 = rep.count { r =>
+      !r.isNullAt(r.fieldIndex("mean_drift_rel")) &&
+        r.getDouble(r.fieldIndex("mean_drift_rel")) <= 0.05 &&
+        r.getDouble(r.fieldIndex("scale_drift_rel")) <= 0.05
+    }
+    assert(tight5 >= 105, s"only $tight5/150 scaler components within 5%")
   }
 }
