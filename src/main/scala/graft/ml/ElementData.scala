@@ -22,6 +22,10 @@ object ElementData {
       valS: Int, valP: Int, valD: Int, valF: Int, isTM: Boolean,
       ie: Double, coreZ: Int, orbitals: Seq[(String, Double)]) {
     def valence: Int = valS + valP + valD + valF
+    /** Magpie Row (standard period — lanthanoids row 6), the table the
+      * ward-prb-2017 LocalPropertyDifference preset reads; distinct from
+      * pymatgen's `row`, which files lanthanoids/actinoids as rows 8/9. */
+    def magpieRow: Int = ElementData.magpieRowOf(z)
     /** Unfilled slots of a PARTIALLY filled valence subshell (a full or
       * empty subshell contributes 0) — the Magpie N*Unfilled convention. */
     private def unfilledOf(n: Int, cap: Int): Int =
@@ -32,6 +36,7 @@ object ElementData {
     def unfilledF: Int = unfilledOf(valF, 14)
     def unfilled: Int = unfilledS + unfilledP + unfilledD + unfilledF
     def mendeleev: Int = ElementData.mendeleevNumber(symbol)
+    def mendeleevMagpie: Int = ElementData.magpieMendeleev(symbol)
     /** Ground-state volume per atom (Å³) from the elemental density. */
     def gsVolPa: Double = ElementData.gsVolumePa(symbol)
     def gsMagmom: Double = ElementData.gsMagneticMoment.getOrElse(symbol, 0.0)
@@ -39,11 +44,55 @@ object ElementData {
     def thermalCond: Double = ElementData.thermalConductivity(symbol)
   }
 
+  /** pymatgen-2019 periodic-table arithmetic (Element.group): groups fall
+    * out of Z directly, which files every post-lanthanide 6th-period
+    * element correctly (the Aufbau-derived s+d rule previously collapsed
+    * Hf..Bi into "f-block, group 3" because their valence set beyond the
+    * Xe core contains the filled 4f shell). Confirmed EXACT against the
+    * shipped "std_dev group" scaler stats (7.154113/2.063451). */
+  private def pmgGroup(z: Int): Int =
+    if (z == 1) 1
+    else if (z == 2) 18
+    else if (z <= 18) {
+      val r = (z - 2) % 8
+      if (r == 0) 18 else if (r <= 2) r else 10 + r
+    } else if (z <= 54) {
+      val r = (z - 18) % 18
+      if (r == 0) 18 else r
+    } else {
+      val r = (z - 54) % 32
+      if (r == 0) 18 else if (r >= 18) r - 14 else r
+    }
+
+  /** pymatgen-2019 Element.row: lanthanoids are row 8, actinoids row 9
+    * (the "printed below the table" convention). Confirmed EXACT against
+    * the shipped "std_dev row" scaler stats (1.817290/0.625401). */
+  private def pmgRow(z: Int): Int =
+    if (z >= 57 && z <= 71) 8
+    else if (z >= 89 && z <= 103) 9
+    else {
+      val sizes = Seq(2, 8, 8, 18, 18, 32, 32)
+      var total = 0; var i = 0; var row = 7
+      while (i < sizes.length && row == 7) {
+        total += sizes(i)
+        if (total >= z) row = i + 1 else i += 1
+      }
+      row
+    }
+
+  /** Standard period (Magpie Row): lanthanoids/actinoids stay in 6/7. */
+  private def magpieRowOf(z: Int): Int = {
+    val sizes = Seq(2, 8, 8, 18, 18, 32, 32)
+    var total = 0; var i = 0
+    while (total < z) { total += sizes(i); i += 1 }
+    i
+  }
+
   /** Pettifor chemical-scale ("Mendeleev") numbers — the published 1984
-    * one-dimensional ordering of the elements (the scale Magpie's
-    * MendeleevNumber feature uses). Values for the 51 corpus elements;
-    * adjacent-transition-metal entries can differ by ±1 between published
-    * tabulations, which perturbs |Δmendeleev| site stats by ≤1. */
+    * one-dimensional ordering of the elements: the values behind
+    * pymatgen's `mendeleev_no`, which the COMPOSITION-side ElementProperty
+    * "matminer" preset reads (exact vs shipped f_mendeleev_* stats).
+    * The structure-side lpd table uses `magpieMendeleev` below instead. */
   private val mendeleevNumber: Map[String, Int] = Map(
     "Cs" -> 8, "Rb" -> 9, "K" -> 10, "Na" -> 11, "Li" -> 12,
     "Ba" -> 14, "Sr" -> 15, "Ca" -> 16, "Sc" -> 19, "Y" -> 25, "La" -> 33,
@@ -54,6 +103,32 @@ object ElementData {
     "Cd" -> 75, "Zn" -> 76, "Be" -> 77, "Tl" -> 78, "In" -> 79, "Al" -> 80,
     "Ga" -> 81, "Pb" -> 82, "Sn" -> 83, "Ge" -> 84, "Si" -> 85, "B" -> 86,
     "Bi" -> 87, "Sb" -> 88, "As" -> 89, "O" -> 101)
+
+  /** Magpie MendeleevNumber (the lookup table Ward's Magpie library and
+    * matminer's MagpieData ship, used by the ward-prb-2017
+    * LocalPropertyDifference preset — reference ml_prediction.py:257-275).
+    * A group-ordered scale, distinct from Pettifor's: alkalis 1-6,
+    * Ca/Sr/Ba/Ra 7-10, Sc/Y 11-12, La/Ac + the f rows interleaved 13-42,
+    * the d-block groups 4-11 column-by-column top-to-bottom 43-66,
+    * Be/Mg 67-68, group 12 69-71, then the p-block groups left-to-right
+    * 72-91, halogens+H 92-97, noble gases 98-103 (O = 87, H = 92). */
+  private val magpieMendeleev: Map[String, Int] = Map(
+    "Li" -> 1, "Na" -> 2, "K" -> 3, "Rb" -> 4, "Cs" -> 5,
+    "Ca" -> 7, "Sr" -> 8, "Ba" -> 9,
+    "Sc" -> 11, "Y" -> 12, "La" -> 13, "Th" -> 16,
+    "Ti" -> 43, "Zr" -> 44, "Hf" -> 45,
+    "V" -> 46, "Nb" -> 47, "Ta" -> 48,
+    "Cr" -> 49, "Mo" -> 50, "W" -> 51,
+    "Mn" -> 52, "Tc" -> 53, "Re" -> 54,
+    "Os" -> 57, "Co" -> 58, "Rh" -> 59,
+    "Ni" -> 61, "Pd" -> 62, "Pt" -> 63,
+    "Cu" -> 64, "Ag" -> 65, "Au" -> 66,
+    "Be" -> 67, "Mg" -> 68,
+    "Zn" -> 69, "Cd" -> 70, "Hg" -> 71,
+    "B" -> 72, "Al" -> 73, "Ga" -> 74, "In" -> 75, "Tl" -> 76,
+    "Si" -> 78, "Ge" -> 79, "Sn" -> 80, "Pb" -> 81,
+    "As" -> 84, "Sb" -> 85, "Bi" -> 86,
+    "O" -> 87)
 
   /** Elemental densities (g/cm³, standard published RT values; O is the
     * DFT-ground-state molecular solid, entered as volume below). */
@@ -76,13 +151,14 @@ object ElementData {
     if (sym == "O") 9.2 // molecular-solid DFT ground state, no bulk density
     else bySymbol(sym).mass * amuPerGcc / densityGcc(sym)
 
-  /** DFT ground-state magnetic moments (μB/atom, approximate published
-    * values): nonzero ONLY for the ferromagnetic ground states (Fe/Co/Ni
-    * — the Magpie convention; antiferromagnets like Cr/Mn and molecular
-    * O₂ carry zero NET moment per atom, confirmed by the reference
-    * scaler's near-zero GSmagmom local-difference mean). */
+  /** DFT ground-state magnetic moments (μB/atom, the Magpie GSmagmom
+    * convention — OQMD ground-state values): nonzero ONLY for the
+    * ferromagnetic ground states among the corpus elements (Co/Ni;
+    * Fe is absent from the corpus, and antiferromagnets like Cr/Mn and
+    * molecular O₂ carry zero NET moment per atom, confirmed by the
+    * reference scaler's near-zero GSmagmom local-difference mean). */
   private val gsMagneticMoment: Map[String, Double] = Map(
-    "Co" -> 1.7, "Ni" -> 0.6)
+    "Co" -> 1.548471, "Ni" -> 0.612263)
 
   /** Space-group number of the elemental ground-state crystal structure
     * (standard published assignments). */
@@ -279,22 +355,19 @@ object ElementData {
     val byL = valenceOrbs.groupBy(_._1._2).view.mapValues(_.map(_._2).sum).toMap
     val (s, p, d, f) = (byL.getOrElse('s', 0), byL.getOrElse('p', 0),
       byL.getOrElse('d', 0), byL.getOrElse('f', 0))
-    // Period from the noble-gas core, NOT max valence n: Aufbau exceptions
-    // like Pd (4d10 5s0) would otherwise under-report the row (Pd is
-    // period 5 even with no occupied n=5 orbital).
-    val row = nobleZ.indexOf(core) + 1
-    val block = if (f > 0 && symbol != "La") "f"
-      else if (d > 0 && d < 10) "d"
-      else if (d == 10 && p == 0 && symbol != "Pd") "d" // Zn/Cd/Hg group 12
-      else if (p > 0) "p"
-      else if (symbol == "Pd") "d"
-      else "s"
-    val group = block match {
-      case "s" => s
-      case "d" => s + d
-      case "p" => 10 + s + p
-      case _ => 3
-    }
+    // Row/group/block via the pymatgen-2019 periodic-table arithmetic —
+    // the tables PymatgenData (comp-side ElementProperty "matminer"
+    // preset) reads. Block follows the electron configuration: La
+    // ([Xe]5d¹6s²) and Th ([Rn]6d²7s²) are d-block in pymatgen 2019, and
+    // filled-4f 6th-period elements (Hf..Bi) are d/p, not f. The
+    // group-number rule below (1-2→s, 3-12→d, 13-18→p) reproduces the
+    // shipped "mean/std_dev block" scaler stats to 7e-07 on this corpus.
+    val row = pmgRow(z)
+    val group = pmgGroup(z)
+    val block =
+      if (group <= 2) "s"
+      else if (group <= 12) "d"
+      else "p"
     // valence subshell names paired with their NIST-LDA energies, sorted by
     // energy — built from the SAME configuration so table and filling can
     // never drift apart (missing energy entries fail at object init)
@@ -346,14 +419,11 @@ object ElementData {
     // Magpie-style additions (C19 ward-preset / PymatgenData props)
     "mendeleev" -> (_.mendeleev.toDouble),
     // numeric block encoding behind "PymatgenData mean/std_dev block":
-    // s=1, p=2, d=3, f=4 over pymatgen's LAST-FILLED-SUBSHELL block rule
-    // (group 11/12 configs ...d10 ns1/ns2 read as s-block; lanthanoids/
-    // actinoids as f) — the variant that reproduces the shipped scaler
-    // mean to 0.4% (1.949 vs 1.942; the group-number rule gives 2.025)
-    "block_num" -> (e =>
-      if (e.symbol == "La" || e.symbol == "Th") 4.0
-      else if (Set("Cu", "Ag", "Au", "Zn", "Cd", "Hg")(e.symbol)) 1.0
-      else ("spdf".indexOf(e.block) + 1).toDouble),
+    // matminer's block_key {s:1, p:2, d:3, f:4} over the pymatgen-2019
+    // block rule above — reproduces the shipped scaler mean AND scale for
+    // both block components to 7e-07 (the previous last-filled-subshell
+    // variant matched the mean but drifted the scale 35%)
+    "block_num" -> (e => ("spdf".indexOf(e.block) + 1).toDouble),
     "unfilled" -> (_.unfilled.toDouble),
     "gs_vol" -> (_.gsVolPa),
     "gs_magmom" -> (_.gsMagmom),

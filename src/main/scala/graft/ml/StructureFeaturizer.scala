@@ -127,11 +127,15 @@ object StructureFeaturizer {
       val solidSum = solidW.sum.max(1e-12)
       def symmWt(n: Int): Double =
         cell.faces.zip(solidW).collect { case (f, w) if f.nVerts == n => w }.sum / solidSum
-      // face-area-weighted bond lengths (face dist*2 = neighbor distance)
+      // face-area-weighted bond lengths (face dist*2 = neighbor distance).
+      // StructuralHeterogeneity's "neighbor distance variation" is the
+      // weighted mean ABSOLUTE deviation over the mean (matminer
+      // PropertyStats.avg_dev), not a weighted std — the std form drifted
+      // the shipped "mean neighbor distance variation" stat 28% high.
       val wBond = cell.faces.map(f => f.area * 2 * f.dist).sum / areaSum
       val bondVar =
         if (wBond > 0)
-          math.sqrt(cell.faces.map(f => f.area * math.pow(2 * f.dist - wBond, 2)).sum / areaSum) / wBond
+          cell.faces.map(f => f.area * math.abs(2 * f.dist - wBond)).sum / areaSum / wBond
         else 0.0
       def lpd(prop: Int => Double): Double =
         cell.faces.map(f => f.area * math.abs(prop(siteMap(f.nbrIdx)) - prop(i))).sum / areaSum
@@ -200,9 +204,13 @@ object StructureFeaturizer {
         subvolMax, bondVar,
         symmWt(3), symmWt(4), symmWt(5), symmWt(6),
         lpd(j => ens(j)), lpd(j => radii(j)), lpd(j => masses(j)),
+        // lpd property table = MagpieData (ward-prb-2017 preset): Magpie
+        // Row keeps La in period 6 and Magpie MendeleevNumber is the
+        // group-ordered scale — both differ from the pymatgen values the
+        // comp-side featurizer reads
         lpd(j => props(j).valence.toDouble), lpd(j => props(j).group.toDouble),
-        lpd(j => props(j).row.toDouble),
-        lpd(j => props(j).z.toDouble), lpd(j => props(j).mendeleev.toDouble),
+        lpd(j => props(j).magpieRow.toDouble),
+        lpd(j => props(j).z.toDouble), lpd(j => props(j).mendeleevMagpie.toDouble),
         lpd(j => props(j).meltingK),
         lpd(j => props(j).valD.toDouble), lpd(j => props(j).unfilled.toDouble),
         lpd(j => props(j).unfilledS.toDouble), lpd(j => props(j).unfilledD.toDouble),
