@@ -6,8 +6,14 @@ import org.apache.spark.sql.SparkSession
   * prints ONE JSON line for the driver (BENCH_r{N}.json).
   *
   * Each query is forced with a count() (full pipeline, no driver collect of
-  * payload). One untimed warmup of the first query amortizes JVM/codegen
-  * startup so the numbers reflect steady-state plan execution.
+  * payload). Two passes, both reported:
+  *   - cold: first execution in a fresh JVM — whole-stage-codegen
+  *     compilation, artifact builds (minhash signatures, LSH buckets,
+  *     IVF index) all included. The cost a new cluster pays once.
+  *   - warm (the headline `value`): steady-state re-execution with
+  *     persisted artifacts — the per-query cost of a long-lived cluster.
+  * Reporting both keeps the artifact reuse honest: warm alone would hide
+  * a ~16 s cold minhash build behind a 0.7 s number.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -23,15 +29,11 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val names = SparkEntry.benchQueries.filter(SparkEntry.queries.contains)
-    // warmup: run every query once untimed — first runs are dominated by
-    // whole-stage-codegen compilation (several seconds for the wide
-    // minhash aggregates), which a long-lived cluster pays once
-    names.foreach(n => try SparkEntry.queries(n)(spark, sfDir).count()
-      catch { case _: Throwable => })
 
     // a failing query must be VISIBLE, not recorded as a (tiny) elapsed
-    // time: track per-query success, list failures, and only sum successes
-    val results = names.map { name =>
+    // time: track per-query success, list failures, sum only successes,
+    // and emit null (not the partial elapsed) in the per-query maps
+    def pass(): Seq[(String, Double, Boolean)] = names.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
@@ -39,12 +41,19 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+
+    def fmt(results: Seq[(String, Double, Boolean)]): String =
+      results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v.toString else "null") }
+        .mkString("{", ",", "}")
+
+    val coldResults = pass() // fresh JVM: codegen + artifact builds
+    val warmResults = pass() // steady state: persisted artifacts reused
+
+    val failed = warmResults.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val warmTotal = warmResults.collect { case (_, v, true) => v }.sum
+    val coldTotal = coldResults.collect { case (_, v, true) => v }.sum
+    println(s"""{"metric":"total","value":$warmTotal,"unit":"sec","cold":$coldTotal,"queries":${fmt(warmResults)},"queries_cold":${fmt(coldResults)},"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

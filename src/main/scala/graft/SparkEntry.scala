@@ -39,5 +39,8 @@ object SparkEntry {
     "q1_filter_project", "q2_agg", "q3_join", "q6_range_join",
     "q7_asof_join", "q8_window", "q10_distinct", "q11_rollup",
     "q16_array", "q19_window_agg",
-    "dd_minhash_lsh", "dd_minhash_lsh_fast", "dd_embed_cos", "ann_topk", "tx_quality")
+    // dd_embed_cos_lsh (bucketed equi join), NOT dd_embed_cos: the exact
+    // quadratic form is the ORACLE role; a BroadcastNestedLoop must not
+    // sit in the headline set it would dominate at 100x scale
+    "dd_minhash_lsh", "dd_minhash_lsh_fast", "dd_embed_cos_lsh", "ann_topk", "tx_quality")
 }

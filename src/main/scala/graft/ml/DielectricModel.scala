@@ -155,6 +155,18 @@ object DielectricModel {
         // wrap it in the canonical record shape
         val st = spark.read.schema(graft.materials.MaterialSchema.structure)
           .option("multiLine", true).json(path)
+        // reject disordered sites up front: the whole structure pipeline
+        // (here and in StructureFeaturizer) reads species[0] at occupancy
+        // 1, so a partially-occupied or multi-species site would get a
+        // confidently WRONG composition rather than an error
+        val disorderRow = st.select(expr(
+          "size(filter(sites, s -> size(s.species) != 1 or " +
+            "abs(s.species[0].occu - 1.0) > 1e-9)) as bad")).head()
+        if (!disorderRow.isNullAt(0) && disorderRow.getInt(0) > 0)
+          throw new IllegalArgumentException(
+            s"$path has ${disorderRow.getInt(0)} disordered site(s) " +
+              "(multiple species or occupancy != 1) — the featurizers " +
+              "require ordered structures; order the structure first")
         val elemsRow = st
           .select(expr("transform(sites, s -> s.species[0].element)").as("elems")).head()
         if (elemsRow.isNullAt(0))

@@ -83,6 +83,10 @@ object StructureFeaturizer {
 
     // Voronoi cells drive C14/C15/C19
     val voro = graft.materials.Voronoi.cellsWithSites(lat, frac)
+
+    // exact OPSiteFingerprint per-site values (shell-snapped CN
+    // resolution + histogram vote — materials.OpFingerprint)
+    val opSites = graft.materials.OpFingerprint.material(lat, frac)
     val props = in.elems.map(e => ElementData.bySymbol(e)).toArray
     val ens = props.map(_.en)
 
@@ -140,37 +144,11 @@ object StructureFeaturizer {
       def lpd(prop: Int => Double): Double =
         cell.faces.map(f => f.area * math.abs(prop(siteMap(f.nbrIdx)) - prop(i))).sum / areaSum
       val sortedNbrs = nbrs.sortBy(_.dist)
-      val sortedVecs = sortedNbrs.map(_.vec)
-      // CN-match weight for the order-parameter family (the matminer
-      // OPSiteFingerprint "op CN_c" convention resolves each motif score
-      // by how plausibly the site HAS coordination c): based on the
-      // relative distance gap after the c-th neighbor,
-      // (d_{c+1} − d_c)/d_{c+1} — 0 when neighbors c and c+1 are
-      // equidistant (shell continues), →1 when a clean shell of c
-      // closes. Calibrated against the shipped scaler vectors: sgl_bd
-      // CN_1 equals the LINEAR gap to 0.25%, while the c≥2 motifs match
-      // the reference's smoothed-histogram weighting at the HALF-POWER
-      // of the gap (a perovskite Ti–O₆ shell then scores ~0.63 vs the
-      // reference's 0.61 max; the raw gap sits 3x low, no weight 2–6x
-      // high).
-      val sdist = sortedNbrs.map(_.dist)
-      def cnGap(c: Int): Double =
-        if (sdist.size < c) 0.0
-        else {
-          val dc = sdist(c - 1)
-          val dn = if (sdist.size > c) sdist(c) else NbrCutoff
-          (dn - dc) / dn
-        }
-      def cnW(c: Int): Double = math.sqrt(cnGap(c))
-      // linear CN_2 order parameter: angle between the two nearest
-      // neighbors, 1 at 180°
-      val opLin =
-        if (sortedVecs.size >= 2) {
-          val a = sortedVecs(0); val b = sortedVecs(1)
-          val cos = (a(0) * b(0) + a(1) * b(1) + a(2) * b(2)) /
-            (Geometry.norm(a) * Geometry.norm(b))
-          (1.0 - cos) / 2
-        } else 0.0
+      // exact OPSiteFingerprint values (shell-snapped CN resolution +
+      // histogram vote over three shell widths — materials.OpFingerprint;
+      // replaces the r2 CN-gap approximation that drifted the op-family
+      // scaler components 25-50%)
+      val ops = opSites(i)
       // G4 angular symmetry functions (Behler–Parrinello), η=0.005, ζ=4, λ=±1
       var g4p = 0.0; var g4n = 0.0
       val nn = sortedNbrs.size
@@ -216,16 +194,8 @@ object StructureFeaturizer {
         lpd(j => props(j).unfilledS.toDouble), lpd(j => props(j).unfilledD.toDouble),
         lpd(j => props(j).gsVolPa), lpd(j => props(j).gsMagmom),
         lpd(j => props(j).sgNumber.toDouble),
-        cnW(4) * Geometry.tetrahedralOrder(sortedVecs),
-        cnW(6) * Geometry.octahedralOrder(sortedVecs),
-        cnW(2) * opLin,
-        cnW(3) * Geometry.trigonalPlanarOrder(sortedVecs),
-        cnW(4) * Geometry.squarePlanarOrder(sortedVecs),
-        cnW(4) * Geometry.seeSawOrder(sortedVecs),
-        Geometry.singleBondOrder(sdist, NbrCutoff), // ≡ cnGap(1): one shared definition
-        cnW(2) * Geometry.bentOrder(sortedVecs, 150.0),
-        cnW(5) * Geometry.pentagonalPlanarOrder(sortedVecs),
-        cnW(12) * Geometry.q6Order(sortedVecs),
+        ops.tet, ops.oct, ops.lin, ops.tri, ops.sqp, ops.ssw,
+        ops.sgl, ops.bent150, ops.pent, ops.q6,
         g4p, g4n)
     }
 

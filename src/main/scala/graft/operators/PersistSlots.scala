@@ -17,12 +17,22 @@ import org.apache.spark.storage.StorageLevel
 private[operators] object PersistSlots {
   private val slots = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
-  def cached(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    slots.getOrElseUpdate(s"${spark.sparkContext.applicationId}|$key", {
+  def cached(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    val appId = spark.sparkContext.applicationId
+    // drop slots belonging to other (stopped) applications so a
+    // long-lived JVM cycling SparkSessions can't accumulate stale
+    // DataFrame references and their lineage (one live SparkContext per
+    // JVM ⇒ a different appId is always a dead one)
+    slots.keys.filterNot(_.startsWith(s"$appId|")).foreach { k =>
+      slots.remove(k).foreach(df =>
+        try df.unpersist(false) catch { case _: Throwable => () })
+    }
+    slots.getOrElseUpdate(s"$appId|$key", {
       val p = build.persist(StorageLevel.MEMORY_AND_DISK)
       p.count() // materialize once, eagerly — callers rely on it
       p
     })
+  }
 
   /** Release every memoized frame (after an in-place data rewrite). */
   def clear(): Unit = {

@@ -60,22 +60,41 @@ object DocStreams {
 
   /** Near-dup candidate pairs, emitted incrementally: works on a stream
     * (append mode) and, with the same code path, on a static frame —
-    * StreamingSpec asserts stream ≡ batch and ⊇ Dedup.minhashLsh. */
-  def nearDupCandidates(spark: SparkSession, docs: DataFrame): Dataset[CandidatePair] = {
+    * StreamingSpec asserts stream ≡ batch and ⊇ Dedup.minhashLsh.
+    *
+    * @param horizonMs dedup horizon: a band bucket idle longer than this
+    *                  is evicted (ProcessingTimeTimeout), bounding state
+    *                  on an unbounded stream — docs farther apart than
+    *                  the horizon are no longer reported as dups. None
+    *                  keeps NoTimeout (the exact batch-equivalence
+    *                  path; only sane for bounded inputs). */
+  def nearDupCandidates(spark: SparkSession, docs: DataFrame,
+      horizonMs: Option[Long] = None): Dataset[CandidatePair] = {
     import spark.implicits._
+    val timeoutConf = if (horizonMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     bandKeys(docs)
       .select(col("band_key").as[String], col("doc_id").as[Long])
       .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf) {
         (_: String, rows: Iterator[(String, Long)], state: GroupState[BandState]) =>
-          val seen = state.getOption.map(_.ids).getOrElse(Seq.empty)
-          val fresh = rows.map(_._2).toSeq.distinct.filterNot(seen.contains)
-          if (fresh.nonEmpty) state.update(BandState(seen ++ fresh))
-          val out = for {
-            (b, i) <- fresh.zipWithIndex
-            a <- seen ++ fresh.take(i)
-          } yield CandidatePair(math.min(a, b), math.max(a, b))
-          out.iterator
+          if (state.hasTimedOut) { // horizon passed with no activity
+            state.remove()
+            Iterator.empty
+          } else {
+            val seenSeq = state.getOption.map(_.ids).getOrElse(Seq.empty)
+            val seen = seenSeq.toSet // O(1) membership; ids stored as Seq
+            val fresh = rows.map(_._2).toSeq.distinct.filterNot(seen)
+            if (fresh.nonEmpty) state.update(BandState(seenSeq ++ fresh))
+            // every batch with activity extends the bucket's lease
+            if (horizonMs.isDefined && state.exists)
+              state.setTimeoutDuration(horizonMs.get)
+            val out = for {
+              (b, i) <- fresh.zipWithIndex
+              a <- seenSeq ++ fresh.take(i)
+            } yield CandidatePair(math.min(a, b), math.max(a, b))
+            out.iterator
+          }
       }
   }
 }

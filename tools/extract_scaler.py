@@ -30,12 +30,14 @@ class RestrictedUnpickler(pickle._Unpickler):
         if module == "joblib.numpy_pickle" and name == "NumpyArrayWrapper":
             return NumpyArrayWrapper
         if module.startswith("numpy"):
+            # exact allowlist, no getattr fallback: any other numpy callable
+            # (np.load with allow_pickle, etc.) reachable from a REDUCE
+            # opcode would defeat the sandbox this unpickler exists for
             table = {"_reconstruct": multiarray._reconstruct,
                      "scalar": multiarray.scalar,
                      "dtype": np.dtype, "ndarray": np.ndarray}
             if name in table:
                 return table[name]
-            return getattr(np, name)
         raise pickle.UnpicklingError(f"forbidden {module}.{name}")
 
     def load_build(self):
