@@ -32,84 +32,125 @@ object CompositionFeaturizer {
 
   /** Ideal center/neighbor radius ratios R*(N) for efficiently-packed
     * clusters of coordination N (Miracle's atomic-packing-efficiency
-    * model; standard sphere-packing values) — the C9 lookup. */
-  private val idealRatio: Map[Int, Double] = Map(
-    3 -> 0.155, 4 -> 0.225, 5 -> 0.362, 6 -> 0.414, 7 -> 0.518, 8 -> 0.617,
-    9 -> 0.732, 10 -> 0.799, 11 -> 0.884, 12 -> 0.902, 13 -> 0.976,
-    14 -> 1.047, 15 -> 1.116, 16 -> 1.183, 17 -> 1.248, 18 -> 1.311,
-    19 -> 1.373, 20 -> 1.433, 21 -> 1.491, 22 -> 1.548, 23 -> 1.604, 24 -> 1.659)
+    * model, the published sphere-packing table matminer hardcodes) —
+    * the C9 lookup. */
+  private val idealRatio: Array[Double] = { // index = N, valid 3..24
+    val m = Map(
+      3 -> 0.154701, 4 -> 0.224745, 5 -> 0.361654, 6 -> 0.414214,
+      7 -> 0.518145, 8 -> 0.616517, 9 -> 0.709914, 10 -> 0.798907,
+      11 -> 0.884003, 12 -> 0.902113, 13 -> 0.976006, 14 -> 1.04733,
+      15 -> 1.11632, 16 -> 1.18318, 17 -> 1.2481, 18 -> 1.31123,
+      19 -> 1.37271, 20 -> 1.43267, 21 -> 1.49119, 22 -> 1.5484,
+      23 -> 1.60436, 24 -> 1.65915)
+    (0 to 24).map(n => m.getOrElse(n, 0.0)).toArray
+  }
 
-  /** C9: per-element SIGNED deviation from the nearest ideal packing
-    * ratio (matminer's "simul. packing efficiency": positive = atom too
-    * large for its shell, negative = too small; signs cancel in the mean,
-    * which is why the reference's scaler mean sits near zero), with the
-    * fraction-weighted mean neighbor radius as the shell radius; returns
-    * (weighted mean deviation, weighted mean |deviation|). */
+  /** matminer's `find_ideal_cluster_size`: walk N = 3..24, APE(N) =
+    * 1 − R*(N)/ratio (decreasing in N), stop at the first sign flip;
+    * returns (best N, SIGNED APE of that cluster). */
+  private def findIdealClusterSize(ratio: Double): (Int, Double) = {
+    var bestN = 3
+    var best = Double.MaxValue
+    var n = 3
+    while (n <= 24) {
+      val ape = 1.0 - idealRatio(n) / ratio
+      if (math.abs(ape) < math.abs(best)) { best = ape; bestN = n }
+      if (ape < 0) return (bestN, best)
+      n += 1
+    }
+    (bestN, best)
+  }
+
+  /** C9: "mean (abs) simul. packing efficiency" — per-element RELATIVE
+    * deviation 1 − R*(N_best)/(r/r̄) from the best ideal cluster when
+    * every atom's shell has the alloy-average radius (matminer's
+    * AtomicPackingEfficiency.compute_simultaneous_packing_efficiency;
+    * signs cancel in the mean, which is why the reference's scaler mean
+    * sits near zero). Returns (weighted mean, weighted mean |·|). */
   private def apeDeviations(comp: Map[String, Double]): (Double, Double) = {
     val present = comp.filter { case (el, _) => ElementData.bySymbol.contains(el) }
     if (present.isEmpty) return (0.0, 0.0)
     val total = present.values.sum
     val rAvg = present.map { case (el, n) => ElementData.bySymbol(el).radius * n }.sum / total
     val devs = present.toSeq.map { case (el, n) =>
-      val ratio = ElementData.bySymbol(el).radius / rAvg
-      val dev = idealRatio.values.minBy(r => math.abs(ratio - r))
-      (ratio - dev, n / total)
+      (findIdealClusterSize(ElementData.bySymbol(el).radius / rAvg)._2, n / total)
     }
     val mean = devs.map { case (d, w) => d * w }.sum
     val meanAbs = devs.map { case (d, w) => math.abs(d) * w }.sum
     (mean, meanAbs)
   }
 
-  /** C9: "dist from N clusters |APE| < 0.010" — composition-space
+  /** C9: "dist from N clusters |APE| < 0.010" — composition-space L2
     * distance to the nearest efficiently-packed clusters buildable from
-    * the composition's own elements. A cluster is (center c, CN n, shell
-    * mix of elements s1/s2) with shell radius solving r_c/r_shell =
-    * R*(n) exactly (binary-mix solve; single-element shells admitted
-    * within the 1% threshold); its composition vector is c:1/(n+1),
-    * shell:n/(n+1) split by the mix, and the feature is the mean
-    * Euclidean distance of the nearest 1/3/5 clusters. */
+    * the composition's own elements. A cluster is (center c, shell of
+    * size n with an INTEGER mix of any of the composition's elements)
+    * whose |1 − R*(n)/(r_c/r̄_shell)| < 0.010; its composition vector is
+    * center 1/(n+1) + shell counts/(n+1), and the feature is the mean
+    * distance of the nearest 1/3/5 clusters. Multi-element shells are
+    * essential: a 2-element-shell-only set can never approach a ternary
+    * oxide's composition, which is what drifted these stats 2-4× high.
+    *
+    * Enumerates integer shell compositions (C(n+k−1, k−1) per size) and
+    * keeps a running 5-smallest distance heap — O(1) memory, no cluster
+    * materialization, so a 100 TB featurization run can't blow the
+    * executor heap on a 6-element composition (~2M enumerations). */
   private def apeClusterDistances(comp: Map[String, Double]): (Double, Double, Double) = {
     val present = comp.filter { case (el, n) => n > 0 && ElementData.bySymbol.contains(el) }
     if (present.isEmpty) return (0.0, 0.0, 0.0)
     val els = present.keys.toSeq.sorted
     val total = present.values.sum
-    val frac = els.map(e => present(e) / total)
-    val r = els.map(e => ElementData.bySymbol(e).radius)
+    val frac = els.map(e => present(e) / total).toArray
+    val r = els.map(e => ElementData.bySymbol(e).radius).toArray
     val k = els.length
-    val dists = scala.collection.mutable.ArrayBuffer.empty[Double]
-    def dist(cluster: Seq[Double]): Double =
-      math.sqrt(frac.zip(cluster).map { case (a, b) => (a - b) * (a - b) }.sum)
-    for {
-      ci <- 0 until k
-      (n, ideal) <- idealRatio.toSeq
-    } {
-      val target = r(ci) / ideal // required shell radius
-      val shellFrac = n.toDouble / (n + 1)
-      // single-element shells within the 1% APE threshold
-      for (si <- 0 until k)
-        if (math.abs(r(ci) / r(si) / ideal - 1.0) < 0.010) {
-          val v = Array.fill(k)(0.0)
-          v(ci) += 1.0 / (n + 1); v(si) += shellFrac
-          dists += dist(v.toSeq)
-        }
-      // binary shell mixes solving the ratio exactly
-      for {
-        si <- 0 until k; sj <- si + 1 until k
-        if math.abs(r(si) - r(sj)) > 1e-12
-      } {
-        val x = (target - r(sj)) / (r(si) - r(sj))
-        if (x >= 0.0 && x <= 1.0) {
-          val v = Array.fill(k)(0.0)
-          v(ci) += 1.0 / (n + 1)
-          v(si) += x * shellFrac; v(sj) += (1 - x) * shellFrac
-          dists += dist(v.toSeq)
+    val maxN = findIdealClusterSize(r.max / r.min)._1
+    val minN = findIdealClusterSize(r.min / r.max)._1
+    // running 5 smallest distances
+    val best = Array.fill(5)(Double.MaxValue)
+    def offer(d: Double): Unit = {
+      if (d < best(4)) {
+        best(4) = d
+        var i = 4
+        while (i > 0 && best(i) < best(i - 1)) {
+          val t = best(i); best(i) = best(i - 1); best(i - 1) = t; i -= 1
         }
       }
     }
-    if (dists.isEmpty) return (1.0, 1.0, 1.0) // no packable cluster at all
-    val sorted = dists.sorted
+    val counts = new Array[Int](k)
+    // enumerate integer count vectors summing to n over k slots
+    def enumerate(slot: Int, remaining: Int, rSum: Double, n: Int): Unit = {
+      if (slot == k - 1) {
+        counts(slot) = remaining
+        val shellR = (rSum + remaining * r(slot)) / n
+        var ci = 0
+        while (ci < k) {
+          val ape = 1.0 - idealRatio(n) / (r(ci) / shellR)
+          if (math.abs(ape) < 0.010) {
+            var d2 = 0.0
+            var j = 0
+            while (j < k) {
+              val v = (counts(j) + (if (j == ci) 1 else 0)).toDouble / (n + 1)
+              d2 += (v - frac(j)) * (v - frac(j))
+              j += 1
+            }
+            offer(math.sqrt(d2))
+          }
+          ci += 1
+        }
+      } else {
+        var c = 0
+        while (c <= remaining) {
+          counts(slot) = c
+          enumerate(slot + 1, remaining - c, rSum + c * r(slot), n)
+          c += 1
+        }
+      }
+    }
+    var n = minN
+    while (n <= maxN) { enumerate(0, n, 0.0, n); n += 1 }
+    if (best(0) == Double.MaxValue) return (1.0, 1.0, 1.0) // nothing packable
+    val found = best.filter(_ < Double.MaxValue)
     def meanOf(m: Int): Double = {
-      val take = sorted.take(math.min(m, sorted.length))
+      val take = found.take(math.min(m, found.length))
       take.sum / take.length
     }
     (meanOf(1), meanOf(3), meanOf(5))
