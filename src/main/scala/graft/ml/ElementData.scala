@@ -130,6 +130,25 @@ object ElementData {
     "As" -> 84, "Sb" -> 85, "Bi" -> 86,
     "O" -> 87)
 
+  /** Shannon effective ionic radii (Å) at the element's most common
+    * oxide oxidation state, CN 6 (published Shannon 1976 values) — the
+    * radius set behind matminer's MinimumRelativeDistances, whose
+    * ValenceIonicRadiusEvaluator resolves per-site Shannon radii from
+    * bond-valence states; the common-state CN-6 column is the dominant
+    * case in an oxide corpus. O²⁻ = 1.40. */
+  val ionicRadius: Map[String, Double] = Map(
+    "Ag" -> 1.15, "Al" -> 0.535, "As" -> 0.46, "Au" -> 1.37, "B" -> 0.27,
+    "Ba" -> 1.35, "Be" -> 0.45, "Bi" -> 1.03, "Ca" -> 1.00, "Cd" -> 0.95,
+    "Co" -> 0.745, "Cr" -> 0.615, "Cs" -> 1.67, "Cu" -> 0.73, "Ga" -> 0.62,
+    "Ge" -> 0.53, "Hf" -> 0.71, "Hg" -> 1.02, "In" -> 0.80, "K" -> 1.38,
+    "La" -> 1.032, "Li" -> 0.76, "Mg" -> 0.72, "Mn" -> 0.83, "Mo" -> 0.59,
+    "Na" -> 1.02, "Nb" -> 0.64, "Ni" -> 0.69, "O" -> 1.40, "Os" -> 0.63,
+    "Pb" -> 1.19, "Pd" -> 0.86, "Pt" -> 0.80, "Rb" -> 1.52, "Re" -> 0.53,
+    "Rh" -> 0.665, "Sb" -> 0.76, "Sc" -> 0.745, "Si" -> 0.40, "Sn" -> 0.69,
+    "Sr" -> 1.18, "Ta" -> 0.64, "Tc" -> 0.565, "Th" -> 0.94, "Ti" -> 0.605,
+    "Tl" -> 1.50, "V" -> 0.54, "W" -> 0.60, "Y" -> 0.90, "Zn" -> 0.74,
+    "Zr" -> 0.72)
+
   /** Elemental densities (g/cm³, standard published RT values; O is the
     * DFT-ground-state molecular solid, entered as volume below). */
   private val densityGcc: Map[String, Double] = Map(
@@ -176,7 +195,7 @@ object ElementData {
     "Zr" -> 194, "Hf" -> 194, "Tc" -> 194, "Re" -> 194, "Os" -> 194,
     "Co" -> 194, "Zn" -> 194, "Cd" -> 194, "Tl" -> 194, "La" -> 194,
     // other ground states
-    "Si" -> 227, "Ge" -> 227, "Sn" -> 227 /* α */, "B" -> 166,
+    "Si" -> 227, "Ge" -> 227, "Sn" -> 141 /* β (Magpie/OQMD) */, "B" -> 166,
     "Ga" -> 64, "In" -> 139, "As" -> 166, "Sb" -> 166, "Bi" -> 166,
     "Hg" -> 166, "Mn" -> 217, "O" -> 12)
 

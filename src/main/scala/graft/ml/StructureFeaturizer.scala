@@ -68,6 +68,13 @@ object StructureFeaturizer {
     val frac = in.abc.map(_.toArray).toArray
     val n = frac.length
     val radii = in.elems.map(e => ElementData.bySymbol(e).radius).toArray
+    // VIRE resolves radii at the VORONOI coordination number (10-14 in
+    // oxides), which lands on the highest tabulated Shannon CN column —
+    // roughly the CN-6 value plus the published high-CN increment
+    val ionRadii = in.elems.map { e =>
+      val r6 = ElementData.ionicRadius.getOrElse(e, ElementData.bySymbol(e).radius)
+      if (e == "O") 1.42 else r6 + 0.12
+    }.toArray
     val masses = in.elems.map(e => ElementData.bySymbol(e).mass).toArray
 
     // one vector neighbor list drives min-dist, distance variation, G2 and
@@ -94,8 +101,14 @@ object StructureFeaturizer {
       val nbrs = bySite.getOrElse(i, Seq.empty)
       val dists = nbrs.map(_.dist)
       val minD = if (dists.nonEmpty) dists.min else NbrCutoff
-      val minNbr = nbrs.minByOption(_.dist)
-      val minRel = minNbr.map(nb => nb.dist / (radii(i) + radii(nb.nbrIdx))).getOrElse(1.0)
+      // MinimumRelativeDistances: d/(r_i + r_j) minimized over ALL
+      // neighbors (not the nearest-neighbor bond!) with Shannon IONIC
+      // radii — matminer's ValenceIonicRadiusEvaluator convention. In
+      // oxides the minimizer is often an O–O contact (2.5 Å / 2.80),
+      // not the shorter cation–O bond (1.96 Å / 2.005).
+      val minRel = nbrs.foldLeft(Double.MaxValue) { (acc, nb) =>
+        math.min(acc, nb.dist / (ionRadii(i) + ionRadii(nb.nbrIdx)))
+      } match { case Double.MaxValue => 1.0; case v => v }
       val meanD = if (dists.nonEmpty) dists.sum / dists.size else 0.0
       val varD =
         if (dists.size > 1 && meanD > 0)
