@@ -140,30 +140,69 @@ object Dedup {
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
     lshPairs(spark, s"lsh-md5:$dir", signatures(spark, dir), parts => md5(concat(parts: _*)))
 
-  /** The xxhash64 form of minhashLsh — identical plan shape, cheaper
-    * hashing (see signaturesFast). Near-dup pair agreement with the md5
-    * family is asserted in ExtensionsSpec. */
-  def minhashLshFast(spark: SparkSession, dir: String): DataFrame =
-    lshPairs(spark, s"lsh-xxh:$dir", signaturesFast(spark, dir), parts => xxhash64(parts: _*))
+  /** The xxhash64 form of the near-dup pipeline — the full 100 TB shape:
+    * cheap 64-bit banded candidate generation (see signaturesFast),
+    * then EXACT n-gram Jaccard verification on the candidates only (the
+    * production LSH-then-verify pattern: verification cost ∝ candidates
+    * × doc length, never corpus²). Because the verification measure is
+    * exact Jaccard — not an engine-internal hash estimate — the output
+    * is DuckDB-oracled against the full exact-Jaccard pair set: the gate
+    * asserts the banding missed NOTHING at the 0.5 threshold on this
+    * corpus, a strictly stronger check than the r2 pair-overlap spec. */
+  def minhashLshFast(spark: SparkSession, dir: String): DataFrame = {
+    // 8 bands x 2 rows, NOT the md5 family's 4x4: the banding threshold
+    // (1/b)^(1/r) must sit BELOW the verified j >= 0.5 contract (4x4's
+    // ~0.71 left a ~1.4% per-pair miss rate at j = 0.9, and the equality
+    // oracle caught exactly such a miss); 8x2's ~0.35 pushes the miss
+    // probability at j >= 0.9 under 2e-6, at the cost of more (still
+    // exact-verified) candidates.
+    val cand = lshCandidates(spark, s"lsh-xxh:$dir",
+      signaturesFast(spark, dir), parts => xxhash64(parts: _*), nBands = 8)
+    // exact-verify: candidate pairs → shared-shingle counts → Jaccard.
+    // cand ⋈ shingles(a) ⋈ shingles(b, s): fan-out is |candidates| ×
+    // shingles-per-doc — no all-pairs shingle join anywhere.
+    val sh = PersistSlots.cached(spark, s"ngram-shingles:$dir")(shingles(spark, dir))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("a_id"), col("s")), Seq("a_id"))
+      .join(sh.select(col("doc_id").as("b_id"), col("s")), Seq("b_id", "s"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), Seq("a_id"))
+      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), Seq("b_id"))
+      .withColumn("j", col("c") / (col("na") + col("nb") - col("c")))
+      .filter(col("j") >= 0.5)
+      .select(col("a_id"), col("b_id"), round(col("j"), 4).as("j"))
+      .orderBy("a_id", "b_id")
+  }
 
-  private def lshPairs(spark: SparkSession, slot: String, sig0: DataFrame,
-      bandHash: Seq[Column] => Column): DataFrame = {
-    val rows = MinhashFuncs / MinhashBands
+  /** Banded candidate pairs (a_id < b_id, distinct) from a signature
+    * frame — the equi-join candidate generation both verify flavors
+    * share. */
+  private def lshCandidates(spark: SparkSession, slot: String, sig0: DataFrame,
+      bandHash: Seq[Column] => Column, nBands: Int = MinhashBands): DataFrame = {
+    val rows = MinhashFuncs / nBands
     // materialized once via the memoized slot: the signature frame feeds
     // three plan branches (bands + both join sides) and would recompute
     // 3x per call — and fully per invocation — otherwise; disk spill
     // keeps the guarantee when signatures outgrow memory
     val sig = PersistSlots.cached(spark, slot)(sig0)
-    val bandCols = (0 until MinhashBands).map { bi =>
+    val bandCols = (0 until nBands).map { bi =>
       val parts = (bi * rows until (bi + 1) * rows).map(i => col(s"mh$i"))
       struct(lit(bi).as("band_idx"), bandHash(parts).as("band_hash"))
     }
     val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bd"))
       .select(col("doc_id"), col("bd.band_idx").as("band_idx"), col("bd.band_hash").as("band_hash"))
-    val cand = bands.alias("x").join(bands.alias("y"), Seq("band_idx", "band_hash"))
+    bands.alias("x").join(bands.alias("y"), Seq("band_idx", "band_hash"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
+  }
+
+  private def lshPairs(spark: SparkSession, slot: String, sig0: DataFrame,
+      bandHash: Seq[Column] => Column): DataFrame = {
+    val sig = PersistSlots.cached(spark, slot)(sig0)
+    val cand = lshCandidates(spark, slot, sig0, bandHash)
     val sa = sig.select(col("doc_id").as("a_id") +: (0 until MinhashFuncs).map(i => col(s"mh$i").as(s"a$i")): _*)
     val sb = sig.select(col("doc_id").as("b_id") +: (0 until MinhashFuncs).map(i => col(s"mh$i").as(s"b$i")): _*)
     val matches = (0 until MinhashFuncs)
@@ -258,17 +297,34 @@ object Dedup {
     * the quadratic oracle, this is the scale shape (recall measured in
     * ExtensionsSpec). */
   def embeddingCosineBucketed(spark: SparkSession, dir: String,
-      threshold: Double = 0.45): DataFrame = {
+      threshold: Double = 0.45, deepProbes: Boolean = false): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
     val b = PersistSlots.cached(spark, s"embed-buckets:$dir")(Similarity.withBuckets(e))
-    val x = b.select(col("vec_id").as("a_id"), col("v").as("va"), col("tbl"),
-      explode(Similarity.probeBuckets(col("bucket"))).as("bucket"))
-    val y = b.select(col("vec_id").as("b_id"), col("v").as("vb"), col("tbl"), col("bucket"))
-    x.join(y, Seq("tbl", "bucket"))
+    // probe depth = recall/cost knob: 1-bit flips are the scale operating
+    // point (probing 7/64 buckets); 2-bit flips (22/64) buy the ~2e-4
+    // miss rate that supports a full equality oracle at the gate SF, at a
+    // cost that grows toward a fractional corpus scan — fine for the
+    // correctness gate, wrong for the benched scale path.
+    val probes =
+      if (deepProbes) Similarity.probeBuckets2(col("bucket"))
+      else Similarity.probeBuckets(col("bucket"))
+    // candidate generation is ID-ONLY: shipping the 64-dim vectors
+    // through the bucket join put ~1 KB per candidate row on the shuffle
+    // (measured 9.6 s at sf0.1); generating (a_id, b_id) first and
+    // joining the vectors back by id afterwards keeps the wide rows out
+    // of the fan-out entirely
+    val x = b.select(col("vec_id").as("a_id"), col("tbl"),
+      explode(probes).as("bucket"))
+    val y = b.select(col("vec_id").as("b_id"), col("tbl"), col("bucket"))
+    val cand = x.join(y, Seq("tbl", "bucket"))
       .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id", "va", "vb")
-      .dropDuplicates("a_id", "b_id")
+      .select("a_id", "b_id")
+      .distinct()
+    val vecs = b.select(col("vec_id"), col("v")).dropDuplicates("vec_id")
+    cand
+      .join(vecs.select(col("vec_id").as("a_id"), col("v").as("va")), Seq("a_id"))
+      .join(vecs.select(col("vec_id").as("b_id"), col("v").as("vb")), Seq("b_id"))
       .withColumn("cs", graft.plans.VectorOps.dot(col("va"), col("vb")))
       .filter(col("cs") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("cs"), 4).as("cs"))
@@ -280,12 +336,19 @@ object Dedup {
     "dd_ngram_jaccard" -> ngramJaccard _,
     "dd_minhash_sig" -> minhashSignatures _,
     "dd_minhash_lsh" -> minhashLsh _,
-    "dd_minhash_lsh_fast" -> minhashLshFast _, // no oracle: engine-internal hash family, spec'd vs md5 form
+    // oracled: xxhash64-banded candidates + EXACT Jaccard verify must
+    // reproduce the full exact pair set (candidate coverage gate)
+    "dd_minhash_lsh_fast" -> minhashLshFast _,
     "dd_simhash" -> simhash _,
     "dd_simhash_pairs" -> simhashPairs _,
     "dd_embed_cos" -> embeddingCosine _,
+    // the benched scale path: 1-bit probes, recall spec'd vs the exact form
     "dd_embed_cos_lsh" -> ((s: SparkSession, d: String) =>
-      embeddingCosineBucketed(s, d)), // no oracle: bucketed scale path, recall spec'd vs the exact form
+      embeddingCosineBucketed(s, d)),
+    // oracled: 2-bit multi-probe buckets + exact-cosine verify must
+    // reproduce the full exact pair set at the 0.45 threshold
+    "dd_embed_cos_lsh_deep" -> ((s: SparkSession, d: String) =>
+      embeddingCosineBucketed(s, d, deepProbes = true)),
   )
 
   private val shingleCte =
@@ -303,6 +366,15 @@ object Dedup {
         |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin.replaceAll("\n", " "),
     "dd_ngram_jaccard" ->
       (shingleCte + """,
+        |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) c
+        |FROM sh a JOIN sh b ON a.s=b.s AND a.doc_id<b.doc_id GROUP BY 1,2)
+        |SELECT a_id, b_id, ROUND(c*1.0/(sa.n+sb.n-c),4) AS j FROM inter
+        |JOIN sizes sa ON sa.doc_id=a_id JOIN sizes sb ON sb.doc_id=b_id
+        |WHERE c*1.0/(sa.n+sb.n-c) >= 0.5 ORDER BY a_id, b_id""").stripMargin.replaceAll("\n", " "),
+    // the fast LSH path is exact-verified, so its oracle IS the exact
+    // Jaccard pair set: a banding miss at j >= 0.5 fails the gate
+    "dd_minhash_lsh_fast" -> (shingleCte + """,
         |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
         |inter AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) c
         |FROM sh a JOIN sh b ON a.s=b.s AND a.doc_id<b.doc_id GROUP BY 1,2)
@@ -351,6 +423,16 @@ object Dedup {
         """) <= 1
         |ORDER BY a_id, b_id""").stripMargin.replaceAll("\n", " "),
     "dd_embed_cos" ->
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), 4) AS cs
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) >= 0.45
+        |ORDER BY a_id, b_id""".stripMargin.replaceAll("\n", " "),
+    // the deep-probe bucketed path is exact-verified: equality with the
+    // exact pair set gates candidate coverage of the 2-bit probes
+    "dd_embed_cos_lsh_deep" ->
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
         |ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding),
         |p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), 4) AS cs

@@ -105,6 +105,27 @@ object Similarity {
     array(bucket +: flips: _*)
   }
 
+  /** Deeper probe list: the bucket plus every 1- and 2-bit flip (1 + 6 +
+    * 15 probes at 6 bits). Used by the DEDUP near-dup path, where the
+    * targets sit right at the similarity threshold (θ ≈ 63°, ~2.1
+    * expected differing bits per table): 1-bit probes leave a few-percent
+    * miss rate per marginal pair, 2-bit probes push the 8-table miss
+    * probability to ~2e-4 — which is what lets the bucketed path carry a
+    * full equality oracle against the exact pair set. Probe count is a
+    * recall/cost knob: ANN top-k keeps the cheaper 1-bit list. */
+  private[operators] def probeBuckets2(bucket: Column): Column = {
+    def flip(b: Column, p: Int): Column = {
+      val ch = substring(b, p + 1, 1)
+      concat(substring(b, 1, p),
+        when(ch === "1", lit("0")).otherwise(lit("1")),
+        substring(b, p + 2, LshBits - p - 1))
+    }
+    val one = (0 until LshBits).map(p => flip(bucket, p))
+    val two = for { p <- 0 until LshBits; q <- p + 1 until LshBits }
+      yield flip(flip(bucket, p), q)
+    array((bucket +: one) ++ two: _*)
+  }
+
   /** ANN top-k via sign-random-projection LSH with multi-probe: corpus
     * vectors hash to one bucket per table; each QUERY probes its own
     * bucket and all 1-bit-flip neighbors in every table. Candidates come
@@ -138,16 +159,33 @@ object Similarity {
     * the (tiny) centroid table. */
   final case class IvfIndex(centroids: Array[Array[Double]], assignments: DataFrame)
 
+  /** √N default for the coarse-quantizer size (the standard IVF scaling:
+    * cells and cell sizes both grow as √N, so probe cost and within-cell
+    * rescoring stay balanced as the corpus grows), floored at 16 (the
+    * sweep-tuned small-corpus operating point). */
+  def defaultNClusters(n: Long): Int =
+    math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+
+  /** Sample fraction for the quantizer fit: ~200 points per centroid is
+    * plenty for a stable coarse quantizer — at 100 TB the fit must NOT
+    * scan the corpus (k = √N ⇒ fraction ≈ 200/√N → 0). */
+  def defaultFitFraction(n: Long, k: Int): Double =
+    math.min(1.0, 200.0 * k / math.max(1L, n).toDouble)
+
   /** Fit the coarse quantizer (optionally on a sample) and assign every
-    * corpus vector to its nearest cell. */
-  def buildIvfIndex(spark: SparkSession, dir: String, nClusters: Int = 16,
-      sampleFraction: Double = 1.0): IvfIndex = {
+    * corpus vector to its nearest cell. nClusters/sampleFraction ≤ 0 pick
+    * the √N defaults above. */
+  def buildIvfIndex(spark: SparkSession, dir: String, nClusters: Int = 0,
+      sampleFraction: Double = 0.0): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val e = emb(spark, dir).withColumn("fv", array_to_vector(col("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val fitOn = if (sampleFraction >= 1.0) e else e.sample(sampleFraction, 42L)
-    val km = new KMeans().setK(nClusters).setSeed(42L).setFeaturesCol("fv")
+    val n = e.count()
+    val k = if (nClusters > 0) nClusters else defaultNClusters(n)
+    val frac = if (sampleFraction > 0) sampleFraction else defaultFitFraction(n, k)
+    val fitOn = if (frac >= 1.0) e else e.sample(frac, 42L)
+    val km = new KMeans().setK(k).setSeed(42L).setFeaturesCol("fv")
       .setPredictionCol("cell").fit(fitOn)
     // materialize the assignments, then release the fit-time frame: the
     // index must not keep the raw-embedding scan pinned for its lifetime
@@ -199,14 +237,18 @@ object Similarity {
     * rescore exactly. The scale path when LSH bucket tuning is awkward:
     * the index is a tiny broadcastable centroid table + an equi join on
     * cluster id — shuffle on a uniform key. */
-  // defaults from the AnnEval sweep at sf0.1 (2,000 vectors): k=16/probe=6
-  // gives recall 0.75 at 2.6s vs 0.60 at probe=4; more clusters lose recall
-  // on this corpus without probing most of them
-  def ivfTopK(spark: SparkSession, dir: String, nClusters: Int = 16, nProbe: Int = 6,
+  // nClusters ≤ 0 → √N cells (sampled fit, see buildIvfIndex); nProbe ≤ 0
+  // → 3/8 of the cells, the ratio the AnnEval sweep tuned at sf0.1
+  // (k=16/probe=6: recall 0.75 at 2.6s vs 0.60 at probe=4). The fraction
+  // is the recall knob; the scan cost per query is nProbe/k of the corpus.
+  def ivfTopK(spark: SparkSession, dir: String, nClusters: Int = 0, nProbe: Int = 0,
       index: Option[IvfIndex] = None): DataFrame = {
     val idx = index.getOrElse(
       ivfCache.getOrElseUpdate((spark.sparkContext.applicationId, dir, nClusters),
         buildIvfIndex(spark, dir, nClusters)))
+    val nProbeEff =
+      if (nProbe > 0) nProbe
+      else math.max(1, math.ceil(idx.centroids.length * 6.0 / 16).toInt)
     val assigned = idx.assignments
     val centroids = idx.centroids
     // probe list per query: nProbe nearest centroids (driver-side math on a
@@ -217,7 +259,7 @@ object Similarity {
         var s = 0.0; var j = 0
         while (j < c.length) { s += (c(j) - v(j)) * (c(j) - v(j)); j += 1 }
         (i, s)
-      }.sortBy(_._2).take(nProbe).map(_._1)
+      }.sortBy(_._2).take(nProbeEff).map(_._1)
     }
     val q = assigned.filter(col("vec_id") < QuerySetSize)
       .select(col("vec_id").as("q_id"), col("v").as("vq"),
@@ -236,7 +278,12 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk" -> bruteForceTopK _,
-    "ann_lsh_topk" -> lshTopK _, // no oracle: LSH recall is checked in ExtensionsSpec
+    "ann_lsh_topk" -> lshTopK _, // top-K is spec-gated (recall < 1 by design)...
+    // ...but the HIGH-CONFIDENCE slice carries a full equality oracle:
+    // multi-probe LSH must return the true nearest neighbor for every
+    // query (top-1 misses are what multi-probe exists to kill)
+    "ann_lsh_top1" -> ((s: SparkSession, d: String) =>
+      lshTopK(s, d).filter(col("rank") === 1)),
     "ann_ivf_topk" -> ((s: SparkSession, d: String) => ivfTopK(s, d)), // recall spec'd
   )
 
@@ -253,5 +300,17 @@ object Similarity {
         |FROM scored)
         |SELECT q_id, nbr_id, rank, ROUND(cs,4) AS cs FROM ranked
         |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin.replaceAll("\n", " "),
+    "ann_lsh_top1" ->
+      """WITH scored AS (
+        |SELECT a.vec_id AS q_id, b.vec_id AS nbr_id,
+        |list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS cs
+        |FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        |WHERE a.vec_id < 20),
+        |ranked AS (SELECT q_id, nbr_id, cs,
+        |CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ROUND(cs,6) DESC, nbr_id) AS INTEGER) AS rank
+        |FROM scored)
+        |SELECT q_id, nbr_id, rank, ROUND(cs,4) AS cs FROM ranked
+        |WHERE rank = 1 ORDER BY q_id""".stripMargin.replaceAll("\n", " "),
   )
 }

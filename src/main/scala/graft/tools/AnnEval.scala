@@ -29,7 +29,7 @@ object AnnEval {
     println(f"[ann] sf=$sfDir n_exact=${exact.size}")
     println(f"[ann] exact   time=$tExact%.2fs")
     println(f"[ann] lsh     recall=${(exact & lsh).size.toDouble / exact.size}%.3f time=$tLsh%.2fs")
-    for ((k, p) <- Seq((16, 4), (16, 6), (32, 6), (32, 8))) {
+    for ((k, p) <- Seq((16, 4), (16, 6), (32, 6), (32, 8), (0, 0))) { // (0,0) = sqrt-N defaults
       val (ivf, tIvf) = timed(pairs(Similarity.ivfTopK(spark, sfDir, k, p)))
       println(f"[ann] ivf k=$k%-3d probe=$p recall=${(exact & ivf).size.toDouble / exact.size}%.3f time=$tIvf%.2fs")
     }
