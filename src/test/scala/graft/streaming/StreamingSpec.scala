@@ -175,4 +175,54 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh.subsetOf(streamed), s"missing ${(lsh -- streamed).size} LSH pairs")
   }
+
+  test("near-dup horizon evicts idle band state but keeps pairs inside it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // NOTE: with a registered ProcessingTimeTimeout the micro-batch
+    // engine keeps scheduling no-data batches to evaluate timers, so
+    // processAllAvailable never quiesces — the test polls the memory
+    // sink with a deadline instead. (The continuous batches are also
+    // what FIRES the timers without needing new input.)
+    def rowsOf(name: String): Set[(Long, Long)] = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def awaitRows(name: String, n: Int): Unit = {
+      val t0 = System.currentTimeMillis
+      while (spark.table(name).count() < n &&
+        System.currentTimeMillis - t0 < 60000) Thread.sleep(100)
+    }
+    // two identical docs = guaranteed band collision in every band
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+    // inside a generous horizon (10 min): the duplicate pair IS emitted
+    // across separate batches
+    val input = MemoryStream[(Long, String)]
+    val qKeep = DocStreams.nearDupCandidates(spark,
+        input.toDF().toDF("doc_id", "text"), horizonMs = Some(600000L))
+      .writeStream.format("memory").queryName("nd_keep")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(Seq((1L, text)))
+    Thread.sleep(2000) // first doc lands in its own batch, registers state
+    input.addData(Seq((2L, text)))
+    awaitRows("nd_keep", 1)
+    qKeep.stop()
+    assert(rowsOf("nd_keep") == Set((1L, 2L)),
+      s"expected the in-horizon pair, got ${rowsOf("nd_keep")}")
+
+    // past a short horizon: the idle bucket's lease lapses, a timer batch
+    // evicts the state, and the late duplicate pairs with NOTHING —
+    // exactly the dedup-horizon semantics
+    val input2 = MemoryStream[(Long, String)]
+    val qEvict = DocStreams.nearDupCandidates(spark,
+        input2.toDF().toDF("doc_id", "text"), horizonMs = Some(500L))
+      .writeStream.format("memory").queryName("nd_evict")
+      .outputMode(OutputMode.Append()).start()
+    input2.addData(Seq((1L, text)))
+    Thread.sleep(6000) // lease (500 ms) lapses; timer batches evict
+    input2.addData(Seq((2L, text)))
+    Thread.sleep(6000) // give the pair every chance to (wrongly) surface
+    qEvict.stop()
+    assert(rowsOf("nd_evict").isEmpty,
+      s"state past the horizon must be evicted (no pair), got ${rowsOf("nd_evict")}")
+  }
 }
