@@ -179,11 +179,9 @@ object Geometry {
 
   /** Single-bond order parameter (CN_1): how much the nearest neighbor
     * dominates the second — (d₂−d₁)/d₂, 1 for an isolated bonded pair,
-    * 0 when the two nearest neighbors are equidistant (C16 "sgl_bd").
-    * With a finite `cutoff`, a site whose only neighbor is inside the
-    * cutoff scores (cutoff−d₁)/cutoff — the exact CN-gap weight the
-    * featurizer uses for every motif, so spec and pipeline share ONE
-    * definition. */
+    * 0 when the two nearest neighbors are equidistant (C16 "sgl_bd";
+    * the pipeline's shell-machinery form lives in OpFingerprint — this
+    * standalone helper keeps the same definition for specs). */
   def singleBondOrder(nbrDists: Seq[Double],
       cutoff: Double = Double.PositiveInfinity): Double = {
     val ds = nbrDists.sorted.take(2)
