@@ -6,12 +6,14 @@ import org.apache.spark.sql.SparkSession
   * prints ONE JSON line for the driver (BENCH_r{N}.json).
   *
   * Each query is forced with a count() (full pipeline, no driver collect of
-  * payload). Two passes, both reported:
+  * payload). One cold pass + ≥3 warm passes, all reported:
   *   - cold: first execution in a fresh JVM — whole-stage-codegen
   *     compilation, artifact builds (minhash signatures, LSH buckets,
   *     IVF index) all included. The cost a new cluster pays once.
-  *   - warm (the headline `value`): steady-state re-execution with
-  *     persisted artifacts — the per-query cost of a long-lived cluster.
+  *   - warm (the headline `value`): MEDIAN of ≥3 steady-state
+  *     re-executions with persisted artifacts — the per-query cost of a
+  *     long-lived cluster. Median + reported min/max spread keep ambient
+  *     host load from deciding a 2× gate in either direction.
   * Reporting both keeps the artifact reuse honest: warm alone would hide
   * a ~16 s cold minhash build behind a 0.7 s number.
   */
@@ -47,13 +49,30 @@ object Bench {
         .mkString("{", ",", "}")
 
     val coldResults = pass() // fresh JVM: codegen + artifact builds
-    val warmResults = pass() // steady state: persisted artifacts reused
+
+    // ≥3 warm passes, median reported: one timed pass lets ambient load
+    // masquerade as a 2× regression (BENCH_r03 recorded 16.8 s for code
+    // independently measured at 8.9 s). Median per query + median total,
+    // with the min/max total spread in the JSON so a noisy host is visible
+    // in the artifact itself.
+    val warmPassCount = sys.env.getOrElse("SPARK_GRAFT_WARM_PASSES", "3").toInt
+    val warmPasses = Seq.fill(warmPassCount)(pass())
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2) else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
+    }
+    val warmResults = names.indices.map { i =>
+      val runs = warmPasses.map(_(i))
+      val ok = runs.forall(_._3)
+      (names(i), if (ok) median(runs.map(_._2)) else 0.0, ok)
+    }
 
     val failed = warmResults.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val warmTotal = warmResults.collect { case (_, v, true) => v }.sum
+    val warmTotals = warmPasses.map(_.collect { case (_, v, true) => v }.sum)
+    val warmTotal = median(warmTotals)
     val coldTotal = coldResults.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$warmTotal,"unit":"sec","cold":$coldTotal,"queries":${fmt(warmResults)},"queries_cold":${fmt(coldResults)},"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$warmTotal,"unit":"sec","cold":$coldTotal,"warm_passes":$warmPassCount,"warm_min":${warmTotals.min},"warm_max":${warmTotals.max},"queries":${fmt(warmResults)},"queries_cold":${fmt(coldResults)},"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

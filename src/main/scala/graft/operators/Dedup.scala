@@ -402,6 +402,11 @@ object Dedup {
     "dd_minhash_lsh_fast" -> minhashLshFast _,
     "dd_simhash" -> simhash _,
     "dd_simhash_pairs" -> simhashPairs _,
+    // the 64-bit production family: engine-internal xxhash64 (no DuckDB
+    // equivalent), so no oracleSql entry — driver records rows-only;
+    // ExtensionsSpec carries the precision + no-NLJ plan gates
+    "dd_simhash64" -> simhash64 _,
+    "dd_simhash64_pairs" -> simhash64Pairs _,
     "dd_embed_cos" -> embeddingCosine _,
     // the benched scale path: 1-bit probes, recall spec'd vs the exact form
     "dd_embed_cos_lsh" -> ((s: SparkSession, d: String) =>

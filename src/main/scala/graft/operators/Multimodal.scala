@@ -12,12 +12,15 @@ import graft.sources.Tables
   * 100 TB image/audio corpus would use (content + metadata side by side,
   * partitioned by asset kind/date; never small files).
   *
-  * The decode step (image/audio codecs) is a STUB — the container has no
-  * media libraries — but everything Spark-side is real and tested: schema,
-  * typed Dataset plumbing, mapPartitions batching (decoder init amortized
-  * per partition, the same shape a JNI/FFI codec needs), and the feature
-  * schema downstream operators consume. The corpus stand-in is
-  * documents.text encoded as UTF-8 bytes.
+  * The FULL pixel decode (image/audio codecs) is out of container scope —
+  * no media libraries — but the container-header decode is real: PNG IHDR,
+  * JPEG SOFn, GIF logical-screen and BMP info-header dimensions are parsed
+  * from raw bytes (`imageDims`), and every asset gets exact byte statistics
+  * (mean, Shannon entropy). Everything Spark-side is real and tested:
+  * schema, typed Dataset plumbing, mapPartitions batching (decoder init
+  * amortized per partition, the same shape a JNI/FFI codec needs), and the
+  * feature schema downstream operators consume. The corpus stand-in is
+  * documents.text encoded as UTF-8 bytes (unknown format → dims 0×0).
   */
 object Multimodal {
 
@@ -36,35 +39,87 @@ object Multimodal {
       .as[BinaryAsset]
   }
 
-  /** STUB decoder: stands in for an image/audio codec. Deterministic fake —
-    * real decode would parse `bytes` with a native library initialized once
-    * per partition (see mapPartitions in decodeFeatures). */
-  private def stubDecode(bytes: Array[Byte]): (Double, Double, Int, Int) = {
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def be32(b: Array[Byte], i: Int): Int =
+    (u8(b, i) << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+  private def le32(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
+
+  /** Image dimensions parsed from the container header — pure byte math,
+    * no codec library. Supported: PNG (IHDR), JPEG (first SOFn frame
+    * header), GIF87a/89a (logical screen descriptor), BMP (BITMAPINFOHEADER).
+    * None for anything else (or malformed/truncated headers). */
+  private[operators] def imageDims(b: Array[Byte]): Option[(Int, Int)] = {
+    // PNG: 8-byte signature, then IHDR chunk (len, "IHDR", width BE32, height BE32)
+    if (b.length >= 24 && u8(b, 0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+        u8(b, 4) == 0x0d && u8(b, 5) == 0x0a && u8(b, 6) == 0x1a && u8(b, 7) == 0x0a &&
+        b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')
+      Some((be32(b, 16), be32(b, 20)))
+    // JPEG: FF D8, then marker segments; dims live in the first SOFn
+    // (C0–CF except C4 DHT / C8 JPG-ext / CC DAC): precision u8,
+    // height BE16, width BE16
+    else if (b.length >= 4 && u8(b, 0) == 0xff && u8(b, 1) == 0xd8) {
+      var i = 2
+      var out: Option[(Int, Int)] = None
+      while (out.isEmpty && i + 3 < b.length) {
+        if (u8(b, i) != 0xff) i += 1 // skip fill/garbage between segments
+        else {
+          val m = u8(b, i + 1)
+          if (m == 0xff) i += 1 // fill byte
+          else if (m == 0xd8 || (m >= 0xd0 && m <= 0xd9)) i += 2 // standalone
+          else {
+            val len = be16(b, i + 2)
+            if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+              if (i + 8 < b.length) out = Some((be16(b, i + 7), be16(b, i + 5)))
+              else i = b.length
+            } else if (len < 2) i = b.length // malformed
+            else i += 2 + len
+          }
+        }
+      }
+      out
+    }
+    // GIF: "GIF87a"/"GIF89a", logical screen width/height LE16
+    else if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')
+      Some((le16(b, 6), le16(b, 8)))
+    // BMP: "BM", BITMAPINFOHEADER width/height LE32 at 18/22 (height may
+    // be negative = top-down rows; dimension is the magnitude)
+    else if (b.length >= 26 && b(0) == 'B' && b(1) == 'M')
+      Some((le32(b, 18), math.abs(le32(b, 22))))
+    else None
+  }
+
+  /** Exact byte statistics: mean byte value and Shannon entropy (bits) of
+    * the byte histogram. */
+  private[operators] def byteStats(bytes: Array[Byte]): (Double, Double) = {
     val n = bytes.length.max(1)
     val counts = new Array[Long](256)
     var sum = 0.0
     bytes.foreach { b => val u = b & 0xff; counts(u) += 1; sum += u }
-    val mean = sum / n
     var ent = 0.0
     counts.foreach { c =>
       if (c > 0) { val p = c.toDouble / n; ent -= p * math.log(p) / math.log(2) }
     }
-    // fake dimensions derived from content so downstream schema is exercised
-    val w = 16 + (bytes.headOption.map(_ & 0xff).getOrElse(0) % 16)
-    (mean, ent, w, n / w.max(1))
+    (sum / n, ent)
   }
 
   /** Per-asset feature extraction via mapPartitions: decoder setup happens
     * once per partition (the pattern that matters for real codecs), rows
-    * stream through without materializing the partition. */
+    * stream through without materializing the partition. Dimensions come
+    * from the real container-header parse; unknown formats keep 0×0 and
+    * the byte statistics still apply. */
   def decodeFeatures(spark: SparkSession, dir: String): Dataset[AssetFeatures] = {
     import spark.implicits._
     binaryAssets(spark, dir).mapPartitions { it =>
-      // real pipeline: initialize the native decoder here, once per partition
+      // real pipeline: initialize the native pixel decoder here, once per
+      // partition; the header parse below needs no library state
       it.map { a =>
-        val (mean, ent, w, h) = stubDecode(a.content)
-        AssetFeatures(a.doc_id, a.n_bytes,
-          math.rint(mean * 10000) / 10000, math.rint(ent * 10000) / 10000, w, h)
+        val (mean, ent) = byteStats(a.content)
+        val (w, h) = imageDims(a.content).getOrElse((0, 0))
+        AssetFeatures(a.doc_id, a.n_bytes, mean, ent, w, h)
       }
     }
   }
@@ -78,8 +133,15 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta" -> meta _,
+    // oracled: byte stats are DuckDB-recomputable over the same bytes
+    // (corpus is ASCII text so ascii(substr) = byte value); rounding done
+    // in Column-land (Spark round == DuckDB ROUND, HALF_UP) not in the
+    // typed map, so both engines round the same raw doubles
     "mm_features" -> ((s: SparkSession, d: String) =>
-      decodeFeatures(s, d).toDF().orderBy("doc_id")), // no oracle: stub decode, checked in MultimodalSpec
+      decodeFeatures(s, d).toDF()
+        .withColumn("mean_byte", round(col("mean_byte"), 4))
+        .withColumn("byte_entropy", round(col("byte_entropy"), 4))
+        .orderBy("doc_id")),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -87,5 +149,13 @@ object Multimodal {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |CAST(ascii(substr(text,1,1)) AS BIGINT) AS first_byte
         |FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "mm_features" ->
+      """WITH b AS (SELECT doc_id, ascii(substr(text, i, 1)) AS bv
+        |FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text))) AS i))
+        |SELECT d.doc_id, CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
+        |ROUND(AVG(b.bv), 4) AS mean_byte, ROUND(entropy(b.bv), 4) AS byte_entropy,
+        |CAST(0 AS INTEGER) AS width, CAST(0 AS INTEGER) AS height
+        |FROM documents d JOIN b ON b.doc_id = d.doc_id
+        |GROUP BY d.doc_id, d.text ORDER BY d.doc_id""".stripMargin.replaceAll("\n", " "),
   )
 }

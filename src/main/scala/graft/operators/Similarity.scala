@@ -135,16 +135,26 @@ object Similarity {
     * materializing Q×N. */
   def lshTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = PersistSlots.cached(spark, s"lsh-buckets:$dir")(withBuckets(emb(spark, dir)))
+    // candidate generation is ID-ONLY (the pattern measured in Dedup's
+    // bucketed path: wide vectors through the bucket join cost 9.6 s vs
+    // 1.6 s at sf0.1): the (tbl, bucket) fan-out carries ids only;
+    // vectors join back by id AFTER the dedup, so each vector crosses the
+    // shuffle once per surviving candidate pair, not once per probe hit —
+    // the shape that holds when the query set is no longer 20 rows
     val q = e.filter(col("vec_id") < QuerySetSize)
-      .select(col("vec_id").as("q_id"), col("v").as("vq"), col("tbl"),
+      .select(col("vec_id").as("q_id"), col("tbl"),
         explode(probeBuckets(col("bucket"))).as("bucket"))
-    val n = e.select(col("vec_id").as("nbr_id"), col("v").as("vn"), col("tbl"), col("bucket"))
+    val n = e.select(col("vec_id").as("nbr_id"), col("tbl"), col("bucket"))
     val cand = q.join(n, Seq("tbl", "bucket"))
       .filter(col("q_id") =!= col("nbr_id"))
-      .select("q_id", "nbr_id", "vq", "vn")
+      .select("q_id", "nbr_id")
       .dropDuplicates("q_id", "nbr_id")
+    val vecs = e.select(col("vec_id"), col("v")).dropDuplicates("vec_id")
     val w = Window.partitionBy("q_id").orderBy(round(col("cs"), 6).desc, col("nbr_id"))
-    cand.withColumn("cs", dot(col("vq"), col("vn")))
+    cand
+      .join(vecs.select(col("vec_id").as("q_id"), col("v").as("vq")), Seq("q_id"))
+      .join(vecs.select(col("vec_id").as("nbr_id"), col("v").as("vn")), Seq("nbr_id"))
+      .withColumn("cs", dot(col("vq"), col("vn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
       .select(col("q_id"), col("nbr_id"), col("rank"), round(col("cs"), 4).as("cs"))
@@ -241,14 +251,17 @@ object Similarity {
   // → 3/8 of the cells, the ratio the AnnEval sweep tuned at sf0.1
   // (k=16/probe=6: recall 0.75 at 2.6s vs 0.60 at probe=4). The fraction
   // is the recall knob; the scan cost per query is nProbe/k of the corpus.
+  // deepProbes doubles the probed fraction to 3/4 of the cells — the
+  // probe-enough operating point whose top-1 slice carries a full
+  // equality oracle (mirrors lshTopK's 2-bit-probe story in Dedup).
   def ivfTopK(spark: SparkSession, dir: String, nClusters: Int = 0, nProbe: Int = 0,
-      index: Option[IvfIndex] = None): DataFrame = {
+      index: Option[IvfIndex] = None, deepProbes: Boolean = false): DataFrame = {
     val idx = index.getOrElse(
       ivfCache.getOrElseUpdate((spark.sparkContext.applicationId, dir, nClusters),
         buildIvfIndex(spark, dir, nClusters)))
     val nProbeEff =
       if (nProbe > 0) nProbe
-      else math.max(1, math.ceil(idx.centroids.length * 6.0 / 16).toInt)
+      else math.max(1, math.ceil(idx.centroids.length * (if (deepProbes) 12.0 else 6.0) / 16).toInt)
     val assigned = idx.assignments
     val centroids = idx.centroids
     // probe list per query: nProbe nearest centroids (driver-side math on a
@@ -261,14 +274,20 @@ object Similarity {
         (i, s)
       }.sortBy(_._2).take(nProbeEff).map(_._1)
     }
+    // id-only candidate generation (same rationale as lshTopK): the cell
+    // fan-out ships (q_id, nbr_id); vectors join back post-dedup
     val q = assigned.filter(col("vec_id") < QuerySetSize)
-      .select(col("vec_id").as("q_id"), col("v").as("vq"),
-        explode(probeUdf(col("v"))).as("cell"))
-    val n = assigned.select(col("vec_id").as("nbr_id"), col("v").as("vn"), col("cell"))
-    val w = Window.partitionBy("q_id").orderBy(round(col("cs"), 6).desc, col("nbr_id"))
-    q.join(n, Seq("cell"))
+      .select(col("vec_id").as("q_id"), explode(probeUdf(col("v"))).as("cell"))
+    val n = assigned.select(col("vec_id").as("nbr_id"), col("cell"))
+    val cand = q.join(n, Seq("cell"))
       .filter(col("q_id") =!= col("nbr_id"))
+      .select("q_id", "nbr_id")
       .dropDuplicates("q_id", "nbr_id")
+    val vecs = assigned.select(col("vec_id"), col("v"))
+    val w = Window.partitionBy("q_id").orderBy(round(col("cs"), 6).desc, col("nbr_id"))
+    cand
+      .join(vecs.select(col("vec_id").as("q_id"), col("v").as("vq")), Seq("q_id"))
+      .join(vecs.select(col("vec_id").as("nbr_id"), col("v").as("vn")), Seq("nbr_id"))
       .withColumn("cs", dot(col("vq"), col("vn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
@@ -285,6 +304,11 @@ object Similarity {
     "ann_lsh_top1" -> ((s: SparkSession, d: String) =>
       lshTopK(s, d).filter(col("rank") === 1)),
     "ann_ivf_topk" -> ((s: SparkSession, d: String) => ivfTopK(s, d)), // recall spec'd
+    // the IVF probe-enough slice: at 3/4 of the cells probed, the true
+    // nearest neighbor must be found for every query — full equality
+    // oracle against the exact top-1 (mirrors ann_lsh_top1)
+    "ann_ivf_top1" -> ((s: SparkSession, d: String) =>
+      ivfTopK(s, d, deepProbes = true).filter(col("rank") === 1)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -300,6 +324,18 @@ object Similarity {
         |FROM scored)
         |SELECT q_id, nbr_id, rank, ROUND(cs,4) AS cs FROM ranked
         |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin.replaceAll("\n", " "),
+    "ann_ivf_top1" ->
+      """WITH scored AS (
+        |SELECT a.vec_id AS q_id, b.vec_id AS nbr_id,
+        |list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS cs
+        |FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        |WHERE a.vec_id < 20),
+        |ranked AS (SELECT q_id, nbr_id, cs,
+        |CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ROUND(cs,6) DESC, nbr_id) AS INTEGER) AS rank
+        |FROM scored)
+        |SELECT q_id, nbr_id, rank, ROUND(cs,4) AS cs FROM ranked
+        |WHERE rank = 1 ORDER BY q_id""".stripMargin.replaceAll("\n", " "),
     "ann_lsh_top1" ->
       """WITH scored AS (
         |SELECT a.vec_id AS q_id, b.vec_id AS nbr_id,

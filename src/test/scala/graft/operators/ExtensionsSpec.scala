@@ -131,7 +131,7 @@ class ExtensionsSpec extends SparkSpec {
     assert(preds == truth, s"preds=$preds")
   }
 
-  test("multimodal: stub decode is deterministic and schema-complete") {
+  test("multimodal: byte-stat decode is deterministic and schema-complete") {
     val f = Multimodal.decodeFeatures(spark, sf).collect()
     assert(f.length == 500)
     val again = Multimodal.decodeFeatures(spark, sf).collect()
@@ -139,8 +139,32 @@ class ExtensionsSpec extends SparkSpec {
     f.foreach { a =>
       assert(a.n_bytes > 0)
       assert(a.byte_entropy > 0 && a.byte_entropy <= 8.0) // bits per byte
-      assert(a.width >= 16 && a.height >= 0)
+      assert(a.width == 0 && a.height == 0) // text corpus: no image container
     }
+  }
+
+  test("multimodal: container-header dims parse for PNG/JPEG/GIF/BMP bytes") {
+    def be32(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def be16(v: Int) = Array((v >> 8).toByte, v.toByte)
+    def le16(v: Int) = Array(v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    val png = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      be32(13) ++ "IHDR".getBytes ++ be32(640) ++ be32(480) ++ Array.fill(5)(0.toByte)
+    assert(Multimodal.imageDims(png).contains((640, 480)))
+    // JPEG: SOI, APP0 (len 16), DHT (must be skipped, not read as SOF), SOF0
+    val jpg = Array(0xff, 0xd8).map(_.toByte) ++
+      (Array(0xff, 0xe0).map(_.toByte) ++ be16(16) ++ Array.fill(14)(0.toByte)) ++
+      (Array(0xff, 0xc4).map(_.toByte) ++ be16(4) ++ Array.fill(2)(0.toByte)) ++
+      (Array(0xff, 0xc0).map(_.toByte) ++ be16(17) ++ Array(8.toByte) ++
+        be16(1080) ++ be16(1920) ++ Array.fill(10)(0.toByte))
+    assert(Multimodal.imageDims(jpg).contains((1920, 1080)))
+    val gif = "GIF89a".getBytes ++ le16(320) ++ le16(200) ++ Array.fill(3)(0.toByte)
+    assert(Multimodal.imageDims(gif).contains((320, 200)))
+    val bmp = "BM".getBytes ++ Array.fill(16)(0.toByte) ++ le32(800) ++ le32(-600) ++
+      Array.fill(4)(0.toByte)
+    assert(Multimodal.imageDims(bmp).contains((800, 600))) // top-down height: magnitude
+    assert(Multimodal.imageDims("plain text".getBytes).isEmpty)
+    assert(Multimodal.imageDims(Array.empty[Byte]).isEmpty)
   }
 
   test("approx_count_distinct tracks exact distinct within rsd") {
