@@ -31,38 +31,52 @@ package graft.materials
   */
 object OpFingerprint {
 
-  // Inverse Gaussian widths for the polar-angle penalties, in 1/(theta/pi)
-  // units (sigma = pi/IGW), per motif — matminer ships per-motif parameter
-  // sets (cn_motif_op_params), and the widths here are calibrated against
-  // the shipped scaler statistics of the labeled components (the same
-  // numeric-parity oracle the other discovered conventions use; the
-  // octahedral family pins EXACTLY at the paper's 0.0667π width, i.e.
-  // IGW = 1/0.0667 — both its stats inside 0.2%). `var` so the
-  // calibration probe (tools.OpScan) can scan them.
-  var IgwBent150 = 12.0
-  var IgwLin = 9.0
-  var IgwTriPlan = 7.0
-  var IgwTet = 20.0
-  var IgwPentPlan = 7.0
-  // equatorial-plane and south-pole widths (octahedral + see-saw family)
-  var IgwEp = 14.99250374812594 // = 1/0.0667, Zimmermann 2017
-  var IgwSpp = 14.99250374812594
-  // azimuthal Gaussian width for the see-saw rectangle (its equatorial
-  // pair sits at 90 degrees, which no cos(k*phi)^2 factor can reward
-  // while penalizing the square-planar 180-degree pair)
-  var IgwAa = 11.46
-  // see-saw's own equatorial width (oct's is pinned exactly by its own
-  // two scaler stats; see-saw calibrates independently)
-  var IgwSswEp = 18.0
-  // south-pole presence threshold and weight (octahedral family)
+  /** Motif-Gaussian parameter set.
+    *
+    * Inverse Gaussian widths for the polar-angle penalties, in 1/(theta/pi)
+    * units (sigma = pi/IGW), per motif — matminer ships per-motif parameter
+    * sets (cn_motif_op_params), and the defaults here are calibrated against
+    * the shipped scaler statistics of the labeled components (the same
+    * numeric-parity oracle the other discovered conventions use; the
+    * octahedral family pins EXACTLY at the paper's 0.0667π width, i.e.
+    * IGW = 1/0.0667 — both its stats inside 0.2%).
+    *
+    * Calibration is FROZEN: production featurization always uses
+    * [[Calibrated]]; the calibration probe (tools.OpScan) constructs
+    * variant instances and threads them through explicitly — no mutable
+    * global state to corrupt a run (and no local-mode-only mutation
+    * visible from mapPartitions).
+    */
+  final case class OpParams(
+      IgwBent150: Double = 12.0,
+      IgwLin: Double = 9.0,
+      IgwTriPlan: Double = 7.0,
+      IgwTet: Double = 20.0,
+      IgwPentPlan: Double = 7.0,
+      // equatorial-plane and south-pole widths (octahedral + see-saw family)
+      IgwEp: Double = 14.99250374812594, // = 1/0.0667, Zimmermann 2017
+      IgwSpp: Double = 14.99250374812594,
+      // azimuthal Gaussian width for the see-saw rectangle (its equatorial
+      // pair sits at 90 degrees, which no cos(k*phi)^2 factor can reward
+      // while penalizing the square-planar 180-degree pair)
+      IgwAa: Double = 11.46,
+      // see-saw's own equatorial width (oct's is pinned exactly by its own
+      // two scaler stats; see-saw calibrates independently)
+      IgwSswEp: Double = 18.0,
+      // south-pole weight (octahedral family)
+      WSpp: Double = 3.0,
+      // calibration switches: see-saw azimuth form (0 = 90°-centered
+      // Gaussian, 1 = cos^2(2*phi) like the octahedral ring) and the
+      // tet/tri azimuthal cosine exponent
+      SswMode: Int = 3,
+      TetExpCos: Int = 2,
+      TetMode: Int = 1)
+
+  /** The calibrated production parameter set (see OpParams scaladoc). */
+  val Calibrated: OpParams = OpParams()
+
+  // south-pole presence threshold (octahedral family)
   val MinSpp = 2.792526803190927 // 160 degrees
-  var WSpp = 3.0
-  // calibration switches: see-saw azimuth form (0 = 90°-centered Gaussian,
-  // 1 = cos^2(2*phi) like the octahedral ring) and the tet/tri azimuthal
-  // cosine exponent
-  var SswMode = 3
-  var TetExpCos = 2
-  var TetMode = 1
 
   val Dop = 0.001
   val DistExp = 2
@@ -77,7 +91,8 @@ object OpFingerprint {
   /** All sites of a material: matminer grows an integer radius from 7 Å
     * until a site has ≥ 12 neighbors; the radius is PER SITE, so a dense
     * site keeps its 7 Å set even when a sparse one needs 9. */
-  def material(lat: Geometry.Lattice, frac: Array[Array[Double]]): IndexedSeq[OpValues] = {
+  def material(lat: Geometry.Lattice, frac: Array[Array[Double]],
+      p: OpParams = Calibrated): IndexedSeq[OpValues] = {
     val n = frac.length
     var opCut = 7.0
     var opNl = Geometry.neighborVectors(lat, frac, opCut)
@@ -95,7 +110,7 @@ object OpFingerprint {
       var r = 7.0
       while (all.count(_.dist <= r) < 12) r += 1.0
       val sel = all.filter(_.dist <= r)
-      site(sel.map(_.dist).toArray, sel.map(_.vec).toArray)
+      site(sel.map(_.dist).toArray, sel.map(_.vec).toArray, p)
     }
   }
 
@@ -105,7 +120,8 @@ object OpFingerprint {
     *              ≥ 12 neighbors (the caller handles radius growth)
     * @param vecs  matching offset vectors
     */
-  def site(dists: Array[Double], vecs: Array[Array[Double]]): OpValues = {
+  def site(dists: Array[Double], vecs: Array[Array[Double]],
+      p: OpParams = Calibrated): OpValues = {
     val n = dists.length
     if (n == 0) return OpValues(0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
     var dmin = Double.MaxValue
@@ -145,17 +161,17 @@ object OpFingerprint {
           val vs = included.map(units(_)).toArray
           cn match {
             case 2 =>
-              opvals(w)(1) = dFac * geomOp(Bent150, vs)
-              opvals(w)(2) = dFac * geomOp(Lin, vs)
-            case 3 => opvals(w)(3) = dFac * geomOp(TriPlan, vs)
+              opvals(w)(1) = dFac * geomOp(Bent150, vs, p)
+              opvals(w)(2) = dFac * geomOp(Lin, vs, p)
+            case 3 => opvals(w)(3) = dFac * geomOp(TriPlan, vs, p)
             case 4 =>
-              opvals(w)(4) = dFac * geomOp(Tet, vs)
-              opvals(w)(5) = dFac * geomOp(SeeSaw, vs)
+              opvals(w)(4) = dFac * geomOp(Tet, vs, p)
+              opvals(w)(5) = dFac * geomOp(SeeSaw, vs, p)
               // "square co-planar" shares the octahedral branch family
               // (south-pole reward + 90°-spaced equatorial ring)
-              opvals(w)(6) = dFac * geomOp(Oct, vs)
-            case 5 => opvals(w)(7) = dFac * geomOp(PentPlan, vs)
-            case 6 => opvals(w)(8) = dFac * geomOp(Oct, vs)
+              opvals(w)(6) = dFac * geomOp(Oct, vs, p)
+            case 5 => opvals(w)(7) = dFac * geomOp(PentPlan, vs, p)
+            case 6 => opvals(w)(8) = dFac * geomOp(Oct, vs, p)
             case 12 => opvals(w)(9) = dFac * Geometry.q6Order(vs.toIndexedSeq, 12)
             case _ => ()
           }
@@ -231,7 +247,9 @@ object OpFingerprint {
   /** Best frame score for a motif over unit neighbor vectors. Each frame
     * (j pole, k x-axis) accumulates penalty-weighted angle terms; the
     * site takes the maximum frame. */
-  def geomOp(motif: Motif, units: Array[Array[Double]]): Double = {
+  def geomOp(motif: Motif, units: Array[Array[Double]],
+      p: OpParams = Calibrated): Double = {
+    import p._
     val n = units.length
     val ipi = 1.0 / math.Pi
     var best = 0.0

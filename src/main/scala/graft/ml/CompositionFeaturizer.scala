@@ -102,8 +102,12 @@ object CompositionFeaturizer {
     val frac = els.map(e => present(e) / total).toArray
     val r = els.map(e => ElementData.bySymbol(e).radius).toArray
     val k = els.length
-    val maxN = findIdealClusterSize(r.max / r.min)._1
-    val minN = findIdealClusterSize(r.min / r.max)._1
+    // bounds from the extreme center/shell radius ratios, widened by one
+    // on each side: findIdealClusterSize stops at the first APE sign flip,
+    // but a size just past the flip can still satisfy |APE| < 0.010 for
+    // extreme-ratio pairs and must not be silently excluded
+    val maxN = math.min(24, findIdealClusterSize(r.max / r.min)._1 + 1)
+    val minN = math.max(3, findIdealClusterSize(r.min / r.max)._1 - 1)
     // running 5 smallest distances
     val best = Array.fill(5)(Double.MaxValue)
     def offer(d: Double): Unit = {

@@ -29,25 +29,27 @@ object OpScan {
     ("oct CN_6 std", 0.20760702020111618, 0.1176442902397508, _.oct, "std"),
     ("q6 CN_12 mean", 0.05237807064359733, 0.04168883911767703, _.q6, "mean"))
 
-  /** Apply one "name=value,name=value" assignment set to the width vars. */
-  private def applyAssignments(spec: String): Unit =
-    spec.split(",").filter(_.nonEmpty).foreach { kv =>
+  /** Build a variant parameter set from "name=value,name=value" overrides
+    * on top of the frozen calibrated defaults — pure construction; the
+    * production OpFingerprint.Calibrated is never touched. */
+  private def paramsFor(spec: String): OpFingerprint.OpParams =
+    spec.split(",").filter(_.nonEmpty).foldLeft(OpFingerprint.Calibrated) { (p, kv) =>
       val Array(k, v) = kv.split("=")
       val w = v.toDouble
       k match {
-        case "bent" => OpFingerprint.IgwBent150 = w
-        case "lin" => OpFingerprint.IgwLin = w
-        case "tri" => OpFingerprint.IgwTriPlan = w
-        case "tet" => OpFingerprint.IgwTet = w
-        case "pent" => OpFingerprint.IgwPentPlan = w
-        case "ep" => OpFingerprint.IgwEp = w
-        case "spp" => OpFingerprint.IgwSpp = w
-        case "aa" => OpFingerprint.IgwAa = w
-        case "wspp" => OpFingerprint.WSpp = w
-        case "sswep" => OpFingerprint.IgwSswEp = w
-        case "sswmode" => OpFingerprint.SswMode = w.toInt
-        case "tetexp" => OpFingerprint.TetExpCos = w.toInt
-        case "tetmode" => OpFingerprint.TetMode = w.toInt
+        case "bent" => p.copy(IgwBent150 = w)
+        case "lin" => p.copy(IgwLin = w)
+        case "tri" => p.copy(IgwTriPlan = w)
+        case "tet" => p.copy(IgwTet = w)
+        case "pent" => p.copy(IgwPentPlan = w)
+        case "ep" => p.copy(IgwEp = w)
+        case "spp" => p.copy(IgwSpp = w)
+        case "aa" => p.copy(IgwAa = w)
+        case "wspp" => p.copy(WSpp = w)
+        case "sswep" => p.copy(IgwSswEp = w)
+        case "sswmode" => p.copy(SswMode = w.toInt)
+        case "tetexp" => p.copy(TetExpCos = w.toInt)
+        case "tetmode" => p.copy(TetMode = w.toInt)
       }
     }
 
@@ -72,11 +74,11 @@ object OpScan {
     in.count()
 
     for (spec <- specs) {
+      val params = paramsFor(spec) // serialized into the task closure
       val rows = in.mapPartitions { it =>
-        applyAssignments(spec)
         it.map { m =>
           val lat = Geometry.Lattice(m.matrix.map(_.toArray).toArray)
-          val ops = OpFingerprint.material(lat, m.abc.map(_.toArray).toArray)
+          val ops = OpFingerprint.material(lat, m.abc.map(_.toArray).toArray, params)
           def red(f: OpFingerprint.OpValues => Double, how: String): Double = {
             val vs = ops.map(f)
             how match {

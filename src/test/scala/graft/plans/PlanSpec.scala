@@ -78,6 +78,34 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("ANN/near-dup candidate joins are id-only: no array column through the dedup") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    import org.apache.spark.sql.types.ArrayType
+    // the fan-out join and the candidate dedup must carry ids only; the
+    // 64-dim vectors join back AFTER dedup (measured 9.6 s vs 1.6 s at
+    // sf0.1 in the dedup path — the shape that survives a large query set)
+    val cases = Seq(
+      ("lshTopK", Similarity.lshTopK(spark, sf), Set("q_id", "nbr_id")),
+      ("ivfTopK", Similarity.ivfTopK(spark, sf), Set("q_id", "nbr_id")),
+      ("embeddingCosineBucketed", graft.operators.Dedup.embeddingCosineBucketed(spark, sf),
+        Set("a_id", "b_id")))
+    cases.foreach { case (name, df, idCols) =>
+      val lp = df.queryExecution.optimizedPlan
+      val dedups = lp.collect {
+        case a: Aggregate if a.output.map(_.name).toSet == idCols => a
+      }
+      assert(dedups.nonEmpty, s"$name: candidate dedup aggregate not found:\n$lp")
+      dedups.foreach { a =>
+        assert(!a.child.output.exists(_.dataType.isInstanceOf[ArrayType]),
+          s"$name: array column enters the candidate dedup:\n${a.child.output}")
+        a.collect { case j: Join => j }.foreach { j =>
+          assert(!j.output.exists(_.dataType.isInstanceOf[ArrayType]),
+            s"$name: array column rides the candidate join:\n${j.output}")
+        }
+      }
+    }
+  }
+
   test("native dot product is bit-identical to zip_with+aggregate") {
     val e = Tables.embeddings(spark, sf)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))

@@ -191,6 +191,19 @@ class StreamingSpec extends SparkSpec {
       while (spark.table(name).count() < n &&
         System.currentTimeMillis - t0 < 60000) Thread.sleep(100)
     }
+    // every phase transition is gated on the STATE-STORE METRICS, not
+    // wall-clock sleeps: a loaded host can delay any batch arbitrarily,
+    // so "sleep 2 s and hope the batch ran" is a flake — observing
+    // numRowsTotal cross a threshold is not
+    def awaitState(q: org.apache.spark.sql.streaming.StreamingQuery,
+        what: String)(pred: Long => Boolean): Unit = {
+      val t0 = System.currentTimeMillis
+      def cur: Option[Long] = Option(q.lastProgress)
+        .flatMap(p => p.stateOperators.headOption).map(_.numRowsTotal)
+      while (!cur.exists(pred) && System.currentTimeMillis - t0 < 60000)
+        Thread.sleep(50)
+      assert(cur.exists(pred), s"$what never observed (last state rows: $cur)")
+    }
     // two identical docs = guaranteed band collision in every band
     val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
 
@@ -202,7 +215,7 @@ class StreamingSpec extends SparkSpec {
       .writeStream.format("memory").queryName("nd_keep")
       .outputMode(OutputMode.Append()).start()
     input.addData(Seq((1L, text)))
-    Thread.sleep(2000) // first doc lands in its own batch, registers state
+    awaitState(qKeep, "doc 1 state registration")(_ > 0) // doc 1's batch committed
     input.addData(Seq((2L, text)))
     awaitRows("nd_keep", 1)
     qKeep.stop()
@@ -218,9 +231,12 @@ class StreamingSpec extends SparkSpec {
       .writeStream.format("memory").queryName("nd_evict")
       .outputMode(OutputMode.Append()).start()
     input2.addData(Seq((1L, text)))
-    Thread.sleep(6000) // lease (500 ms) lapses; timer batches evict
+    awaitState(qEvict, "doc 1 state registration")(_ > 0)
+    awaitState(qEvict, "horizon eviction")(_ == 0) // timer batch evicted doc 1
     input2.addData(Seq((2L, text)))
-    Thread.sleep(6000) // give the pair every chance to (wrongly) surface
+    // doc 2's batch committed ⇒ any (wrong) within-state pair would
+    // already be in the sink
+    awaitState(qEvict, "doc 2 state registration")(_ > 0)
     qEvict.stop()
     assert(rowsOf("nd_evict").isEmpty,
       s"state past the horizon must be evicted (no pair), got ${rowsOf("nd_evict")}")
