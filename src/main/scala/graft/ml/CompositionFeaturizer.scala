@@ -67,13 +67,22 @@ object CompositionFeaturizer {
     * AtomicPackingEfficiency.compute_simultaneous_packing_efficiency;
     * signs cancel in the mean, which is why the reference's scaler mean
     * sits near zero). Returns (weighted mean, weighted mean |·|). */
-  private def apeDeviations(comp: Map[String, Double]): (Double, Double) = {
+  // matminer's AtomicPackingEfficiency reads the Magpie MiracleRadius
+  // table; the deviation features are smooth in the radii, so the
+  // literature Miracle set applies directly (see ElementData.miracleRadius
+  // for why the cluster-DISTANCE features below keep the atomic set)
+  private def apeDeviations(comp: Map[String, Double]): (Double, Double) =
+    apeDeviationsWith(comp,
+      el => ElementData.miracleRadius.getOrElse(el, ElementData.bySymbol(el).radius))
+
+  private[ml] def apeDeviationsWith(comp: Map[String, Double],
+      radiusOf: String => Double): (Double, Double) = {
     val present = comp.filter { case (el, _) => ElementData.bySymbol.contains(el) }
     if (present.isEmpty) return (0.0, 0.0)
     val total = present.values.sum
-    val rAvg = present.map { case (el, n) => ElementData.bySymbol(el).radius * n }.sum / total
+    val rAvg = present.map { case (el, n) => radiusOf(el) * n }.sum / total
     val devs = present.toSeq.map { case (el, n) =>
-      (findIdealClusterSize(ElementData.bySymbol(el).radius / rAvg)._2, n / total)
+      (findIdealClusterSize(radiusOf(el) / rAvg)._2, n / total)
     }
     val mean = devs.map { case (d, w) => d * w }.sum
     val meanAbs = devs.map { case (d, w) => math.abs(d) * w }.sum
@@ -94,13 +103,26 @@ object CompositionFeaturizer {
     * keeps a running 5-smallest distance heap — O(1) memory, no cluster
     * materialization, so a 100 TB featurization run can't blow the
     * executor heap on a 6-element composition (~2M enumerations). */
-  private def apeClusterDistances(comp: Map[String, Double]): (Double, Double, Double) = {
+  /** Feature value when the composition's element set admits NO
+    * efficiently-packed cluster at all (matminer's
+    * compute_nearest_cluster_distance returns [-1]*n in that case —
+    * a sentinel, not a distance; adopting it is what reproduces the
+    * reference's heavy left tail on the dist stats). */
+  private[ml] val NoPackValue = -1.0
+
+  private[ml] def apeClusterDistances(comp: Map[String, Double],
+      radiusOf: String => Double = el => ElementData.bySymbol(el).radius,
+      noPack: Double = NoPackValue,
+      queryEls: Option[Seq[String]] = None): (Double, Double, Double) = {
     val present = comp.filter { case (el, n) => n > 0 && ElementData.bySymbol.contains(el) }
     if (present.isEmpty) return (0.0, 0.0, 0.0)
     val els = present.keys.toSeq.sorted
     val total = present.values.sum
-    val frac = els.map(e => present(e) / total).toArray
-    val r = els.map(e => ElementData.bySymbol(e).radius).toArray
+    // queryEls (probe-only): build the query vector's dims in a DIFFERENT
+    // element order than the cluster vectors' — the shape of matminer's
+    // sorted-elements-vs-composition-order mismatch
+    val frac = queryEls.getOrElse(els).map(e => present(e) / total).toArray
+    val r = els.map(radiusOf).toArray
     val k = els.length
     // bounds from the extreme center/shell radius ratios, widened by one
     // on each side: findIdealClusterSize stops at the first APE sign flip,
@@ -151,7 +173,7 @@ object CompositionFeaturizer {
     }
     var n = minN
     while (n <= maxN) { enumerate(0, n, 0.0, n); n += 1 }
-    if (best(0) == Double.MaxValue) return (1.0, 1.0, 1.0) // nothing packable
+    if (best(0) == Double.MaxValue) return (noPack, noPack, noPack) // nothing packable
     val found = best.filter(_ < Double.MaxValue)
     def meanOf(m: Int): Double = {
       val take = found.take(math.min(m, found.length))

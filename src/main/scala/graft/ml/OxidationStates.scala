@@ -15,7 +15,10 @@ object OxidationStates {
 
   /** Common cation states per element, most prevalent first. */
   val CommonStates: Map[String, Seq[Int]] = Map(
-    "Ag" -> Seq(1), "Al" -> Seq(3), "As" -> Seq(5, 3), "Au" -> Seq(1, 3),
+    // As/Sb carry the ICSD anion states too (arsenide/antimonide oxides
+    // like LaZnAsO = La³⁺Zn²⁺As³⁻O²⁻ balance only through them — the same
+    // assignments BVAnalyzer's ICSD prior reaches)
+    "Ag" -> Seq(1), "Al" -> Seq(3), "As" -> Seq(5, 3, -3), "Au" -> Seq(1, 3),
     "B" -> Seq(3), "Ba" -> Seq(2), "Be" -> Seq(2), "Bi" -> Seq(3, 5),
     "Ca" -> Seq(2), "Cd" -> Seq(2), "Co" -> Seq(2, 3), "Cr" -> Seq(3, 6, 2, 4),
     "Cs" -> Seq(1), "Cu" -> Seq(2, 1), "Ga" -> Seq(3), "Ge" -> Seq(4, 2),
@@ -23,18 +26,20 @@ object OxidationStates {
     "La" -> Seq(3), "Li" -> Seq(1), "Mg" -> Seq(2), "Mn" -> Seq(2, 4, 3, 7),
     "Mo" -> Seq(6, 4), "Na" -> Seq(1), "Nb" -> Seq(5, 4), "Ni" -> Seq(2),
     "Os" -> Seq(4, 6, 8), "Pb" -> Seq(2, 4), "Pd" -> Seq(2, 4), "Pt" -> Seq(2, 4),
-    "Rb" -> Seq(1), "Re" -> Seq(7, 6, 4), "Rh" -> Seq(3), "Sb" -> Seq(3, 5),
+    "Rb" -> Seq(1), "Re" -> Seq(7, 6, 4), "Rh" -> Seq(3), "Sb" -> Seq(3, 5, -3),
     "Sc" -> Seq(3), "Si" -> Seq(4), "Sn" -> Seq(4, 2), "Sr" -> Seq(2),
     "Ta" -> Seq(5), "Tc" -> Seq(7, 4), "Th" -> Seq(4), "Ti" -> Seq(4, 3),
     "Tl" -> Seq(1, 3), "V" -> Seq(5, 4, 3), "W" -> Seq(6, 4), "Y" -> Seq(3),
     "Zn" -> Seq(2), "Zr" -> Seq(4))
 
-  /** Per-element oxidation states for a composition (counts map).
-    * Returns element → state (Double: fallback states can be fractional). */
-  def guess(counts: Map[String, Double]): Map[String, Double] = {
+  /** The charge-balanced one-state-per-element assignment, if one exists
+    * over the common states (None = the same compositions where
+    * pymatgen's BVAnalyzer raises — suboxides, oxypnictides — and
+    * downstream consumers must take its failure branch). */
+  def balanced(counts: Map[String, Double]): Option[Map[String, Double]] = {
     val oCount = counts.getOrElse("O", 0.0)
     val cations = counts.filter(_._1 != "O").toSeq.sortBy(_._1)
-    if (cations.isEmpty) return Map("O" -> -2.0)
+    if (cations.isEmpty) return Some(Map("O" -> -2.0))
     val needed = 2.0 * oCount
 
     // exhaustive search over one-state-per-element, minimize prevalence rank
@@ -51,15 +56,20 @@ object OxidationStates {
       }
     }
     rec(0, Nil, 0.0, 0)
-
-    best match {
-      case Some((_, states)) =>
-        cations.map(_._1).zip(states.map(_.toDouble)).toMap + ("O" -> -2.0)
-      case None =>
-        // mixed valence: uniform average cation state
-        val totalCations = cations.map(_._2).sum
-        val avg = needed / totalCations
-        cations.map { case (el, _) => el -> avg }.toMap + ("O" -> -2.0)
+    best.map { case (_, states) =>
+      cations.map(_._1).zip(states.map(_.toDouble)).toMap + ("O" -> -2.0)
     }
   }
+
+  /** Per-element oxidation states for a composition (counts map).
+    * Returns element → state (Double: fallback states can be fractional). */
+  def guess(counts: Map[String, Double]): Map[String, Double] =
+    balanced(counts).getOrElse {
+      // mixed valence: uniform average cation state
+      val oCount = counts.getOrElse("O", 0.0)
+      val cations = counts.filter(_._1 != "O").toSeq.sortBy(_._1)
+      val totalCations = cations.map(_._2).sum
+      val avg = 2.0 * oCount / totalCations
+      cations.map { case (el, _) => el -> avg }.toMap + ("O" -> -2.0)
+    }
 }

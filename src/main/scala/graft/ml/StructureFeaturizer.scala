@@ -62,19 +62,46 @@ object StructureFeaturizer {
   private def fc(r: Double, rc: Double): Double =
     if (r >= rc) 0.0 else 0.5 * (math.cos(math.Pi * r / rc) + 1.0)
 
+  /** VIRE per-site ionic radii (pymatgen ValenceIonicRadiusEvaluator):
+    * Shannon radius at (element, rounded oxidation state, Voronoi CN =
+    * the cell's face count), with the evaluator's PER-SPECIES dict
+    * semantics — `dict(zip(species_strings, radii))` lets the LAST site
+    * of each species set the radius every site of that species uses.
+    * When no charge-balanced common-state assignment exists (the same
+    * compositions where BVAnalyzer raises — suboxides and some
+    * antimonide-oxides), the evaluator leaves the structure UNDECORATED
+    * and every site falls back to its ATOMIC radius — reproducing that
+    * branch keeps those structures' relative distances near 1. */
+  private[ml] def vireIonRadii(elems: Seq[String], counts: Map[String, Double],
+      voroCn: Seq[Int], voroNbrElems: Seq[Seq[String]]): Array[Double] = {
+    val n = elems.length
+    // BVAnalyzer's bond-valence sums run over the tabulated (cation, O)
+    // parameters; a CATION whose Voronoi shell holds no oxygen at all
+    // gets a near-zero sum that matches no state → ValueError → the
+    // undecorated fallback. (Anion-coordinated cations: the [ZnAs] layer
+    // of LaZnAsO-type 1111s, the TaAs₃ units of A₃TaAs₃O.)
+    val bal = OxidationStates.balanced(counts)
+    val cationWithoutO = (0 until n).exists(i =>
+      elems(i) != "O" && bal.exists(_(elems(i)) > 0) &&
+        !voroNbrElems(i).contains("O"))
+    bal match {
+      case Some(b) if !cationWithoutO =>
+        val roundedOxi = elems.map(e => math.round(b(e)).toInt)
+        val speciesRadius = scala.collection.mutable.Map.empty[(String, Int), Double]
+        for (i <- 0 until n)
+          speciesRadius((elems(i), roundedOxi(i))) =
+            ElementData.vireRadius(elems(i), roundedOxi(i), voroCn(i))
+        (0 until n).map(i => speciesRadius((elems(i), roundedOxi(i)))).toArray
+      case _ => elems.map(e => ElementData.bySymbol(e).radius).toArray
+    }
+  }
+
   /** Run all site kernels for one material. */
   def featurizeOne(in: StructIn): StructOut = {
     val lat = Lattice(in.matrix.map(_.toArray).toArray)
     val frac = in.abc.map(_.toArray).toArray
     val n = frac.length
     val radii = in.elems.map(e => ElementData.bySymbol(e).radius).toArray
-    // VIRE resolves radii at the VORONOI coordination number (10-14 in
-    // oxides), which lands on the highest tabulated Shannon CN column —
-    // roughly the CN-6 value plus the published high-CN increment
-    val ionRadii = in.elems.map { e =>
-      val r6 = ElementData.ionicRadius.getOrElse(e, ElementData.bySymbol(e).radius)
-      if (e == "O") 1.42 else r6 + 0.12
-    }.toArray
     val masses = in.elems.map(e => ElementData.bySymbol(e).mass).toArray
 
     // one vector neighbor list drives min-dist, distance variation, G2 and
@@ -88,8 +115,12 @@ object StructureFeaturizer {
     val charges = in.elems.map(states).toArray
     val ewald = Ewald.siteEnergies(lat, frac, charges)
 
-    // Voronoi cells drive C14/C15/C19
+    // Voronoi cells drive C14/C15/C19 — and the VIRE radii below
     val voro = graft.materials.Voronoi.cellsWithSites(lat, frac)
+
+    val ionRadii = vireIonRadii(in.elems, counts, voro.map(_._1.faces.size),
+      voro.map { case (cell, siteMap) =>
+        cell.faces.map(f => in.elems(siteMap(f.nbrIdx))) })
 
     // exact OPSiteFingerprint per-site values (shell-snapped CN
     // resolution + histogram vote — materials.OpFingerprint)
