@@ -361,15 +361,19 @@ object Dedup {
       threshold: Double = 0.45, deepProbes: Boolean = false): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
-    val b = PersistSlots.cached(spark, s"embed-buckets:$dir")(Similarity.withBuckets(e))
+    // bucket width scales with the corpus (constant occupancy — see
+    // Similarity.lshBitsFor): fixed-width buckets made candidates grow
+    // as N²/2^bits, measured catastrophically at the 10× evidence run
+    val nBits = Similarity.lshBitsFor(e.count())
+    val b = PersistSlots.cached(spark, s"embed-buckets:$dir")(Similarity.withBuckets(e, nBits))
     // probe depth = recall/cost knob: 1-bit flips are the scale operating
     // point (probing 7/64 buckets); 2-bit flips (22/64) buy the ~2e-4
     // miss rate that supports a full equality oracle at the gate SF, at a
     // cost that grows toward a fractional corpus scan — fine for the
     // correctness gate, wrong for the benched scale path.
     val probes =
-      if (deepProbes) Similarity.probeBuckets2(col("bucket"))
-      else Similarity.probeBuckets(col("bucket"))
+      if (deepProbes) Similarity.probeBuckets2(col("bucket"), nBits)
+      else Similarity.probeBuckets(col("bucket"), nBits)
     // candidate generation is ID-ONLY: shipping the 64-dim vectors
     // through the bucket join put ~1 KB per candidate row on the shuffle
     // (measured 9.6 s at sf0.1); generating (a_id, b_id) first and

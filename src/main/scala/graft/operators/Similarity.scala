@@ -65,6 +65,19 @@ object Similarity {
   val LshBits = 6
   val Dim = 64
 
+  /** Bucket-width scaling: bits grow with the corpus so the EXPECTED
+    * BUCKET OCCUPANCY stays ~constant (~30 vectors). A fixed bit width
+    * is a scale-killer: candidate pairs grow as N²/2^bits, which the
+    * 10× evidence run measured directly (6-bit buckets at 20k vectors →
+    * ~50M candidate pairs, 290 s, 80 GB of shuffle spill; 9-bit buckets
+    * restore candidates ∝ N·bucket). Floor 6 keeps every oracle-SF plan
+    * and recall contract (≤2k vectors) byte-identical; cap 20 bounds the
+    * probe fan-out (bits+1 one-bit probes per table). */
+  def lshBitsFor(n: Long): Int = {
+    val raw = math.round(math.log(math.max(1L, n) / 30.0) / math.log(2)).toInt
+    math.max(LshBits, math.min(20, raw))
+  }
+
   /** Deterministic pseudo-random hyperplane component for (table, plane, dim):
     * first 4 md5 bytes as a signed int scaled to [-1, 1]. Seeded hashing
     * instead of RNG state keeps every run (and every executor) identical. */
@@ -78,10 +91,12 @@ object Similarity {
 
   /** Bucket id columns: for each table, the bitstring of hyperplane signs.
     * Package-visible so Dedup's bucketed near-dup pair path reuses the
-    * same tables. */
-  private[operators] def withBuckets(df: DataFrame): DataFrame = {
+    * same tables. nBits ≤ 0 → size from the corpus row count
+    * (lshBitsFor — one cheap count over the id column). */
+  private[operators] def withBuckets(df: DataFrame, nBits: Int = 0): DataFrame = {
+    val bits0 = if (nBits > 0) nBits else lshBitsFor(df.count())
     val bucketCols = (0 until LshTables).map { t =>
-      val bits = (0 until LshBits).map { p =>
+      val bits = (0 until bits0).map { p =>
         val plane = hyperplane(t, p)
         val planeCol = array(plane.map(lit): _*)
         when(dot(col("v"), planeCol) > 0, lit("1")).otherwise(lit("0"))
@@ -94,13 +109,14 @@ object Similarity {
 
   /** Multi-probe bucket list: the bucket itself plus every 1-bit flip —
     * the standard multi-probe LSH trick (a near-miss neighbor most likely
-    * differs in exactly one hyperplane sign). */
-  private[operators] def probeBuckets(bucket: Column): Column = {
-    val flips = (0 until LshBits).map { p =>
+    * differs in exactly one hyperplane sign). nBits must match the width
+    * the buckets were built with (length of the bucket bitstring). */
+  private[operators] def probeBuckets(bucket: Column, nBits: Int = LshBits): Column = {
+    val flips = (0 until nBits).map { p =>
       val ch = substring(bucket, p + 1, 1)
       concat(substring(bucket, 1, p),
         when(ch === "1", lit("0")).otherwise(lit("1")),
-        substring(bucket, p + 2, LshBits - p - 1))
+        substring(bucket, p + 2, nBits - p - 1))
     }
     array(bucket +: flips: _*)
   }
@@ -113,15 +129,15 @@ object Similarity {
     * probability to ~2e-4 — which is what lets the bucketed path carry a
     * full equality oracle against the exact pair set. Probe count is a
     * recall/cost knob: ANN top-k keeps the cheaper 1-bit list. */
-  private[operators] def probeBuckets2(bucket: Column): Column = {
+  private[operators] def probeBuckets2(bucket: Column, nBits: Int = LshBits): Column = {
     def flip(b: Column, p: Int): Column = {
       val ch = substring(b, p + 1, 1)
       concat(substring(b, 1, p),
         when(ch === "1", lit("0")).otherwise(lit("1")),
-        substring(b, p + 2, LshBits - p - 1))
+        substring(b, p + 2, nBits - p - 1))
     }
-    val one = (0 until LshBits).map(p => flip(bucket, p))
-    val two = for { p <- 0 until LshBits; q <- p + 1 until LshBits }
+    val one = (0 until nBits).map(p => flip(bucket, p))
+    val two = for { p <- 0 until nBits; q <- p + 1 until nBits }
       yield flip(flip(bucket, p), q)
     array((bucket +: one) ++ two: _*)
   }
@@ -134,7 +150,9 @@ object Similarity {
     * bruteForceTopK in ExtensionsSpec) — the price of never
     * materializing Q×N. */
   def lshTopK(spark: SparkSession, dir: String): DataFrame = {
-    val e = PersistSlots.cached(spark, s"lsh-buckets:$dir")(withBuckets(emb(spark, dir)))
+    val raw = emb(spark, dir)
+    val nBits = lshBitsFor(raw.count())
+    val e = PersistSlots.cached(spark, s"lsh-buckets:$dir")(withBuckets(raw, nBits))
     // candidate generation is ID-ONLY (the pattern measured in Dedup's
     // bucketed path: wide vectors through the bucket join cost 9.6 s vs
     // 1.6 s at sf0.1): the (tbl, bucket) fan-out carries ids only;
@@ -143,7 +161,7 @@ object Similarity {
     // the shape that holds when the query set is no longer 20 rows
     val q = e.filter(col("vec_id") < QuerySetSize)
       .select(col("vec_id").as("q_id"), col("tbl"),
-        explode(probeBuckets(col("bucket"))).as("bucket"))
+        explode(probeBuckets(col("bucket"), nBits)).as("bucket"))
     val n = e.select(col("vec_id").as("nbr_id"), col("tbl"), col("bucket"))
     val cand = q.join(n, Seq("tbl", "bucket"))
       .filter(col("q_id") =!= col("nbr_id"))
