@@ -93,7 +93,7 @@ object Similarity {
     * Package-visible so Dedup's bucketed near-dup pair path reuses the
     * same tables. nBits ≤ 0 → size from the corpus row count
     * (lshBitsFor — one cheap count over the id column). */
-  private[operators] def withBuckets(df: DataFrame, nBits: Int = 0): DataFrame = {
+  private[graft] def withBuckets(df: DataFrame, nBits: Int = 0): DataFrame = {
     val bits0 = if (nBits > 0) nBits else lshBitsFor(df.count())
     val bucketCols = (0 until LshTables).map { t =>
       val bits = (0 until bits0).map { p =>
@@ -111,7 +111,7 @@ object Similarity {
     * the standard multi-probe LSH trick (a near-miss neighbor most likely
     * differs in exactly one hyperplane sign). nBits must match the width
     * the buckets were built with (length of the bucket bitstring). */
-  private[operators] def probeBuckets(bucket: Column, nBits: Int = LshBits): Column = {
+  private[graft] def probeBuckets(bucket: Column, nBits: Int = LshBits): Column = {
     val flips = (0 until nBits).map { p =>
       val ch = substring(bucket, p + 1, 1)
       concat(substring(bucket, 1, p),
@@ -129,7 +129,7 @@ object Similarity {
     * probability to ~2e-4 — which is what lets the bucketed path carry a
     * full equality oracle against the exact pair set. Probe count is a
     * recall/cost knob: ANN top-k keeps the cheaper 1-bit list. */
-  private[operators] def probeBuckets2(bucket: Column, nBits: Int = LshBits): Column = {
+  private[graft] def probeBuckets2(bucket: Column, nBits: Int = LshBits): Column = {
     def flip(b: Column, p: Int): Column = {
       val ch = substring(b, p + 1, 1)
       concat(substring(b, 1, p),

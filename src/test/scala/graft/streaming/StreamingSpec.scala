@@ -177,13 +177,50 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("near-dup horizon evicts idle band state but keeps pairs inside it") {
+    runNearDupHorizonTest()
+  }
+
+  test("streaming embedding near-dup: verified pairs equal the batch bucketed path") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    // NOTE: with a registered ProcessingTimeTimeout the micro-batch
-    // engine keeps scheduling no-data batches to evaluate timers, so
-    // processAllAvailable never quiesces — the test polls the memory
-    // sink with a deadline instead. (The continuous batches are also
-    // what FIRES the timers without needing new input.)
+    val sf01 = "/root/testdata/sf0.01"
+    import graft.operators.Dedup
+    // exact oracle pairs (precision gate) and the batch bucketed path
+    // (equality gate: 1-bit flips are symmetric, so the stream finds a
+    // pair iff some table's home buckets are within Hamming 1 — the same
+    // condition the batch equi join expresses, independent of arrival order)
+    val exact = Dedup.embeddingCosine(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = Dedup.embeddingCosineBucketed(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = Tables.embeddings(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = EmbedStreams.nearDupPairs(spark,
+        input.toDF().toDF("vec_id", "embedding"))
+      .writeStream.format("memory").queryName("emb_nd")
+      .outputMode(OutputMode.Append()).start()
+    // two chunks to exercise cross-batch state
+    val (first, second) = rows.splitAt(rows.length / 2)
+    input.addData(first.toSeq); q.processAllAvailable()
+    input.addData(second.toSeq); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("emb_nd").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(exact), // every emitted pair is exact-verified
+      s"false positives: ${(got -- exact).take(5)}")
+    assert(got == batch, // and the stream loses nothing vs the batch join
+      s"missing=${(batch -- got).take(5)} extra=${(got -- batch).take(5)}")
+  }
+
+  // NOTE: with a registered ProcessingTimeTimeout the micro-batch engine
+  // keeps scheduling no-data batches to evaluate timers, so
+  // processAllAvailable never quiesces — the test polls the memory sink
+  // with a deadline instead. (The continuous batches are also what FIRES
+  // the timers without needing new input.)
+  private def runNearDupHorizonTest(): Unit = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
     def rowsOf(name: String): Set[(Long, Long)] = spark.table(name).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     def awaitRows(name: String, n: Int): Unit = {
