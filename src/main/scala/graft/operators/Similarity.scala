@@ -142,6 +142,39 @@ object Similarity {
     array((bucket +: one) ++ two: _*)
   }
 
+  /** Sign-LSH bucket index artifact: (vec_id, tbl, bucket) rows — id-only
+    * (the vectors stay in the corpus and join back by id at rescoring
+    * time, so the index is ~20 bytes/vector/table, not a corpus copy).
+    * Built once per corpus and reusable across queries / persistable to
+    * parquet, like IvfIndex. nBits is baked in: the probe expansion must
+    * use the width the buckets were hashed with. */
+  final case class LshIndex(nBits: Int, buckets: DataFrame)
+
+  def buildLshIndex(spark: SparkSession, dir: String): LshIndex = {
+    val raw = emb(spark, dir)
+    val nBits = lshBitsFor(raw.count())
+    val b = PersistSlots.cached(spark, s"lsh-index:$dir")(
+      withBuckets(raw, nBits).select(col("vec_id"), col("tbl"), col("bucket")))
+    LshIndex(nBits, b)
+  }
+
+  /** Persist the index: bucket rows as tbl-partitioned parquet plus a
+    * one-row meta table carrying the hash width — a cold query session
+    * loads the artifact instead of re-hashing the corpus. */
+  def saveLshIndex(idx: LshIndex, path: String): Unit = {
+    idx.buckets.write.mode("overwrite").partitionBy("tbl").parquet(s"$path/buckets")
+    val spark = idx.buckets.sparkSession
+    import spark.implicits._
+    Seq(idx.nBits).toDF("n_bits")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  def loadLshIndex(spark: SparkSession, path: String): LshIndex = {
+    val nBits = spark.read.parquet(s"$path/meta").head().getInt(0)
+    LshIndex(nBits, spark.read.parquet(s"$path/buckets")
+      .select(col("vec_id"), col("tbl"), col("bucket")))
+  }
+
   /** ANN top-k via sign-random-projection LSH with multi-probe: corpus
     * vectors hash to one bucket per table; each QUERY probes its own
     * bucket and all 1-bit-flip neighbors in every table. Candidates come
@@ -149,25 +182,25 @@ object Similarity {
     * Missing true neighbors is still possible (recall measured vs
     * bruteForceTopK in ExtensionsSpec) — the price of never
     * materializing Q×N. */
-  def lshTopK(spark: SparkSession, dir: String): DataFrame = {
+  def lshTopK(spark: SparkSession, dir: String, index: Option[LshIndex] = None): DataFrame = {
     val raw = emb(spark, dir)
-    val nBits = lshBitsFor(raw.count())
-    val e = PersistSlots.cached(spark, s"lsh-buckets:$dir")(withBuckets(raw, nBits))
+    val idx = index.getOrElse(buildLshIndex(spark, dir))
+    val nBits = idx.nBits
     // candidate generation is ID-ONLY (the pattern measured in Dedup's
     // bucketed path: wide vectors through the bucket join cost 9.6 s vs
     // 1.6 s at sf0.1): the (tbl, bucket) fan-out carries ids only;
     // vectors join back by id AFTER the dedup, so each vector crosses the
     // shuffle once per surviving candidate pair, not once per probe hit —
     // the shape that holds when the query set is no longer 20 rows
-    val q = e.filter(col("vec_id") < QuerySetSize)
+    val q = idx.buckets.filter(col("vec_id") < QuerySetSize)
       .select(col("vec_id").as("q_id"), col("tbl"),
         explode(probeBuckets(col("bucket"), nBits)).as("bucket"))
-    val n = e.select(col("vec_id").as("nbr_id"), col("tbl"), col("bucket"))
+    val n = idx.buckets.select(col("vec_id").as("nbr_id"), col("tbl"), col("bucket"))
     val cand = q.join(n, Seq("tbl", "bucket"))
       .filter(col("q_id") =!= col("nbr_id"))
       .select("q_id", "nbr_id")
       .dropDuplicates("q_id", "nbr_id")
-    val vecs = e.select(col("vec_id"), col("v")).dropDuplicates("vec_id")
+    val vecs = raw.select(col("vec_id"), col("v"))
     val w = Window.partitionBy("q_id").orderBy(round(col("cs"), 6).desc, col("nbr_id"))
     cand
       .join(vecs.select(col("vec_id").as("q_id"), col("v").as("vq")), Seq("q_id"))
@@ -260,6 +293,22 @@ object Similarity {
     ivfCache.clear()
   }
 
+  /** Per-row probe list: the `nProbe` nearest coarse centroids. The
+    * centroid table is broadcast-scale by construction (√N rows), so the
+    * nearest-cell scan is a tight loop over a broadcast array. */
+  private def cellProbeUdf(spark: SparkSession, centroids: Array[Array[Double]],
+      nProbe: Int): Column => Column = {
+    val centB = spark.sparkContext.broadcast(centroids)
+    val u = org.apache.spark.sql.functions.udf { (v: Seq[Double]) =>
+      centB.value.zipWithIndex.map { case (c, i) =>
+        var s = 0.0; var j = 0
+        while (j < c.length) { s += (c(j) - v(j)) * (c(j) - v(j)); j += 1 }
+        (i, s)
+      }.sortBy(_._2).take(nProbe).map(_._1)
+    }
+    u.apply(_)
+  }
+
   /** ANN via IVF (inverted-file index): the coarse quantizer assigns every
     * vector to a cell; queries probe only the `nProbe` nearest cells and
     * rescore exactly. The scale path when LSH bucket tuning is awkward:
@@ -281,21 +330,12 @@ object Similarity {
       if (nProbe > 0) nProbe
       else math.max(1, math.ceil(idx.centroids.length * (if (deepProbes) 12.0 else 6.0) / 16).toInt)
     val assigned = idx.assignments
-    val centroids = idx.centroids
-    // probe list per query: nProbe nearest centroids (driver-side math on a
-    // 16-row table — the centroid table is broadcast-scale by construction)
-    val centB = spark.sparkContext.broadcast(centroids)
-    val probeUdf = org.apache.spark.sql.functions.udf { (v: Seq[Double]) =>
-      centB.value.zipWithIndex.map { case (c, i) =>
-        var s = 0.0; var j = 0
-        while (j < c.length) { s += (c(j) - v(j)) * (c(j) - v(j)); j += 1 }
-        (i, s)
-      }.sortBy(_._2).take(nProbeEff).map(_._1)
-    }
+    val probeUdf = cellProbeUdf(spark, idx.centroids, nProbeEff)
     // id-only candidate generation (same rationale as lshTopK): the cell
     // fan-out ships (q_id, nbr_id); vectors join back post-dedup
     val q = assigned.filter(col("vec_id") < QuerySetSize)
       .select(col("vec_id").as("q_id"), explode(probeUdf(col("v"))).as("cell"))
+
     val n = assigned.select(col("vec_id").as("nbr_id"), col("cell"))
     val cand = q.join(n, Seq("cell"))
       .filter(col("q_id") =!= col("nbr_id"))
@@ -313,9 +353,220 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  // ---------------------------------------------------------------------
+  // Product quantization (IVF-PQ): the 100 TB memory/shuffle story.
+  //
+  // The 64-dim space is split into PqM orthogonal 8-dim subspaces, each
+  // with its own K-centroid codebook (K ≤ 256 so a code is one byte). A
+  // corpus vector compresses to PqM bytes — 8 bytes instead of 512 for
+  // the double array — and candidate scoring (ADC: asymmetric distance
+  // computation) needs only the codes plus the query vector: the inner
+  // product decomposes over subspaces,
+  //   <q, x> ≈ Σ_m <q_m, c_m[code_m(x)]>,
+  // so the full corpus vectors are touched ONLY by the final exact
+  // re-rank over the top `rerank` ADC survivors per query. At 100 TB
+  // that is the difference between shuffling the corpus and shuffling
+  // 8-byte codes.
+  // ---------------------------------------------------------------------
+
+  /** Subspace count: 64 dims → 8 subspaces × 8 dims. */
+  val PqM = 8
+
+  /** Per-subspace codebook size: the standard 256 (byte codes), scaled
+    * down for small corpora so the fit has ≥8 points per centroid. */
+  def defaultPqK(n: Long): Int =
+    math.min(256, math.max(8, (n / 8).toInt))
+
+  /** PQ codebook: centroids(m)(k) is the k-th centroid of subspace m
+    * (dsub doubles each). Fit once on a sample, broadcast everywhere. */
+  final case class PqCodebook(dsub: Int, centroids: Array[Array[Array[Double]]])
+
+  /** PQ index artifact: the codebook plus per-vector byte codes (with the
+    * coarse IVF cell, so probing and ADC run off this one frame). */
+  final case class PqIndex(codebook: PqCodebook, codes: DataFrame)
+
+  /** Fit per-subspace KMeans codebooks (on a sample — the fit must never
+    * scan the corpus, same contract as buildIvfIndex) and encode every
+    * corpus vector to PqM byte codes. */
+  def buildPqIndex(spark: SparkSession, dir: String, ivf: IvfIndex,
+      k: Int = 0): PqIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val assigned = ivf.assignments
+    val n = assigned.count()
+    val kEff = if (k > 0) k else defaultPqK(n)
+    val dsub = Dim / PqM
+    val frac = math.min(1.0, 200.0 * kEff / math.max(1L, n).toDouble)
+    val fitOn = (if (frac >= 1.0) assigned else assigned.sample(frac, 42L))
+      .select(col("v")).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val codebooks = Array.tabulate(PqM) { m =>
+      val sub = fitOn.select(array_to_vector(slice(col("v"), m * dsub + 1, dsub)).as("fv"))
+      new KMeans().setK(kEff).setSeed(42L + m).setFeaturesCol("fv")
+        .fit(sub).clusterCenters.map(_.toArray)
+    }
+    fitOn.unpersist(false)
+    val cb = PqCodebook(dsub, codebooks)
+    val cbB = spark.sparkContext.broadcast(cb)
+    // nearest-centroid encode; strict < keeps the lowest index on ties so
+    // encoding is deterministic across runs and executors
+    val encodeUdf = org.apache.spark.sql.functions.udf { (v: Seq[Double]) =>
+      val c = cbB.value
+      Array.tabulate(PqM) { m =>
+        val cents = c.centroids(m)
+        var best = 0; var bestD = Double.MaxValue; var ki = 0
+        while (ki < cents.length) {
+          var s = 0.0; var j = 0
+          while (j < c.dsub) {
+            val d = cents(ki)(j) - v(m * c.dsub + j); s += d * d; j += 1
+          }
+          if (s < bestD) { bestD = s; best = ki }
+          ki += 1
+        }
+        best.toByte
+      }
+    }
+    val codes = assigned
+      .select(col("vec_id"), col("cell"), encodeUdf(col("v")).as("code"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    codes.count()
+    PqIndex(cb, codes)
+  }
+
+  /** Persist the PQ index: codes as cell-partitioned parquet (the 8-byte
+    * rows are the ONLY per-vector state a query-serving cluster needs in
+    * memory), codebook as a tiny parquet table. */
+  def savePqIndex(idx: PqIndex, path: String): Unit = {
+    idx.codes.write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    val spark = idx.codes.sparkSession
+    import spark.implicits._
+    val cb = idx.codebook
+    (for { m <- cb.centroids.indices; k <- cb.centroids(m).indices }
+      yield (m, k, cb.dsub, cb.centroids(m)(k).toSeq))
+      .toDF("m", "k", "dsub", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+  }
+
+  def loadPqIndex(spark: SparkSession, path: String): PqIndex = {
+    val rows = spark.read.parquet(s"$path/codebook")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getSeq[Double](3).toArray))
+    val dsub = rows.head._3
+    val cents = rows.groupBy(_._1).toArray.sortBy(_._1)
+      .map { case (_, ks) => ks.sortBy(_._2).map(_._4) }
+    PqIndex(PqCodebook(dsub, cents),
+      spark.read.parquet(s"$path/codes").select(col("vec_id"), col("cell"), col("code")))
+  }
+
+  private val pqCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), PqIndex]
+
+  /** Drop cached PQ indexes (release persisted codes) — required after
+    * rewriting a corpus dir in-place (pairs with clearIvfCache). */
+  def clearPqCache(): Unit = {
+    pqCache.values.foreach(i =>
+      try i.codes.unpersist(false) catch { case _: Throwable => () })
+    pqCache.clear()
+  }
+
+  /** ANN via IVF-PQ: probe the nearest IVF cells, score candidates with
+    * ADC over the byte codes (corpus vectors NOT in the join), keep the
+    * top `rerank` per query, and exactly rescore only those. Output
+    * schema and ordering contract match ivfTopK/bruteForceTopK.
+    *
+    * deepProbes probes 3/4 of the cells and doubles the re-rank window —
+    * the probe-enough operating point whose top-1 slice carries a full
+    * equality oracle (ann_ivfpq_top1), proving the 8-byte code path
+    * loses nothing where it claims exactness. */
+  def ivfPqTopK(spark: SparkSession, dir: String, nClusters: Int = 0, nProbe: Int = 0,
+      rerank: Int = 0, index: Option[IvfIndex] = None, pq: Option[PqIndex] = None,
+      deepProbes: Boolean = false): DataFrame = {
+    val idx = index.getOrElse(
+      ivfCache.getOrElseUpdate((spark.sparkContext.applicationId, dir, nClusters),
+        buildIvfIndex(spark, dir, nClusters)))
+    val pqi = pq.getOrElse(
+      pqCache.getOrElseUpdate((spark.sparkContext.applicationId, dir),
+        buildPqIndex(spark, dir, idx)))
+    val nProbeEff =
+      if (nProbe > 0) nProbe
+      else math.max(1, math.ceil(idx.centroids.length * (if (deepProbes) 12.0 else 6.0) / 16).toInt)
+    // re-rank window: the production path keeps a fixed 8·k window (the
+    // rerank join is rerank·|Q| rows, independent of corpus size). The
+    // deep-probe ORACLE path must instead scale the window with the
+    // corpus: on a weak-neighbor corpus (true-NN cosine ≈ 0.5) the number
+    // of ADC-noise impostors outranking the true NN grows ∝ N — measured
+    // worst true-NN ADC rank 90/500 at sf0.001, 14/500 at sf0.01
+    // (tools.PqProbe) — so the equality contract takes N/4 with ≥1.4×
+    // margin. Exactness still prunes 3/4 of the exact-scoring work.
+    val rerankEff =
+      if (rerank > 0) rerank
+      else if (deepProbes) math.max(16 * TopK, (pqi.codes.count() / 4).toInt)
+      else 8 * TopK
+    val probeUdf = cellProbeUdf(spark, idx.centroids, nProbeEff)
+    val assigned = idx.assignments
+    // ADC lookup tables (Jégou et al. 2011): per query, the M×K partial
+    // inner products <q_m, c_m[k]> are precomputed ONCE and broadcast —
+    // the query set is the small side by contract (same contract as the
+    // broadcast exact re-rank below), so this is Q·M·K doubles, not data
+    // scale. Candidate scoring then needs only (q_id, code): M table
+    // lookups per candidate, no vector arithmetic, no vector columns.
+    val cb = pqi.codebook
+    val luts: Map[Long, Array[Array[Double]]] = assigned
+      .filter(col("vec_id") < QuerySetSize).select(col("vec_id"), col("v"))
+      .collect().map { r =>
+        val vq = r.getSeq[Double](1).toArray
+        r.getLong(0) -> Array.tabulate(PqM) { m =>
+          cb.centroids(m).map { cent =>
+            var s = 0.0; var j = 0
+            while (j < cb.dsub) { s += vq(m * cb.dsub + j) * cent(j); j += 1 }
+            s
+          }
+        }
+      }.toMap
+    val lutB = spark.sparkContext.broadcast(luts)
+    val adcUdf = org.apache.spark.sql.functions.udf { (qId: Long, code: Array[Byte]) =>
+      val lut = lutB.value(qId)
+      var s = 0.0; var m = 0
+      while (m < code.length) { s += lut(m)(code(m) & 0xFF); m += 1 }
+      s
+    }
+    // query side: ids through the probe fan-out, vectors joined back by id
+    // (broadcast — the query set is the small side by contract)
+    val q = assigned.filter(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("q_id"), explode(probeUdf(col("v"))).as("cell"))
+    val n = pqi.codes.select(col("vec_id").as("nbr_id"), col("cell"), col("code"))
+    // candidates carry (q_id, nbr_id, code): the code IS the payload ADC
+    // needs, 8 bytes — this join never ships a corpus vector
+    val cand = q.join(n, Seq("cell"))
+      .filter(col("q_id") =!= col("nbr_id"))
+      .select("q_id", "nbr_id", "code")
+      .dropDuplicates("q_id", "nbr_id")
+    val vecs = assigned.select(col("vec_id"), col("v"))
+    val qvecs = vecs.filter(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("q_id"), col("v").as("vq"))
+    val wAdc = Window.partitionBy("q_id").orderBy(col("adc").desc, col("nbr_id"))
+    val survivors = cand
+      .withColumn("adc", adcUdf(col("q_id"), col("code")))
+      // scored in place from the LUT: only (q_id, nbr_id, adc) enters
+      // the ranking shuffle — 24 bytes/candidate, no vectors, no codes
+      .select("q_id", "nbr_id", "adc")
+      .withColumn("adc_rank", row_number().over(wAdc))
+      .filter(col("adc_rank") <= rerankEff)
+      .select("q_id", "nbr_id")
+    // exact re-rank: the ONLY place full corpus vectors are joined, and
+    // the input is rerank·|Q| rows, independent of corpus size
+    val w = Window.partitionBy("q_id").orderBy(round(col("cs"), 6).desc, col("nbr_id"))
+    survivors
+      .join(broadcast(qvecs), Seq("q_id"))
+      .join(vecs.select(col("vec_id").as("nbr_id"), col("v").as("vn")), Seq("nbr_id"))
+      .withColumn("cs", dot(col("vq"), col("vn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("nbr_id"), col("rank"), round(col("cs"), 4).as("cs"))
+      .orderBy("q_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk" -> bruteForceTopK _,
-    "ann_lsh_topk" -> lshTopK _, // top-K is spec-gated (recall < 1 by design)...
+    "ann_lsh_topk" -> ((s: SparkSession, d: String) => lshTopK(s, d)), // top-K is spec-gated (recall < 1 by design)...
     // ...but the HIGH-CONFIDENCE slice carries a full equality oracle:
     // multi-probe LSH must return the true nearest neighbor for every
     // query (top-1 misses are what multi-probe exists to kill)
@@ -327,6 +578,12 @@ object Similarity {
     // oracle against the exact top-1 (mirrors ann_lsh_top1)
     "ann_ivf_top1" -> ((s: SparkSession, d: String) =>
       ivfTopK(s, d, deepProbes = true).filter(col("rank") === 1)),
+    "ann_ivfpq_topk" -> ((s: SparkSession, d: String) => ivfPqTopK(s, d)), // recall spec'd
+    // the PQ probe-enough slice: deep probes + doubled re-rank window must
+    // recover the true nearest neighbor for every query from 8-byte codes
+    // — full equality oracle (mirrors ann_ivf_top1 / ann_lsh_top1)
+    "ann_ivfpq_top1" -> ((s: SparkSession, d: String) =>
+      ivfPqTopK(s, d, deepProbes = true).filter(col("rank") === 1)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -355,6 +612,18 @@ object Similarity {
         |SELECT q_id, nbr_id, rank, ROUND(cs,4) AS cs FROM ranked
         |WHERE rank = 1 ORDER BY q_id""".stripMargin.replaceAll("\n", " "),
     "ann_lsh_top1" ->
+      """WITH scored AS (
+        |SELECT a.vec_id AS q_id, b.vec_id AS nbr_id,
+        |list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS cs
+        |FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        |WHERE a.vec_id < 20),
+        |ranked AS (SELECT q_id, nbr_id, cs,
+        |CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ROUND(cs,6) DESC, nbr_id) AS INTEGER) AS rank
+        |FROM scored)
+        |SELECT q_id, nbr_id, rank, ROUND(cs,4) AS cs FROM ranked
+        |WHERE rank = 1 ORDER BY q_id""".stripMargin.replaceAll("\n", " "),
+    "ann_ivfpq_top1" ->
       """WITH scored AS (
         |SELECT a.vec_id AS q_id, b.vec_id AS nbr_id,
         |list_sum(list_transform(list_zip(a.embedding, b.embedding),

@@ -36,6 +36,18 @@ class ExtensionsSpec extends SparkSpec {
     assert(direct.nonEmpty)
   }
 
+  test("ann: LSH index save/load roundtrip yields identical top-k") {
+    val dir = java.nio.file.Files.createTempDirectory("lshidx").toString
+    val idx = Similarity.buildLshIndex(spark, sf)
+    Similarity.saveLshIndex(idx, dir)
+    val loaded = Similarity.loadLshIndex(spark, dir)
+    assert(loaded.nBits == idx.nBits)
+    val direct = Similarity.lshTopK(spark, sf, index = Some(idx)).collect().toSeq
+    val viaDisk = Similarity.lshTopK(spark, sf, index = Some(loaded)).collect().toSeq
+    assert(direct.nonEmpty)
+    assert(direct == viaDisk)
+  }
+
   test("ann: every LSH hit is a true cosine score (no fabricated scores)") {
     val approx = Similarity.lshTopK(spark, sf).collect()
     assert(approx.nonEmpty)
@@ -50,6 +62,73 @@ class ExtensionsSpec extends SparkSpec {
     val recall = (exact & ivf).size.toDouble / exact.size
     info(s"ivf recall=$recall")
     assert(recall >= 0.3, s"recall=$recall")
+  }
+
+  test("ann: IVF-PQ deep-probe top-1 equals the exact nearest neighbor") {
+    // the equality contract behind the ann_ivfpq_top1 oracle: deep probes
+    // + doubled re-rank window must recover the true NN from 8-byte codes
+    val exact = Similarity.bruteForceTopK(spark, sf).filter(col("rank") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.ivfPqTopK(spark, sf, deepProbes = true).filter(col("rank") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(pq == exact, s"missed=${exact -- pq} extra=${pq -- exact}")
+  }
+
+  test("ann: IVF-PQ top-k achieves usable recall vs brute force") {
+    val exact = Similarity.bruteForceTopK(spark, sf)
+      .select("q_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.ivfPqTopK(spark, sf)
+      .select("q_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    info(s"ivf-pq recall=$recall")
+    // same probe budget as ivfTopK (floor 0.3 there); the exact re-rank
+    // over ADC survivors cannot lose pairs the probed cells contain
+    assert(recall >= 0.3, s"recall=$recall")
+  }
+
+  test("ann: PQ index save/load roundtrip yields identical top-k") {
+    val dir = java.nio.file.Files.createTempDirectory("pq").toString
+    val ivf = Similarity.buildIvfIndex(spark, sf)
+    val pq = Similarity.buildPqIndex(spark, sf, ivf)
+    Similarity.savePqIndex(pq, dir)
+    val loaded = Similarity.loadPqIndex(spark, dir)
+    assert(loaded.codebook.dsub == pq.codebook.dsub)
+    assert(loaded.codebook.centroids.length == pq.codebook.centroids.length)
+    loaded.codebook.centroids.zip(pq.codebook.centroids).foreach { case (a, b) =>
+      assert(a.length == b.length)
+      a.zip(b).foreach { case (ca, cb) => assert(ca.sameElements(cb)) }
+    }
+    val direct = Similarity.ivfPqTopK(spark, sf, index = Some(ivf), pq = Some(pq))
+      .collect().toSeq
+    val viaDisk = Similarity.ivfPqTopK(spark, sf, index = Some(ivf), pq = Some(loaded))
+      .collect().toSeq
+    assert(direct.nonEmpty)
+    assert(direct == viaDisk)
+  }
+
+  test("pq: 8-byte codes reconstruct unit vectors with high cosine fidelity") {
+    val ivf = Similarity.buildIvfIndex(spark, sf)
+    val pq = Similarity.buildPqIndex(spark, sf, ivf)
+    val cb = pq.codebook
+    val codes = pq.codes.select("vec_id", "code").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    assert(codes.keySet == vecs.keySet)
+    val cosines = vecs.toSeq.map { case (id, v) =>
+      val rec = codes(id).zipWithIndex.flatMap { case (c, m) => cb.centroids(m)(c & 0xFF) }
+      val dot = v.zip(rec).map { case (a, b) => a * b }.sum
+      dot / math.sqrt(rec.map(x => x * x).sum) // v is unit-norm already
+    }
+    val mean = cosines.sum / cosines.size
+    info(s"mean reconstruction cosine=$mean")
+    // 8 subspaces x defaultPqK centroids on 64-dim unit vectors: the
+    // quantized vector must stay decisively aligned with the original
+    // (ADC ranking quality rests on this)
+    assert(mean >= 0.7, s"mean reconstruction cosine=$mean")
+    assert(cosines.min >= 0.3, s"worst reconstruction cosine=${cosines.min}")
   }
 
   test("xxhash64 minhash family finds the same near-dups as the md5 family") {

@@ -106,6 +106,35 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF-PQ candidate fan-out carries byte codes, never corpus vectors") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    import org.apache.spark.sql.types.ArrayType
+    // the PQ contract: the cell fan-out join and candidate dedup ship
+    // (q_id, nbr_id, code) — 8-byte codes — and the full vectors appear
+    // only in the final rerank·|Q|-row exact re-rank join
+    val df = Similarity.ivfPqTopK(spark, sf)
+    val lp = df.queryExecution.optimizedPlan
+    // the optimizer folds the ADC projection into the dedup itself:
+    // Aggregate [q_id, nbr_id] emitting adc straight from first(code) —
+    // codes never even survive past the dedup
+    val dedups = lp.collect {
+      case a: Aggregate
+          if a.groupingExpressions.collect {
+            case ne: org.apache.spark.sql.catalyst.expressions.NamedExpression => ne.name
+          }.toSet == Set("q_id", "nbr_id") &&
+            a.child.output.exists(_.name == "code") => a
+    }
+    assert(dedups.nonEmpty, s"PQ candidate dedup aggregate not found:\n$lp")
+    dedups.foreach { a =>
+      assert(!a.child.output.exists(_.dataType.isInstanceOf[ArrayType]),
+        s"array column enters the PQ candidate dedup:\n${a.child.output}")
+      a.collect { case j: Join => j }.foreach { j =>
+        assert(!j.output.exists(_.dataType.isInstanceOf[ArrayType]),
+          s"array column rides the PQ candidate join:\n${j.output}")
+      }
+    }
+  }
+
   test("native dot product is bit-identical to zip_with+aggregate") {
     val e = Tables.embeddings(spark, sf)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
