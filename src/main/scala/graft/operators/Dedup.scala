@@ -358,14 +358,19 @@ object Dedup {
     * the quadratic oracle, this is the scale shape (recall measured in
     * ExtensionsSpec). */
   def embeddingCosineBucketed(spark: SparkSession, dir: String,
-      threshold: Double = 0.45, deepProbes: Boolean = false): DataFrame = {
+      threshold: Double = 0.45, deepProbes: Boolean = false,
+      index: Option[Similarity.LshIndex] = None): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
-    // bucket width scales with the corpus (constant occupancy — see
-    // Similarity.lshBitsFor): fixed-width buckets made candidates grow
-    // as N²/2^bits, measured catastrophically at the 10× evidence run
-    val nBits = Similarity.lshBitsFor(e.count())
-    val b = PersistSlots.cached(spark, s"embed-buckets:$dir")(Similarity.withBuckets(e, nBits))
+    // ONE bucket artifact per corpus, shared with Similarity.lshTopK
+    // (id-only rows; persistable via saveLshIndex — a cold session loads
+    // the index instead of re-hashing). Bucket width scales with the
+    // corpus (constant occupancy — see Similarity.lshBitsFor):
+    // fixed-width buckets made candidates grow as N²/2^bits, measured
+    // catastrophically at the 10× evidence run
+    val idx = index.getOrElse(Similarity.buildLshIndex(spark, dir))
+    val nBits = idx.nBits
+    val b = idx.buckets
     // probe depth = recall/cost knob: 1-bit flips are the scale operating
     // point (probing 7/64 buckets); 2-bit flips (22/64) buy the ~2e-4
     // miss rate that supports a full equality oracle at the gate SF, at a
@@ -386,7 +391,7 @@ object Dedup {
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id")
       .distinct()
-    val vecs = b.select(col("vec_id"), col("v")).dropDuplicates("vec_id")
+    val vecs = e
     cand
       .join(vecs.select(col("vec_id").as("a_id"), col("v").as("va")), Seq("a_id"))
       .join(vecs.select(col("vec_id").as("b_id"), col("v").as("vb")), Seq("b_id"))

@@ -488,18 +488,21 @@ object Similarity {
     val nProbeEff =
       if (nProbe > 0) nProbe
       else math.max(1, math.ceil(idx.centroids.length * (if (deepProbes) 12.0 else 6.0) / 16).toInt)
-    // re-rank window: the production path keeps a fixed 8·k window (the
-    // rerank join is rerank·|Q| rows, independent of corpus size). The
-    // deep-probe ORACLE path must instead scale the window with the
-    // corpus: on a weak-neighbor corpus (true-NN cosine ≈ 0.5) the number
-    // of ADC-noise impostors outranking the true NN grows ∝ N — measured
-    // worst true-NN ADC rank 90/500 at sf0.001, 14/500 at sf0.01
-    // (tools.PqProbe) — so the equality contract takes N/4 with ≥1.4×
-    // margin. Exactness still prunes 3/4 of the exact-scoring work.
+    // re-rank window: the production path keeps a FIXED window (the
+    // rerank join is rerank·|Q| rows, independent of corpus size — the
+    // standard IVF-PQ serving shape). 64·k: the exact-rescore of 192
+    // rows/query is noise absolutely, and the 10× evidence run measured
+    // the recall cliff of a small window directly (window 24 → 0.583 vs
+    // plain IVF 0.917 at 20k vectors — ADC-noise impostors push true
+    // neighbors down as N grows). The deep-probe ORACLE path instead
+    // scales the window with the corpus: measured worst true-NN ADC rank
+    // 90/500 at sf0.001, 14/500 at sf0.01 (tools.PqProbe), so the
+    // equality contract takes N/4 with ≥1.4× margin — still pruning 3/4
+    // of the exact-scoring work.
     val rerankEff =
       if (rerank > 0) rerank
       else if (deepProbes) math.max(16 * TopK, (pqi.codes.count() / 4).toInt)
-      else 8 * TopK
+      else 64 * TopK
     val probeUdf = cellProbeUdf(spark, idx.centroids, nProbeEff)
     val assigned = idx.assignments
     // ADC lookup tables (Jégou et al. 2011): per query, the M×K partial

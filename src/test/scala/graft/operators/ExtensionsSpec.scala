@@ -82,9 +82,10 @@ class ExtensionsSpec extends SparkSpec {
       .select("q_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & pq).size.toDouble / exact.size
     info(s"ivf-pq recall=$recall")
-    // same probe budget as ivfTopK (floor 0.3 there); the exact re-rank
-    // over ADC survivors cannot lose pairs the probed cells contain
-    assert(recall >= 0.3, s"recall=$recall")
+    // measured 0.867 here — identical to plain ivfTopK's recall (the
+    // 192-row re-rank window fully absorbs quantization noise at this
+    // corpus size, so any loss below plain IVF is a PQ regression)
+    assert(recall >= 0.6, s"recall=$recall")
   }
 
   test("ann: PQ index save/load roundtrip yields identical top-k") {
