@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.materials.Materials
 import graft.ml.DielectricModel
-import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Relational, Similarity, SkewJoin, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,15 +23,17 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Dedup.queries ++ Similarity.queries ++
-      TextAnalysis.queries ++ Multimodal.queries ++ Materials.queries ++
-      DielectricModel.queries ++ graft.ml.ScalerDrift.queries
+    Relational.queries ++ SkewJoin.queries ++ Dedup.queries ++
+      Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries ++
+      Materials.queries ++ DielectricModel.queries ++
+      graft.ml.ScalerDrift.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracleSql ++ Dedup.oracleSql ++ Similarity.oracleSql ++
-      TextAnalysis.oracleSql ++ Multimodal.oracleSql ++ Materials.oracleSql
+    Relational.oracleSql ++ SkewJoin.oracleSql ++ Dedup.oracleSql ++
+      Similarity.oracleSql ++ TextAnalysis.oracleSql ++
+      Multimodal.oracleSql ++ Materials.oracleSql
 
   /** Headline subset used by Bench (fast, scale-sensitive queries across
     * all operator families: relational, dedup, similarity, text). */

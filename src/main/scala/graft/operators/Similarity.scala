@@ -354,6 +354,117 @@ object Similarity {
   }
 
   // ---------------------------------------------------------------------
+  // Two-level coarse quantizer: at 100 TB the cell count is √N ~ 10⁵ and
+  // the flat nearest-cell scan per query row (k distance evaluations)
+  // stops being trivial; quantizing the CENTROID TABLE itself (k₂ = √k
+  // super-cells) cuts the per-query probe cost to √k + members — the
+  // standard hierarchical-IVF move. The centroid table lives on the
+  // driver by construction, so the second-level fit is a driver-side
+  // Lloyd's loop, not a Spark job.
+  // ---------------------------------------------------------------------
+
+  /** Second-level quantizer over the cell centroids: super-centroids plus
+    * each cell's super assignment. Deterministic (strided init, fixed
+    * iteration count). */
+  final case class IvfHierarchy(superCentroids: Array[Array[Double]], cellSuper: Array[Int])
+
+  private def nearestIdx(cents: Array[Array[Double]], v: Array[Double]): Int = {
+    var best = 0; var bestD = Double.MaxValue; var i = 0
+    while (i < cents.length) {
+      var s = 0.0; var j = 0
+      val c = cents(i)
+      while (j < c.length) { val d = c(j) - v(j); s += d * d; j += 1 }
+      if (s < bestD) { bestD = s; best = i }
+      i += 1
+    }
+    best
+  }
+
+  def buildHierarchy(centroids: Array[Array[Double]], k2: Int = 0): IvfHierarchy = {
+    val k = centroids.length
+    val kk = math.min(k, if (k2 > 0) k2 else math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt))
+    val dim = centroids.head.length
+    var cents = Array.tabulate(kk)(i => centroids(((i.toLong * k) / kk).toInt).clone())
+    var assign = Array.fill(k)(0)
+    for (_ <- 0 until 25) {
+      assign = centroids.map(nearestIdx(cents, _))
+      cents = Array.tabulate(kk) { j =>
+        val members = assign.indices.filter(assign(_) == j)
+        if (members.isEmpty) cents(j) // keep an empty super where it was
+        else {
+          val m = Array.fill(dim)(0.0)
+          members.foreach { i => var d = 0; while (d < dim) { m(d) += centroids(i)(d); d += 1 } }
+          m.map(_ / members.size)
+        }
+      }
+    }
+    IvfHierarchy(cents, centroids.map(nearestIdx(cents, _)))
+  }
+
+  /** Per-row hierarchical probe list: scan the k₂ super-centroids, take
+    * the nearest `nSupers`, then rank only their member cells and take
+    * `nProbe` — O(√k + members) instead of O(k) per query row. */
+  private def hierProbeUdf(spark: SparkSession, centroids: Array[Array[Double]],
+      hier: IvfHierarchy, nSupers: Int, nProbe: Int): Column => Column = {
+    val centB = spark.sparkContext.broadcast(centroids)
+    val hierB = spark.sparkContext.broadcast(hier)
+    val u = org.apache.spark.sql.functions.udf { (v: Seq[Double]) =>
+      val va = v.toArray
+      val h = hierB.value
+      val supers = h.superCentroids.zipWithIndex.map { case (c, i) =>
+        var s = 0.0; var j = 0
+        while (j < c.length) { val d = c(j) - va(j); s += d * d; j += 1 }
+        (i, s)
+      }.sortBy(_._2).take(nSupers).map(_._1).toSet
+      val cents = centB.value
+      cents.indices.filter(i => supers.contains(h.cellSuper(i))).map { i =>
+        val c = cents(i)
+        var s = 0.0; var j = 0
+        while (j < c.length) { val d = c(j) - va(j); s += d * d; j += 1 }
+        (i, s)
+      }.sortBy(_._2).take(nProbe).map(_._1)
+    }
+    u.apply(_)
+  }
+
+  /** ANN via two-level IVF: same cell join and exact rescoring as
+    * ivfTopK, but the probe list comes from the super-cell hierarchy.
+    * deepProbes probes 3/4 of the supers and 3/4 of the cells — the
+    * probe-enough operating point whose top-1 slice carries a full
+    * equality oracle (ann_ivf2_top1), proving the hierarchy loses
+    * nothing where it claims exactness. */
+  def ivf2TopK(spark: SparkSession, dir: String, nClusters: Int = 0,
+      index: Option[IvfIndex] = None, deepProbes: Boolean = false): DataFrame = {
+    val idx = index.getOrElse(
+      ivfCache.getOrElseUpdate((spark.sparkContext.applicationId, dir, nClusters),
+        buildIvfIndex(spark, dir, nClusters)))
+    val hier = buildHierarchy(idx.centroids)
+    val k2 = hier.superCentroids.length
+    val nSupers = math.max(1, math.ceil(k2 * (if (deepProbes) 12.0 else 6.0) / 16).toInt)
+    val nProbeEff = math.max(1,
+      math.ceil(idx.centroids.length * (if (deepProbes) 12.0 else 6.0) / 16).toInt)
+    val probeUdf = hierProbeUdf(spark, idx.centroids, hier, nSupers, nProbeEff)
+    val assigned = idx.assignments
+    val q = assigned.filter(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("q_id"), explode(probeUdf(col("v"))).as("cell"))
+    val n = assigned.select(col("vec_id").as("nbr_id"), col("cell"))
+    val cand = q.join(n, Seq("cell"))
+      .filter(col("q_id") =!= col("nbr_id"))
+      .select("q_id", "nbr_id")
+      .dropDuplicates("q_id", "nbr_id")
+    val vecs = assigned.select(col("vec_id"), col("v"))
+    val w = Window.partitionBy("q_id").orderBy(round(col("cs"), 6).desc, col("nbr_id"))
+    cand
+      .join(vecs.select(col("vec_id").as("q_id"), col("v").as("vq")), Seq("q_id"))
+      .join(vecs.select(col("vec_id").as("nbr_id"), col("v").as("vn")), Seq("nbr_id"))
+      .withColumn("cs", dot(col("vq"), col("vn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("nbr_id"), col("rank"), round(col("cs"), 4).as("cs"))
+      .orderBy("q_id", "rank")
+  }
+
+  // ---------------------------------------------------------------------
   // Product quantization (IVF-PQ): the 100 TB memory/shuffle story.
   //
   // The 64-dim space is split into PqM orthogonal 8-dim subspaces, each
@@ -581,6 +692,12 @@ object Similarity {
     // oracle against the exact top-1 (mirrors ann_lsh_top1)
     "ann_ivf_top1" -> ((s: SparkSession, d: String) =>
       ivfTopK(s, d, deepProbes = true).filter(col("rank") === 1)),
+    // two-level coarse quantizer, probe-enough slice: the super-cell
+    // hierarchy must lose nothing where it claims exactness — full
+    // equality oracle (topk operating point is recall-spec'd only, like
+    // the other families)
+    "ann_ivf2_top1" -> ((s: SparkSession, d: String) =>
+      ivf2TopK(s, d, deepProbes = true).filter(col("rank") === 1)),
     "ann_ivfpq_topk" -> ((s: SparkSession, d: String) => ivfPqTopK(s, d)), // recall spec'd
     // the PQ probe-enough slice: deep probes + doubled re-rank window must
     // recover the true nearest neighbor for every query from 8-byte codes
@@ -615,6 +732,18 @@ object Similarity {
         |SELECT q_id, nbr_id, rank, ROUND(cs,4) AS cs FROM ranked
         |WHERE rank = 1 ORDER BY q_id""".stripMargin.replaceAll("\n", " "),
     "ann_lsh_top1" ->
+      """WITH scored AS (
+        |SELECT a.vec_id AS q_id, b.vec_id AS nbr_id,
+        |list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS cs
+        |FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        |WHERE a.vec_id < 20),
+        |ranked AS (SELECT q_id, nbr_id, cs,
+        |CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ROUND(cs,6) DESC, nbr_id) AS INTEGER) AS rank
+        |FROM scored)
+        |SELECT q_id, nbr_id, rank, ROUND(cs,4) AS cs FROM ranked
+        |WHERE rank = 1 ORDER BY q_id""".stripMargin.replaceAll("\n", " "),
+    "ann_ivf2_top1" ->
       """WITH scored AS (
         |SELECT a.vec_id AS q_id, b.vec_id AS nbr_id,
         |list_sum(list_transform(list_zip(a.embedding, b.embedding),

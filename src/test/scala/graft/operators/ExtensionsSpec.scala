@@ -64,6 +64,38 @@ class ExtensionsSpec extends SparkSpec {
     assert(recall >= 0.3, s"recall=$recall")
   }
 
+  test("ann: two-level IVF deep-probe top-1 equals the exact nearest neighbor") {
+    val exact = Similarity.bruteForceTopK(spark, sf).filter(col("rank") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val h = Similarity.ivf2TopK(spark, sf, deepProbes = true).filter(col("rank") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(h == exact, s"missed=${exact -- h} extra=${h -- exact}")
+  }
+
+  test("ann: two-level IVF top-k achieves usable recall vs brute force") {
+    val exact = Similarity.bruteForceTopK(spark, sf)
+      .select("q_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val h = Similarity.ivf2TopK(spark, sf)
+      .select("q_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & h).size.toDouble / exact.size
+    info(s"ivf2 recall=$recall")
+    assert(recall >= 0.3, s"recall=$recall")
+  }
+
+  test("ann: hierarchy assigns every cell to its nearest super-centroid") {
+    val ivf = Similarity.buildIvfIndex(spark, sf)
+    val h = Similarity.buildHierarchy(ivf.centroids)
+    assert(h.superCentroids.length >= 2)
+    assert(h.cellSuper.length == ivf.centroids.length)
+    // Lloyd's fixed point: each cell's recorded super IS its nearest
+    ivf.centroids.zipWithIndex.foreach { case (c, i) =>
+      val d = h.superCentroids.map(s =>
+        s.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum)
+      assert(d(h.cellSuper(i)) == d.min)
+    }
+  }
+
   test("ann: IVF-PQ deep-probe top-1 equals the exact nearest neighbor") {
     // the equality contract behind the ann_ivfpq_top1 oracle: deep probes
     // + doubled re-rank window must recover the true NN from 8-byte codes
