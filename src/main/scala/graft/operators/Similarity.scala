@@ -517,10 +517,20 @@ object Similarity {
     }
     fitOn.unpersist(false)
     val cb = PqCodebook(dsub, codebooks)
+    val codes = assigned
+      .select(col("vec_id"), col("cell"), pqEncodeUdf(spark, cb)(col("v")).as("code"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    codes.count()
+    PqIndex(cb, codes)
+  }
+
+  /** Per-row PQ encoder against a fixed codebook; strict < keeps the
+    * lowest index on ties so encoding is deterministic across runs and
+    * executors. Row-wise and stateless — usable on static frames and
+    * streams alike. */
+  private def pqEncodeUdf(spark: SparkSession, cb: PqCodebook): Column => Column = {
     val cbB = spark.sparkContext.broadcast(cb)
-    // nearest-centroid encode; strict < keeps the lowest index on ties so
-    // encoding is deterministic across runs and executors
-    val encodeUdf = org.apache.spark.sql.functions.udf { (v: Seq[Double]) =>
+    val u = org.apache.spark.sql.functions.udf { (v: Seq[Double]) =>
       val c = cbB.value
       Array.tabulate(PqM) { m =>
         val cents = c.centroids(m)
@@ -536,11 +546,27 @@ object Similarity {
         best.toByte
       }
     }
-    val codes = assigned
-      .select(col("vec_id"), col("cell"), encodeUdf(col("v")).as("code"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    codes.count()
-    PqIndex(cb, codes)
+    u.apply(_)
+  }
+
+  /** Index APPEND path: assign NEW vectors to their coarse cell (nearest
+    * centroid by L2 — exactly the quantizer's prediction rule) and
+    * PQ-encode them against the live codebook, WITHOUT re-fitting
+    * anything. Row-wise and stateless, so the same code runs on a static
+    * frame or a stream in append mode — the shape that keeps a 100 TB
+    * serving index fresh between offline quantizer re-fits (re-fitting
+    * is a cadence decision; appending must never require it). Input
+    * needs (vec_id, embedding); output is (vec_id, cell, code) rows,
+    * union-compatible with PqIndex.codes / appendable to the
+    * cell-partitioned parquet artifact. */
+  def encodeForAppend(spark: SparkSession, vecs: DataFrame, idx: IvfIndex,
+      pq: PqIndex): DataFrame = {
+    val cellUdf = cellProbeUdf(spark, idx.centroids, 1)
+    vecs
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .select(col("vec_id"),
+        element_at(cellUdf(col("v")), 1).as("cell"),
+        pqEncodeUdf(spark, pq.codebook)(col("v")).as("code"))
   }
 
   /** Persist the PQ index: codes as cell-partitioned parquet (the 8-byte

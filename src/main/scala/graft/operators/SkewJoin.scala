@@ -23,15 +23,19 @@ import graft.sources.Tables
   */
 object SkewJoin {
 
-  /** Inner equi join of `big` ⋈ `small` on `key`, salted `salts` ways.
+  /** Equi join of `big` ⋈ `small` on `key`, salted `salts` ways.
     * `saltOn` must be a deterministic expression over the BIG side's
     * columns (not the key itself — the whole point is splitting within
-    * one key value). */
+    * one key value). `joinType` supports "inner" and "left" (each big
+    * row carries exactly one salt, so left-outer semantics are
+    * preserved: an unmatched big row is emitted once with nulls). */
   def salted(big: DataFrame, small: DataFrame, key: String, salts: Int,
-      saltOn: Column): DataFrame = {
+      saltOn: Column, joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left",
+      s"salting preserves per-big-row semantics for inner/left only, got $joinType")
     val b = big.withColumn("_salt", pmod(xxhash64(saltOn), lit(salts.toLong)))
     val s = small.withColumn("_salt", explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
-    b.join(s, Seq(key, "_salt")).drop("_salt")
+    b.join(s, Seq(key, "_salt"), joinType).drop("_salt")
   }
 
   /** q23: lineitem ⋈ part salted 8 ways on the part key, aggregated per

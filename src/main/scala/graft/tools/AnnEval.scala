@@ -33,6 +33,8 @@ object AnnEval {
       val (ivf, tIvf) = timed(pairs(Similarity.ivfTopK(spark, sfDir, k, p)))
       println(f"[ann] ivf k=$k%-3d probe=$p recall=${(exact & ivf).size.toDouble / exact.size}%.3f time=$tIvf%.2fs")
     }
+    val (h2, tH2) = timed(pairs(Similarity.ivf2TopK(spark, sfDir)))
+    println(f"[ann] ivf2 sqrtN  recall=${(exact & h2).size.toDouble / exact.size}%.3f time=$tH2%.2fs")
     val (pq, tPq) = timed(pairs(Similarity.ivfPqTopK(spark, sfDir)))
     println(f"[ann] ivf-pq sqrtN recall=${(exact & pq).size.toDouble / exact.size}%.3f time=$tPq%.2fs")
     val (pqd, tPqd) = timed(pairs(Similarity.ivfPqTopK(spark, sfDir, deepProbes = true)))

@@ -61,7 +61,9 @@ class ExtensionsSpec extends SparkSpec {
       .select("q_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & ivf).size.toDouble / exact.size
     info(s"ivf recall=$recall")
-    assert(recall >= 0.3, s"recall=$recall")
+    // measured 0.867 with the sqrt-N defaults — a loose floor would let a
+    // probe/default regression pass silently
+    assert(recall >= 0.6, s"recall=$recall")
   }
 
   test("ann: two-level IVF deep-probe top-1 equals the exact nearest neighbor") {
@@ -80,7 +82,9 @@ class ExtensionsSpec extends SparkSpec {
       .select("q_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & h).size.toDouble / exact.size
     info(s"ivf2 recall=$recall")
-    assert(recall >= 0.3, s"recall=$recall")
+    // measured 0.8 — slightly under flat IVF's 0.867 (a near-boundary
+    // cell whose super is not probed), the documented hierarchy tradeoff
+    assert(recall >= 0.6, s"recall=$recall")
   }
 
   test("ann: hierarchy assigns every cell to its nearest super-centroid") {

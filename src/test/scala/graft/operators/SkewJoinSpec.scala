@@ -39,6 +39,18 @@ class SkewJoinSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"))
   }
 
+  test("left-outer salted join keeps unmatched big rows exactly once") {
+    import spark.implicits._
+    val big = (1 to 1000).map(i => ((i % 150).toLong, i.toLong)).toDF("k", "payload")
+    val small = (0L to 99L).map(k => (k, s"dim$k")).toDF("k", "name") // keys 100..149 unmatched
+    val plain = big.join(small, Seq("k"), "left")
+    val salted = SkewJoin.salted(big, small, "k", 8, saltOn = col("payload"), joinType = "left")
+    assert(salted.count() == plain.count())
+    val nulls = (df: org.apache.spark.sql.DataFrame) => df.filter(col("name").isNull).count()
+    assert(nulls(salted) == nulls(plain))
+    assert(nulls(salted) > 0) // the unmatched keys really exercise the outer path
+  }
+
   test("q23 salted brand aggregate runs and is non-degenerate") {
     val out = SkewJoin.saltedBrandAgg(spark, sf).collect()
     assert(out.length > 1)

@@ -22,6 +22,38 @@ class StreamingSpec extends SparkSpec {
       .toSeq
   }
 
+  test("index append path: stream-encoded vectors match the batch index exactly") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val ivf = Similarity.buildIvfIndex(spark, sf)
+    val pq = Similarity.buildPqIndex(spark, sf, ivf)
+    def rowSet(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getInt(1), r.getAs[Array[Byte]](2).toSeq)).toSet
+    val indexed = rowSet(pq.codes.select("vec_id", "cell", "code").collect())
+
+    // batch form: re-encoding the corpus against the live index must
+    // reproduce the index's own rows (cell prediction + codes)
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val batch = rowSet(Similarity.encodeForAppend(spark, emb, ivf, pq).collect())
+    assert(batch == indexed)
+
+    // stream form: the same row-wise encode in append mode — arriving
+    // vectors index themselves without any re-fit
+    val data = emb.collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = Similarity.encodeForAppend(spark,
+        input.toDF().toDF("vec_id", "embedding"), ivf, pq)
+      .writeStream.format("memory").queryName("append_enc")
+      .outputMode("append").start()
+    try {
+      input.addData(data)
+      q.processAllAvailable()
+      val streamed = rowSet(spark.table("append_enc").collect())
+      assert(streamed == indexed)
+    } finally q.stop()
+  }
+
   test("streaming hourly agg equals the batch query on the same data") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
