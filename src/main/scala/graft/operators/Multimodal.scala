@@ -26,7 +26,11 @@ object Multimodal {
 
   case class BinaryAsset(doc_id: Long, content: Array[Byte], mime: String, n_bytes: Long)
   case class AssetFeatures(doc_id: Long, n_bytes: Long, mean_byte: Double,
-      byte_entropy: Double, width: Int, height: Int)
+      byte_entropy: Double, width: Int, height: Int,
+      sample_rate: Int, channels: Int, duration_ms: Long)
+
+  /** Audio/video container metadata (no codec — header math only). */
+  case class MediaMeta(sample_rate: Int, channels: Int, duration_ms: Long)
 
   /** The binary-column view: content bytes + typed metadata. */
   def binaryAssets(spark: SparkSession, dir: String): Dataset[BinaryAsset] = {
@@ -92,6 +96,61 @@ object Multimodal {
     else None
   }
 
+  /** Audio/video container metadata parsed from raw bytes — the
+    * image-sibling for the other two modalities. Supported: WAV
+    * (RIFF/WAVE fmt + data chunks → channels, sample rate, duration
+    * from data size / byte rate) and MP4-family (ISO BMFF: moov/mvhd
+    * timescale + duration; sample rate/channels stay 0 — they live in
+    * per-track boxes a codec would own). None otherwise. */
+  private[operators] def mediaMeta(b: Array[Byte]): Option[MediaMeta] = {
+    // WAV: "RIFF" size "WAVE", then (id, LE32 size, payload) chunks
+    if (b.length >= 44 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') {
+      var i = 12
+      var rate = 0; var ch = 0; var byteRate = 0; var dataLen = -1L
+      while (i + 8 <= b.length && (rate == 0 || dataLen < 0)) {
+        val size = le32(b, i + 4).toLong & 0xffffffffL
+        val id = new String(b.slice(i, i + 4), "US-ASCII")
+        if (id == "fmt " && i + 16 + 8 <= b.length) {
+          ch = le16(b, i + 10); rate = le32(b, i + 12); byteRate = le32(b, i + 16)
+        } else if (id == "data") dataLen = size
+        i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      }
+      if (rate <= 0) None
+      else Some(MediaMeta(rate, ch,
+        if (byteRate > 0 && dataLen >= 0) dataLen * 1000L / byteRate else 0L))
+    }
+    // ISO BMFF (MP4/MOV/M4A): BE32-size boxes; duration in moov/mvhd
+    else if (b.length >= 16 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p') {
+      def findBox(name: String, from: Int, until: Int): Option[(Int, Int)] = {
+        var i = from
+        while (i + 8 <= until) {
+          val size = be32(b, i)
+          val id = new String(b.slice(i + 4, i + 8), "US-ASCII")
+          if (id == name) return Some((i, if (size >= 8) math.min(i + size, until) else until))
+          if (size < 8) return None // size 0/1 (to-eof / 64-bit) not supported
+          i += size
+        }
+        None
+      }
+      for {
+        (moov, moovEnd) <- findBox("moov", 0, b.length)
+        (mvhd, _) <- findBox("mvhd", moov + 8, moovEnd)
+        version = u8(b, mvhd + 8)
+        if (version == 0 && mvhd + 28 <= b.length) || (version == 1 && mvhd + 40 <= b.length)
+      } yield {
+        // v0: u32 times at +12 (ctime, mtime, timescale, duration)
+        // v1: u64 ctime/mtime then u32 timescale, u64 duration
+        val (timescale, duration) =
+          if (version == 0) (be32(b, mvhd + 20).toLong, be32(b, mvhd + 24).toLong)
+          else (be32(b, mvhd + 28).toLong,
+            (be32(b, mvhd + 32).toLong << 32) | (be32(b, mvhd + 36).toLong & 0xffffffffL))
+        MediaMeta(0, 0, if (timescale > 0) duration * 1000L / timescale else 0L)
+      }
+    }
+    else None
+  }
+
   /** Exact byte statistics: mean byte value and Shannon entropy (bits) of
     * the byte histogram. */
   private[operators] def byteStats(bytes: Array[Byte]): (Double, Double) = {
@@ -119,7 +178,9 @@ object Multimodal {
       it.map { a =>
         val (mean, ent) = byteStats(a.content)
         val (w, h) = imageDims(a.content).getOrElse((0, 0))
-        AssetFeatures(a.doc_id, a.n_bytes, mean, ent, w, h)
+        val mm = mediaMeta(a.content).getOrElse(MediaMeta(0, 0, 0L))
+        AssetFeatures(a.doc_id, a.n_bytes, mean, ent, w, h,
+          mm.sample_rate, mm.channels, mm.duration_ms)
       }
     }
   }
@@ -154,7 +215,9 @@ object Multimodal {
         |FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text))) AS i))
         |SELECT d.doc_id, CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
         |ROUND(AVG(b.bv), 4) AS mean_byte, ROUND(entropy(b.bv), 4) AS byte_entropy,
-        |CAST(0 AS INTEGER) AS width, CAST(0 AS INTEGER) AS height
+        |CAST(0 AS INTEGER) AS width, CAST(0 AS INTEGER) AS height,
+        |CAST(0 AS INTEGER) AS sample_rate, CAST(0 AS INTEGER) AS channels,
+        |CAST(0 AS BIGINT) AS duration_ms
         |FROM documents d JOIN b ON b.doc_id = d.doc_id
         |GROUP BY d.doc_id, d.text ORDER BY d.doc_id""".stripMargin.replaceAll("\n", " "),
   )

@@ -256,7 +256,28 @@ class ExtensionsSpec extends SparkSpec {
       assert(a.n_bytes > 0)
       assert(a.byte_entropy > 0 && a.byte_entropy <= 8.0) // bits per byte
       assert(a.width == 0 && a.height == 0) // text corpus: no image container
+      assert(a.sample_rate == 0 && a.channels == 0 && a.duration_ms == 0L) // nor media
     }
+  }
+
+  test("multimodal: WAV and MP4 container metadata parse from bytes") {
+    def le16(v: Int) = Array(v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def be32(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    // WAV: 44.1 kHz stereo, byte rate 176400, data chunk 176400 bytes = 1 s
+    val wav = "RIFF".getBytes ++ le32(36 + 176400) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(2) ++ le32(44100) ++
+      le32(176400) ++ le16(4) ++ le16(16) ++
+      "data".getBytes ++ le32(176400) // declared size; payload absent (header-only)
+    assert(Multimodal.mediaMeta(wav).contains(Multimodal.MediaMeta(44100, 2, 1000L)))
+    // MP4: ftyp + moov/mvhd v0, timescale 600, duration 1200 units = 2 s
+    val mvhd = be32(108) ++ "mvhd".getBytes ++ Array.fill(4)(0.toByte) ++
+      be32(0) ++ be32(0) ++ be32(600) ++ be32(1200) ++ Array.fill(76)(0.toByte)
+    val mp4 = (be32(16) ++ "ftyp".getBytes ++ "isom".getBytes ++ be32(0)) ++
+      (be32(8 + mvhd.length) ++ "moov".getBytes ++ mvhd)
+    assert(Multimodal.mediaMeta(mp4).contains(Multimodal.MediaMeta(0, 0, 2000L)))
+    assert(Multimodal.mediaMeta("plain text bytes".getBytes).isEmpty)
+    assert(Multimodal.mediaMeta(Array.empty[Byte]).isEmpty)
   }
 
   test("multimodal: container-header dims parse for PNG/JPEG/GIF/BMP bytes") {
