@@ -98,13 +98,13 @@ object Similarity {
     val bucketCols = (0 until LshTables).map { t =>
       val bits = (0 until bits0).map { p =>
         val plane = hyperplane(t, p)
-        val planeCol = array(plane.map(lit): _*)
+        val planeCol = array(plane.toIndexedSeq.map(lit): _*)
         when(dot(col("v"), planeCol) > 0, lit("1")).otherwise(lit("0"))
       }
       struct(lit(t).as("tbl"), concat(bits: _*).as("bucket"))
     }
     df.withColumn("bd", explode(array(bucketCols: _*)))
-      .select(df.columns.map(col) :+ col("bd.tbl").as("tbl") :+ col("bd.bucket").as("bucket"): _*)
+      .select(df.columns.toIndexedSeq.map(col) :+ col("bd.tbl").as("tbl") :+ col("bd.bucket").as("bucket"): _*)
   }
 
   /** Multi-probe bucket list: the bucket itself plus every 1-bit flip —

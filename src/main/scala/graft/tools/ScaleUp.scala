@@ -86,7 +86,7 @@ object ScaleUp {
         val rnd = new scala.util.Random(rep * 7919L + 17)
         val signs = Array.fill(dim)(if (rnd.nextBoolean()) 1.0f else -1.0f)
         e.withColumn("embedding",
-          zip_with(col("embedding"), array(signs.map(lit): _*),
+          zip_with(col("embedding"), array(signs.toIndexedSeq.map(lit): _*),
             (x, s) => (x * s).cast("float")))
       }
     }.reduce(_ unionAll _), "embeddings")
