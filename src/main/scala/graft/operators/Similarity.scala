@@ -489,8 +489,16 @@ object Similarity {
     math.min(256, math.max(8, (n / 8).toInt))
 
   /** PQ codebook: centroids(m)(k) is the k-th centroid of subspace m
-    * (dsub doubles each). Fit once on a sample, broadcast everywhere. */
-  final case class PqCodebook(dsub: Int, centroids: Array[Array[Array[Double]]])
+    * (dsub doubles each). Fit once on a sample, broadcast everywhere.
+    * `residual` marks an IVFADC codebook (Jégou et al., TPAMI 2011): the
+    * quantized quantity is v − centroid[cell], not v — residuals have a
+    * fraction of the raw norm, so the same K centroids per subspace spend
+    * their resolution on a much smaller ball (lower quantization error at
+    * identical 8-byte code size). One codebook is shared across all cells
+    * (the classic IVFADC choice: per-cell codebooks would be k× the
+    * broadcast state for marginal gain at √N cells). */
+  final case class PqCodebook(dsub: Int, centroids: Array[Array[Array[Double]]],
+      residual: Boolean = false)
 
   /** PQ index artifact: the codebook plus per-vector byte codes (with the
     * coarse IVF cell, so probing and ADC run off this one frame). */
@@ -498,30 +506,50 @@ object Similarity {
 
   /** Fit per-subspace KMeans codebooks (on a sample — the fit must never
     * scan the corpus, same contract as buildIvfIndex) and encode every
-    * corpus vector to PqM byte codes. */
+    * corpus vector to PqM byte codes. `residual = true` builds the IVFADC
+    * variant: codebooks are fit on (and codes encode) v − centroid[cell]
+    * instead of v, against the coarse quantizer in `ivf`. */
   def buildPqIndex(spark: SparkSession, dir: String, ivf: IvfIndex,
-      k: Int = 0): PqIndex = {
+      k: Int = 0, residual: Boolean = false): PqIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val assigned = ivf.assignments
     val n = assigned.count()
     val kEff = if (k > 0) k else defaultPqK(n)
     val dsub = Dim / PqM
+    // rv: the quantized quantity — raw vector, or coarse residual (IVFADC)
+    val withRv =
+      if (!residual) assigned.withColumn("rv", col("v"))
+      else assigned.withColumn("rv",
+        residualUdf(spark, ivf.centroids)(col("v"), col("cell")))
     val frac = math.min(1.0, 200.0 * kEff / math.max(1L, n).toDouble)
-    val fitOn = (if (frac >= 1.0) assigned else assigned.sample(frac, 42L))
-      .select(col("v")).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fitOn = (if (frac >= 1.0) withRv else withRv.sample(frac, 42L))
+      .select(col("rv")).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val codebooks = Array.tabulate(PqM) { m =>
-      val sub = fitOn.select(array_to_vector(slice(col("v"), m * dsub + 1, dsub)).as("fv"))
+      val sub = fitOn.select(array_to_vector(slice(col("rv"), m * dsub + 1, dsub)).as("fv"))
       new KMeans().setK(kEff).setSeed(42L + m).setFeaturesCol("fv")
         .fit(sub).clusterCenters.map(_.toArray)
     }
     fitOn.unpersist(false)
-    val cb = PqCodebook(dsub, codebooks)
-    val codes = assigned
-      .select(col("vec_id"), col("cell"), pqEncodeUdf(spark, cb)(col("v")).as("code"))
+    val cb = PqCodebook(dsub, codebooks, residual)
+    val codes = withRv
+      .select(col("vec_id"), col("cell"), pqEncodeUdf(spark, cb)(col("rv")).as("code"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     codes.count()
     PqIndex(cb, codes)
+  }
+
+  /** Row-wise coarse residual: v − centroid[cell], against a broadcast
+    * centroid table. Stateless — the same code serves batch encode and
+    * stream appends. */
+  private def residualUdf(spark: SparkSession,
+      centroids: Array[Array[Double]]): (Column, Column) => Column = {
+    val centB = spark.sparkContext.broadcast(centroids)
+    val u = org.apache.spark.sql.functions.udf { (v: Seq[Double], cell: Int) =>
+      val c = centB.value(cell)
+      Array.tabulate(v.length)(j => v(j) - c(j))
+    }
+    (v, cell) => u(v, cell)
   }
 
   /** Per-row PQ encoder against a fixed codebook; strict < keeps the
@@ -562,11 +590,14 @@ object Similarity {
   def encodeForAppend(spark: SparkSession, vecs: DataFrame, idx: IvfIndex,
       pq: PqIndex): DataFrame = {
     val cellUdf = cellProbeUdf(spark, idx.centroids, 1)
-    vecs
+    val withCell = vecs
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
-      .select(col("vec_id"),
-        element_at(cellUdf(col("v")), 1).as("cell"),
-        pqEncodeUdf(spark, pq.codebook)(col("v")).as("code"))
+      .select(col("vec_id"), element_at(cellUdf(col("v")), 1).as("cell"), col("v"))
+    val encodee =
+      if (pq.codebook.residual) residualUdf(spark, idx.centroids)(col("v"), col("cell"))
+      else col("v")
+    withCell.select(col("vec_id"), col("cell"),
+      pqEncodeUdf(spark, pq.codebook)(encodee).as("code"))
   }
 
   /** Persist the PQ index: codes as cell-partitioned parquet (the 8-byte
@@ -578,23 +609,62 @@ object Similarity {
     import spark.implicits._
     val cb = idx.codebook
     (for { m <- cb.centroids.indices; k <- cb.centroids(m).indices }
-      yield (m, k, cb.dsub, cb.centroids(m)(k).toSeq))
-      .toDF("m", "k", "dsub", "centroid")
+      yield (m, k, cb.dsub, cb.residual, cb.centroids(m)(k).toSeq))
+      .toDF("m", "k", "dsub", "residual", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
   }
 
   def loadPqIndex(spark: SparkSession, path: String): PqIndex = {
-    val rows = spark.read.parquet(s"$path/codebook")
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getSeq[Double](3).toArray))
+    val cbDf = spark.read.parquet(s"$path/codebook")
+    val hasResidual = cbDf.columns.contains("residual")
+    val rows = cbDf.collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2),
+      if (hasResidual) r.getAs[Boolean]("residual") else false,
+      r.getSeq[Double](r.fieldIndex("centroid")).toArray))
     val dsub = rows.head._3
+    val residual = rows.head._4
     val cents = rows.groupBy(_._1).toArray.sortBy(_._1)
-      .map { case (_, ks) => ks.sortBy(_._2).map(_._4) }
-    PqIndex(PqCodebook(dsub, cents),
+      .map { case (_, ks) => ks.sortBy(_._2).map(_._5) }
+    PqIndex(PqCodebook(dsub, cents, residual),
       spark.read.parquet(s"$path/codes").select(col("vec_id"), col("cell"), col("code")))
   }
 
+  /** Append freshly-encoded rows (encodeForAppend output) to a PERSISTED
+    * PQ index: new cell-partitioned parquet files land beside the
+    * existing ones — no re-fit, no rewrite of existing data. The cost of
+    * this freedom is file proliferation (each append adds ≥1 file per
+    * touched cell), which `compactPqIndex` periodically repays. */
+  def appendToPqIndex(path: String, newCodes: DataFrame): Unit =
+    newCodes.select(col("vec_id"), col("cell"), col("code"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+
+  /** Compact an appended-to codes artifact back to one file per cell:
+    * read everything, hash-repartition ON the cell column (each cell
+    * lands in exactly one task, so partitionBy emits exactly one file
+    * per cell), write to a sibling dir, and atomically swap. The swap is
+    * two renames — readers holding the old DataFrame keep their snapshot;
+    * new loads see the compacted layout. This is the maintenance story
+    * for a 100 TB serving index: appends stay cheap between compactions,
+    * and compaction cost is one shuffle of the (24-byte) code rows, never
+    * the corpus vectors. */
+  def compactPqIndex(spark: SparkSession, path: String): Unit = {
+    val codesPath = s"$path/codes"
+    val tmpPath = s"$path/codes_compacting"
+    spark.read.parquet(codesPath)
+      .select(col("vec_id"), col("cell"), col("code"))
+      .repartition(col("cell"))
+      .sortWithinPartitions("vec_id")
+      .write.mode("overwrite").partitionBy("cell").parquet(tmpPath)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(codesPath).getFileSystem(conf)
+    val old = new org.apache.hadoop.fs.Path(s"$path/codes_old")
+    if (fs.exists(old)) fs.delete(old, true)
+    fs.rename(new org.apache.hadoop.fs.Path(codesPath), old)
+    fs.rename(new org.apache.hadoop.fs.Path(tmpPath), new org.apache.hadoop.fs.Path(codesPath))
+    fs.delete(old, true)
+  }
+
   private val pqCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), PqIndex]
+    scala.collection.concurrent.TrieMap.empty[(String, String, Boolean), PqIndex]
 
   /** Drop cached PQ indexes (release persisted codes) — required after
     * rewriting a corpus dir in-place (pairs with clearIvfCache). */
@@ -615,13 +685,13 @@ object Similarity {
     * loses nothing where it claims exactness. */
   def ivfPqTopK(spark: SparkSession, dir: String, nClusters: Int = 0, nProbe: Int = 0,
       rerank: Int = 0, index: Option[IvfIndex] = None, pq: Option[PqIndex] = None,
-      deepProbes: Boolean = false): DataFrame = {
+      deepProbes: Boolean = false, residual: Boolean = false): DataFrame = {
     val idx = index.getOrElse(
       ivfCache.getOrElseUpdate((spark.sparkContext.applicationId, dir, nClusters),
         buildIvfIndex(spark, dir, nClusters)))
     val pqi = pq.getOrElse(
-      pqCache.getOrElseUpdate((spark.sparkContext.applicationId, dir),
-        buildPqIndex(spark, dir, idx)))
+      pqCache.getOrElseUpdate((spark.sparkContext.applicationId, dir, residual),
+        buildPqIndex(spark, dir, idx, residual = residual)))
     val nProbeEff =
       if (nProbe > 0) nProbe
       else math.max(1, math.ceil(idx.centroids.length * (if (deepProbes) 12.0 else 6.0) / 16).toInt)
@@ -649,22 +719,38 @@ object Similarity {
     // scale. Candidate scoring then needs only (q_id, code): M table
     // lookups per candidate, no vector arithmetic, no vector columns.
     val cb = pqi.codebook
-    val luts: Map[Long, Array[Array[Double]]] = assigned
+    val qRows = assigned
       .filter(col("vec_id") < QuerySetSize).select(col("vec_id"), col("v"))
-      .collect().map { r =>
-        val vq = r.getSeq[Double](1).toArray
-        r.getLong(0) -> Array.tabulate(PqM) { m =>
-          cb.centroids(m).map { cent =>
-            var s = 0.0; var j = 0
-            while (j < cb.dsub) { s += vq(m * cb.dsub + j) * cent(j); j += 1 }
-            s
-          }
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val luts: Map[Long, Array[Array[Double]]] = qRows.map { case (id, vq) =>
+      id -> Array.tabulate(PqM) { m =>
+        cb.centroids(m).map { cent =>
+          var s = 0.0; var j = 0
+          while (j < cb.dsub) { s += vq(m * cb.dsub + j) * cent(j); j += 1 }
+          s
+        }
+      }
+    }.toMap
+    // IVFADC: the decomposition is <q, x> ≈ <q, centroid[cell]> + Σ_m
+    // <q_m, r_m[code_m]> — the coarse term is a per-(query, cell) scalar,
+    // Q·k doubles precomputed on the driver (the centroid table is already
+    // driver-resident by construction). Zero rows for the raw-PQ path.
+    val cellDots: Map[Long, Array[Double]] =
+      if (!cb.residual) Map.empty
+      else qRows.map { case (id, vq) =>
+        id -> idx.centroids.map { cent =>
+          var s = 0.0; var j = 0
+          while (j < cent.length) { s += vq(j) * cent(j); j += 1 }
+          s
         }
       }.toMap
     val lutB = spark.sparkContext.broadcast(luts)
-    val adcUdf = org.apache.spark.sql.functions.udf { (qId: Long, code: Array[Byte]) =>
+    val cellDotB = spark.sparkContext.broadcast(cellDots)
+    val isResidual = cb.residual
+    val adcUdf = org.apache.spark.sql.functions.udf { (qId: Long, cell: Int, code: Array[Byte]) =>
       val lut = lutB.value(qId)
-      var s = 0.0; var m = 0
+      var s = if (isResidual) cellDotB.value(qId)(cell) else 0.0
+      var m = 0
       while (m < code.length) { s += lut(m)(code(m) & 0xFF); m += 1 }
       s
     }
@@ -677,14 +763,14 @@ object Similarity {
     // needs, 8 bytes — this join never ships a corpus vector
     val cand = q.join(n, Seq("cell"))
       .filter(col("q_id") =!= col("nbr_id"))
-      .select("q_id", "nbr_id", "code")
+      .select("q_id", "nbr_id", "cell", "code")
       .dropDuplicates("q_id", "nbr_id")
     val vecs = assigned.select(col("vec_id"), col("v"))
     val qvecs = vecs.filter(col("vec_id") < QuerySetSize)
       .select(col("vec_id").as("q_id"), col("v").as("vq"))
     val wAdc = Window.partitionBy("q_id").orderBy(col("adc").desc, col("nbr_id"))
     val survivors = cand
-      .withColumn("adc", adcUdf(col("q_id"), col("code")))
+      .withColumn("adc", adcUdf(col("q_id"), col("cell"), col("code")))
       // scored in place from the LUT: only (q_id, nbr_id, adc) enters
       // the ranking shuffle — 24 bytes/candidate, no vectors, no codes
       .select("q_id", "nbr_id", "adc")
@@ -730,6 +816,11 @@ object Similarity {
     // — full equality oracle (mirrors ann_ivf_top1 / ann_lsh_top1)
     "ann_ivfpq_top1" -> ((s: SparkSession, d: String) =>
       ivfPqTopK(s, d, deepProbes = true).filter(col("rank") === 1)),
+    // IVFADC (residual-encoded PQ): same deep-probe equality contract —
+    // coarse-residual codes plus the per-cell ADC term must recover the
+    // true nearest neighbor for every query
+    "ann_ivfadc_top1" -> ((s: SparkSession, d: String) =>
+      ivfPqTopK(s, d, deepProbes = true, residual = true).filter(col("rank") === 1)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -782,6 +873,18 @@ object Similarity {
         |SELECT q_id, nbr_id, rank, ROUND(cs,4) AS cs FROM ranked
         |WHERE rank = 1 ORDER BY q_id""".stripMargin.replaceAll("\n", " "),
     "ann_ivfpq_top1" ->
+      """WITH scored AS (
+        |SELECT a.vec_id AS q_id, b.vec_id AS nbr_id,
+        |list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS cs
+        |FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        |WHERE a.vec_id < 20),
+        |ranked AS (SELECT q_id, nbr_id, cs,
+        |CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ROUND(cs,6) DESC, nbr_id) AS INTEGER) AS rank
+        |FROM scored)
+        |SELECT q_id, nbr_id, rank, ROUND(cs,4) AS cs FROM ranked
+        |WHERE rank = 1 ORDER BY q_id""".stripMargin.replaceAll("\n", " "),
+    "ann_ivfadc_top1" ->
       """WITH scored AS (
         |SELECT a.vec_id AS q_id, b.vec_id AS nbr_id,
         |list_sum(list_transform(list_zip(a.embedding, b.embedding),

@@ -144,6 +144,90 @@ class ExtensionsSpec extends SparkSpec {
     assert(direct == viaDisk)
   }
 
+  test("ann: IVFADC (residual PQ) deep-probe top-1 equals the exact nearest neighbor") {
+    // the equality contract behind the ann_ivfadc_top1 oracle
+    val exact = Similarity.bruteForceTopK(spark, sf).filter(col("rank") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adc = Similarity.ivfPqTopK(spark, sf, deepProbes = true, residual = true)
+      .filter(col("rank") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(adc == exact, s"missed=${exact -- adc} extra=${adc -- exact}")
+  }
+
+  test("ann: residual encoding cuts PQ quantization error vs raw encoding") {
+    // IVFADC's reason to exist: residuals v - centroid[cell] have a
+    // fraction of the raw norm, so the same 8-byte budget quantizes a
+    // smaller ball — reconstruction MSE must drop
+    val ivf = Similarity.buildIvfIndex(spark, sf)
+    val raw = Similarity.buildPqIndex(spark, sf, ivf)
+    val res = Similarity.buildPqIndex(spark, sf, ivf, residual = true)
+    assert(!raw.codebook.residual && res.codebook.residual)
+    val vecs = ivf.assignments.select("vec_id", "v", "cell").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getInt(2))).toSeq
+    def codesOf(pq: Similarity.PqIndex) = pq.codes.select("vec_id", "code").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val rawCodes = codesOf(raw); val resCodes = codesOf(res)
+    def decode(cb: Similarity.PqCodebook, code: Array[Byte]): Array[Double] =
+      code.zipWithIndex.flatMap { case (c, m) => cb.centroids(m)(c & 0xFF) }
+    def mse(rec: Seq[(Array[Double], Array[Double])]): Double =
+      rec.map { case (a, b) => a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum }
+        .sum / rec.size
+    val rawMse = mse(vecs.map { case (id, v, _) => (v, decode(raw.codebook, rawCodes(id))) })
+    val resMse = mse(vecs.map { case (id, v, cell) =>
+      val base = ivf.centroids(cell)
+      val r = decode(res.codebook, resCodes(id))
+      (v, base.indices.map(j => base(j) + r(j)).toArray)
+    })
+    info(s"raw MSE=$rawMse residual MSE=$resMse")
+    assert(resMse < rawMse, s"residual MSE $resMse !< raw MSE $rawMse")
+  }
+
+  test("ann: residual PQ index save/load roundtrip preserves the flag and top-k") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfadc").toString
+    val ivf = Similarity.buildIvfIndex(spark, sf)
+    val pq = Similarity.buildPqIndex(spark, sf, ivf, residual = true)
+    Similarity.savePqIndex(pq, dir)
+    val loaded = Similarity.loadPqIndex(spark, dir)
+    assert(loaded.codebook.residual)
+    val direct = Similarity.ivfPqTopK(spark, sf, index = Some(ivf), pq = Some(pq))
+      .collect().toSeq
+    val viaDisk = Similarity.ivfPqTopK(spark, sf, index = Some(ivf), pq = Some(loaded))
+      .collect().toSeq
+    assert(direct.nonEmpty)
+    assert(direct == viaDisk)
+  }
+
+  test("ann: append + compact keeps the code set identical and one file per cell") {
+    val dir = java.nio.file.Files.createTempDirectory("pqcompact").toString
+    val ivf = Similarity.buildIvfIndex(spark, sf)
+    val pq = Similarity.buildPqIndex(spark, sf, ivf, residual = true)
+    Similarity.savePqIndex(pq, dir)
+    // fresh ids so appended rows are distinguishable from the base corpus
+    val newVecs = graft.sources.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 50)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val appended = Similarity.encodeForAppend(spark, newVecs, ivf, pq)
+    Similarity.appendToPqIndex(dir, appended)
+    def rowSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cell", "code").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getAs[Array[Byte]](2).toSeq)).toSet
+    val expected = rowSet(pq.codes) ++ rowSet(appended)
+    val afterAppend = rowSet(Similarity.loadPqIndex(spark, dir).codes)
+    assert(afterAppend == expected, "append lost or altered rows")
+    Similarity.compactPqIndex(spark, dir)
+    val afterCompact = Similarity.loadPqIndex(spark, dir)
+    assert(rowSet(afterCompact.codes) == expected, "compaction lost or altered rows")
+    // one data file per cell directory after compaction
+    val cellDirs = new java.io.File(s"$dir/codes").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty)
+    cellDirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"${d.getName} has ${files.length} files after compaction")
+    }
+  }
+
   test("pq: 8-byte codes reconstruct unit vectors with high cosine fidelity") {
     val ivf = Similarity.buildIvfIndex(spark, sf)
     val pq = Similarity.buildPqIndex(spark, sf, ivf)
