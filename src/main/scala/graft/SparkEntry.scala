@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.materials.Materials
 import graft.ml.DielectricModel
-import graft.operators.{Dedup, Multimodal, Relational, Similarity, SkewJoin, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Relational, Sampling, Similarity, SkewJoin, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -24,7 +24,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ SkewJoin.queries ++ Dedup.queries ++
-      Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries ++
+      Similarity.queries ++ TextAnalysis.queries ++ Sampling.queries ++
+      Multimodal.queries ++
       Materials.queries ++ DielectricModel.queries ++
       graft.ml.ScalerDrift.queries
 
@@ -32,7 +33,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ SkewJoin.oracleSql ++ Dedup.oracleSql ++
-      Similarity.oracleSql ++ TextAnalysis.oracleSql ++
+      Similarity.oracleSql ++ TextAnalysis.oracleSql ++ Sampling.oracleSql ++
       Multimodal.oracleSql ++ Materials.oracleSql
 
   /** Headline subset used by Bench (fast, scale-sensitive queries across

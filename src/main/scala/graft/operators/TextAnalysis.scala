@@ -71,6 +71,35 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Repetition signals (the Gopher corpus-quality rules, Rae et al. 2021
+    * §A1.1: repeated tokens and dominant n-grams mark low-quality or
+    * machine-generated text):
+    *   dup_tok_ratio    = 1 − distinct_tokens / tokens
+    *   top_bigram_frac  = token share of the most frequent word 2-gram
+    *   top_trigram_frac = token share of the most frequent word 3-gram
+    * Pure per-row Column math (the n-gram mode is computed inside the
+    * array, O(distinct·n) per doc — no explode, no shuffle), so the
+    * operator is scan-bound at any corpus size. */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val t = toks
+    val nt = size(t)
+    def topNgramShare(n: Int): Column = {
+      val grams = transform(sequence(lit(1), nt - lit(n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(t, i + lit(k))): _*))
+      val top = coalesce(array_max(transform(array_distinct(grams),
+        g => size(filter(grams, x => x === g)))), lit(0))
+      // occurrences overlap, so count·n can exceed the doc: cap the
+      // covered-token estimate at nt (an all-one-token doc scores 1.0)
+      round(least(top * n, nt).cast("double") / nt, 4)
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        round(lit(1.0) - size(array_distinct(t)).cast("double") / nt, 4).as("dup_tok_ratio"),
+        topNgramShare(2).as("top_bigram_frac"),
+        topNgramShare(3).as("top_trigram_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Content fingerprint: md5 over case-folded, whitespace-collapsed text —
     * the normalization-then-hash dedup key. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
@@ -104,6 +133,7 @@ object TextAnalysis {
     "tx_quality" -> quality _,
     "tx_fingerprint" -> fingerprint _,
     "tx_langid" -> langId _, // oracled below; accuracy also checked in ExtensionsSpec
+    "tx_repetition" -> repetition _,
   )
 
   private def inList(xs: Seq[String]) = xs.map(s => s"'$s'").mkString("(", ",", ")")
@@ -130,6 +160,19 @@ object TextAnalysis {
     "tx_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "tx_repetition" ->
+      """WITH s AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |g AS (SELECT doc_id, t, len(t) AS nt,
+        |list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS bg,
+        |list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS tg
+        |FROM s)
+        |SELECT doc_id,
+        |ROUND(1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / nt, 4) AS dup_tok_ratio,
+        |ROUND(CAST(LEAST(COALESCE(list_max(list_transform(list_distinct(bg),
+        |b -> len(list_filter(bg, x -> x = b)))), 0) * 2, nt) AS DOUBLE) / nt, 4) AS top_bigram_frac,
+        |ROUND(CAST(LEAST(COALESCE(list_max(list_transform(list_distinct(tg),
+        |b -> len(list_filter(tg, x -> x = b)))), 0) * 3, nt) AS DOUBLE) / nt, 4) AS top_trigram_frac
+        |FROM g ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     "tx_langid" -> {
       // generated from LangMarkers so Spark and oracle can't drift
       val scores = LangMarkers.map { case (lang, markers) =>

@@ -228,6 +228,63 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("sampling: bernoulli gate is deterministic and near the nominal rate") {
+    val total = graft.sources.Tables.documents(spark, sf).count()
+    val a = Sampling.bernoulliSample(spark, sf).collect().map(_.getLong(0)).toSeq
+    val b = Sampling.bernoulliSample(spark, sf).collect().map(_.getLong(0)).toSeq
+    assert(a == b, "hash-gated sample must be identical across runs")
+    // threshold '1a' keeps 26/256 ≈ 10.2%; allow ±4 binomial sd
+    val p = 26.0 / 256
+    val sd = math.sqrt(total * p * (1 - p))
+    assert(math.abs(a.size - total * p) <= 4 * sd,
+      s"kept ${a.size} of $total, expected ~${(total * p).toInt}")
+  }
+
+  test("sampling: bernoulli decisions are stable under corpus growth") {
+    // the append-stability property RNG/reservoir sampling lacks: a row's
+    // keep decision never changes when other rows arrive — here checked
+    // by gating a half-corpus and the full corpus and intersecting
+    val full = Sampling.bernoulliSample(spark, sf).collect().map(_.getLong(0)).toSet
+    val half = graft.sources.Tables.documents(spark, sf)
+      .filter(col("doc_id") < 250)
+      .filter(md5(col("doc_id").cast("string")) < "1a")
+      .collect().map(_.getLong(0)).toSet
+    assert(half == full.filter(_ < 250))
+  }
+
+  test("sampling: stratified quota takes exactly min(k, |stratum|) per lang") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val sizes = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = Sampling.stratifiedSample(spark, sf).groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == sizes.keySet)
+    got.foreach { case (lang, n) =>
+      assert(n == math.min(20L, sizes(lang)), s"$lang: got $n of ${sizes(lang)}")
+    }
+    // determinism
+    val again = Sampling.stratifiedSample(spark, sf).collect().toSeq
+    assert(again == Sampling.stratifiedSample(spark, sf).collect().toSeq)
+  }
+
+  test("text: repetition signals detect synthetic repeated content") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "spam spam spam spam spam spam", "en", 29L),
+      (1L, "one two three four five six", "en", 27L),
+      (2L, "ab cd ab cd ab cd ab cd", "en", 23L)).toDF("doc_id", "text", "lang", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("repdocs").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = TextAnalysis.repetition(spark, dir).collect()
+      .map(x => x.getLong(0) -> (x.getDouble(1), x.getDouble(2), x.getDouble(3))).toMap
+    // all-same-token doc: zero distinct variety, bigram covers everything
+    assert(r(0L)._1 > 0.8 && r(0L)._2 == 1.0)
+    // all-distinct doc: no repetition anywhere
+    assert(r(1L)._1 == 0.0 && r(1L)._2 < 0.5)
+    // alternating pair: half the tokens are dups, "ab cd" bigram dominates
+    assert(r(2L)._1 > 0.5 && r(2L)._2 > 0.8)
+  }
+
   test("pq: 8-byte codes reconstruct unit vectors with high cosine fidelity") {
     val ivf = Similarity.buildIvfIndex(spark, sf)
     val pq = Similarity.buildPqIndex(spark, sf, ivf)
