@@ -93,6 +93,49 @@ object Multimodal {
     // be negative = top-down rows; dimension is the magnitude)
     else if (b.length >= 26 && b(0) == 'B' && b(1) == 'M')
       Some((le32(b, 18), math.abs(le32(b, 22))))
+    // TIFF: "II"+0x2A LE or "MM"+0x2A BE, IFD0 entries tagged 256/257
+    // (ImageWidth/ImageLength), SHORT or LONG, value inline in the entry
+    else if (b.length >= 8 && ((b(0) == 'I' && b(1) == 'I' && u8(b, 2) == 0x2a && u8(b, 3) == 0) ||
+        (b(0) == 'M' && b(1) == 'M' && u8(b, 2) == 0 && u8(b, 3) == 0x2a))) {
+      val le = b(0) == 'I'
+      def r16(i: Int) = if (le) le16(b, i) else be16(b, i)
+      def r32(i: Int) = if (le) le32(b, i) else be32(b, i)
+      val ifd = r32(4)
+      if (ifd < 0 || ifd + 2 > b.length) None
+      else {
+        val n = r16(ifd)
+        var w = -1; var h = -1; var e = 0
+        while (e < n && ifd + 2 + 12 * (e + 1) <= b.length) {
+          val off = ifd + 2 + 12 * e
+          val tag = r16(off); val typ = r16(off + 2)
+          // inline value: SHORT (3) sits in the first 2 bytes of the value
+          // field under the file's endianness; LONG (4) uses all 4
+          val v = if (typ == 3) r16(off + 8) else r32(off + 8)
+          if (tag == 256) w = v else if (tag == 257) h = v
+          e += 1
+        }
+        if (w >= 0 && h >= 0) Some((w, h)) else None
+      }
+    }
+    // WebP: RIFF/WEBP, then one of VP8 (lossy frame tag), VP8L (lossless
+    // 14-bit packed dims), VP8X (extended: 24-bit canvas minus-one dims)
+    else if (b.length >= 25 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P') {
+      val cc = new String(b.slice(12, 16), "US-ASCII")
+      cc match {
+        case "VP8 " if b.length >= 30 && u8(b, 23) == 0x9d && u8(b, 24) == 0x01 && u8(b, 25) == 0x2a =>
+          Some((le16(b, 26) & 0x3fff, le16(b, 28) & 0x3fff))
+        case "VP8L" if b.length >= 25 && u8(b, 20) == 0x2f =>
+          val bits = le32(b, 21)
+          Some(((bits & 0x3fff) + 1, ((bits >> 14) & 0x3fff) + 1))
+        case "VP8X" if b.length >= 30 =>
+          // payload at 20: flags u8 + 3 reserved, then 24-bit LE
+          // canvas-width-1 / canvas-height-1
+          def u24(i: Int) = u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16)
+          Some((u24(24) + 1, u24(27) + 1))
+        case _ => None
+      }
+    }
     else None
   }
 
@@ -120,22 +163,12 @@ object Multimodal {
       else Some(MediaMeta(rate, ch,
         if (byteRate > 0 && dataLen >= 0) dataLen * 1000L / byteRate else 0L))
     }
-    // ISO BMFF (MP4/MOV/M4A): BE32-size boxes; duration in moov/mvhd
-    else if (b.length >= 16 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p') {
-      def findBox(name: String, from: Int, until: Int): Option[(Int, Int)] = {
-        var i = from
-        while (i + 8 <= until) {
-          val size = be32(b, i)
-          val id = new String(b.slice(i + 4, i + 8), "US-ASCII")
-          if (id == name) return Some((i, if (size >= 8) math.min(i + size, until) else until))
-          if (size < 8) return None // size 0/1 (to-eof / 64-bit) not supported
-          i += size
-        }
-        None
-      }
+    // ISO BMFF (MP4/MOV/M4A): BE32-size boxes; duration in moov/mvhd,
+    // audio sample rate/channels in the first 'soun' trak's stsd entry
+    else if (isBmff(b)) {
       for {
-        (moov, moovEnd) <- findBox("moov", 0, b.length)
-        (mvhd, _) <- findBox("mvhd", moov + 8, moovEnd)
+        (moov, moovEnd) <- findBox(b, "moov", 0, b.length)
+        (mvhd, _) <- findBox(b, "mvhd", moov + 8, moovEnd)
         version = u8(b, mvhd + 8)
         if (version == 0 && mvhd + 28 <= b.length) || (version == 1 && mvhd + 40 <= b.length)
       } yield {
@@ -145,10 +178,201 @@ object Multimodal {
           if (version == 0) (be32(b, mvhd + 20).toLong, be32(b, mvhd + 24).toLong)
           else (be32(b, mvhd + 28).toLong,
             (be32(b, mvhd + 32).toLong << 32) | (be32(b, mvhd + 36).toLong & 0xffffffffL))
-        MediaMeta(0, 0, if (timescale > 0) duration * 1000L / timescale else 0L)
+        val (rate, ch) = audioSampleEntry(b, moov, moovEnd).getOrElse((0, 0))
+        MediaMeta(rate, ch, if (timescale > 0) duration * 1000L / timescale else 0L)
       }
     }
     else None
+  }
+
+  private def isBmff(b: Array[Byte]): Boolean =
+    b.length >= 16 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'
+
+  /** First box named `name` in [from, until): (start, end). */
+  private def findBox(b: Array[Byte], name: String, from: Int, until: Int): Option[(Int, Int)] = {
+    var i = from
+    while (i + 8 <= until) {
+      val size = be32(b, i)
+      val id = new String(b.slice(i + 4, i + 8), "US-ASCII")
+      if (id == name) return Some((i, if (size >= 8) math.min(i + size, until) else until))
+      if (size < 8) return None // size 0/1 (to-eof / 64-bit) not supported
+      i += size
+    }
+    None
+  }
+
+  /** All boxes named `name` at one nesting level in [from, until). */
+  private def findBoxes(b: Array[Byte], name: String, from: Int, until: Int): Seq[(Int, Int)] = {
+    val out = Seq.newBuilder[(Int, Int)]
+    var i = from
+    var ok = true
+    while (ok && i + 8 <= until) {
+      val size = be32(b, i)
+      if (size < 8) ok = false
+      else {
+        val id = new String(b.slice(i + 4, i + 8), "US-ASCII")
+        if (id == name) out += ((i, math.min(i + size, until)))
+        i += size
+      }
+    }
+    out.result()
+  }
+
+  /** Audio stsd parse (ISO 14496-12 AudioSampleEntry): find the first
+    * trak whose hdlr is 'soun', then its stbl/stsd entry — channelcount
+    * u16 at entry+24, samplerate 16.16 fixed at entry+32 (integer part).
+    * Header math only — the codec payload (esds etc.) stays opaque. */
+  private def audioSampleEntry(b: Array[Byte], moov: Int, moovEnd: Int): Option[(Int, Int)] =
+    findBoxes(b, "trak", moov + 8, moovEnd).flatMap { case (trak, trakEnd) =>
+      for {
+        (mdia, mdiaEnd) <- findBox(b, "mdia", trak + 8, trakEnd)
+        (hdlr, _) <- findBox(b, "hdlr", mdia + 8, mdiaEnd)
+        if hdlr + 20 <= b.length &&
+          new String(b.slice(hdlr + 16, hdlr + 20), "US-ASCII") == "soun"
+        (minf, minfEnd) <- findBox(b, "minf", mdia + 8, mdiaEnd)
+        (stbl, stblEnd) <- findBox(b, "stbl", minf + 8, minfEnd)
+        (stsd, _) <- findBox(b, "stsd", stbl + 8, stblEnd)
+        entry = stsd + 16 // box header + version/flags + entry_count
+        if entry + 36 <= b.length
+      } yield (be16(b, entry + 32), be16(b, entry + 24))
+    }.headOption
+
+  /** One sampled frame: index, media timestamp, absolute byte offset and
+    * size inside the container — everything a distributed frame-extract
+    * stage needs to read JUST those bytes (range request / seek) without
+    * touching a codec. */
+  case class FrameRef(frame_idx: Int, ts_ms: Long, offset: Long, n_bytes: Long)
+
+  /** Frame-offset sampler over the MP4 sample tables (stts/stsc/stsz/
+    * stco): resolves up to `maxFrames` evenly-strided samples of the
+    * first trak with a complete stbl to (timestamp, byte offset, size).
+    * This is the header-math half of distributed frame extraction — the
+    * expensive half (decode) reads only `n_bytes` at `offset`, so a
+    * 100 TB video corpus never ships whole files to the decode stage. */
+  private[operators] def frameSamples(b: Array[Byte], maxFrames: Int): Seq[FrameRef] = {
+    if (!isBmff(b) || maxFrames <= 0) return Seq.empty
+    val stblOpt = for {
+      (moov, moovEnd) <- findBox(b, "moov", 0, b.length)
+      (trak, trakEnd) <- findBoxes(b, "trak", moov + 8, moovEnd).collectFirst {
+        case t if (for {
+          (mdia, mdiaEnd) <- findBox(b, "mdia", t._1 + 8, t._2)
+          (minf, minfEnd) <- findBox(b, "minf", mdia + 8, mdiaEnd)
+          (stbl, stblEnd) <- findBox(b, "stbl", minf + 8, minfEnd)
+          _ <- findBox(b, "stts", stbl + 8, stblEnd)
+          _ <- findBox(b, "stsc", stbl + 8, stblEnd)
+          _ <- findBox(b, "stsz", stbl + 8, stblEnd)
+          _ <- findBox(b, "stco", stbl + 8, stblEnd)
+        } yield ()).isDefined => t
+      }
+      (mdia, mdiaEnd) <- findBox(b, "mdia", trak + 8, trakEnd)
+      (mdhd, _) <- findBox(b, "mdhd", mdia + 8, mdiaEnd)
+      (minf, minfEnd) <- findBox(b, "minf", mdia + 8, mdiaEnd)
+      (stbl, stblEnd) <- findBox(b, "stbl", minf + 8, minfEnd)
+    } yield (stbl, stblEnd, be32(b, mdhd + 20).toLong) // mdhd v0 timescale
+    stblOpt match {
+      case None => Seq.empty
+      case Some((stbl, stblEnd, timescale)) =>
+        val Some((stts, _)) = findBox(b, "stts", stbl + 8, stblEnd)
+        val Some((stsc, _)) = findBox(b, "stsc", stbl + 8, stblEnd)
+        val Some((stsz, _)) = findBox(b, "stsz", stbl + 8, stblEnd)
+        val Some((stco, _)) = findBox(b, "stco", stbl + 8, stblEnd)
+        // stsz: uniform size or per-sample table
+        val uniform = be32(b, stsz + 12)
+        val n = be32(b, stsz + 16)
+        if (n <= 0) return Seq.empty
+        val sizes = Array.tabulate(n)(k =>
+          (if (uniform != 0) uniform else be32(b, stsz + 20 + 4 * k)).toLong)
+        // stts: (count, delta) runs → per-sample decode timestamps
+        val dts = new Array[Long](n)
+        var k = 0; var t = 0L; var e = 0
+        val sttsN = be32(b, stts + 12)
+        while (e < sttsN && k < n) {
+          val cnt = be32(b, stts + 16 + 8 * e); val delta = be32(b, stts + 20 + 8 * e)
+          var c = 0
+          while (c < cnt && k < n) { dts(k) = t; t += delta; k += 1; c += 1 }
+          e += 1
+        }
+        // stsc runs + stco chunk offsets → absolute sample offsets
+        val stscN = be32(b, stsc + 12)
+        val runs = Array.tabulate(stscN)(i =>
+          (be32(b, stsc + 16 + 12 * i), be32(b, stsc + 20 + 12 * i))) // (first_chunk 1-based, samples/chunk)
+        val nChunks = be32(b, stco + 12)
+        val chunkOff = Array.tabulate(nChunks)(i => be32(b, stco + 16 + 4 * i).toLong & 0xffffffffL)
+        val offsets = new Array[Long](n)
+        var s = 0; var chunk = 1; var run = 0
+        while (s < n && chunk <= nChunks) {
+          if (run + 1 < runs.length && chunk >= runs(run + 1)._1) run += 1
+          val spc = runs(run)._2
+          var within = 0; var off = chunkOff(chunk - 1)
+          while (within < spc && s < n) {
+            offsets(s) = off; off += sizes(s); s += 1; within += 1
+          }
+          chunk += 1
+        }
+        val total = math.min(s, n) // samples actually mapped to chunks
+        val take = math.min(maxFrames, total)
+        (0 until take).map { i =>
+          val idx = (i.toLong * total / take).toInt
+          FrameRef(idx, if (timescale > 0) dts(idx) * 1000L / timescale else 0L,
+            offsets(idx), sizes(idx))
+        }
+    }
+  }
+
+  /** Deterministic ISO-BMFF fixture: a structurally-valid MP4 skeleton
+    * (ftyp, moov/mvhd + one video trak with real stts/stsc/stsz/stco
+    * tables, mdat) whose frame layout is a pure function of `id`. This is
+    * the corpus stand-in for mm_frames — the PARSER is the operator under
+    * test; the container bytes are synthetic because no media ships in
+    * the test environment. */
+  private[graft] def syntheticMp4(id: Long): Array[Byte] = {
+    def be32a(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def box(name: String, payload: Array[Byte]): Array[Byte] =
+      be32a(8 + payload.length) ++ name.getBytes("US-ASCII") ++ payload
+    val nFrames = 4 + (id % 5).toInt * 3          // 4..16
+    val delta = 100 + (id % 3).toInt * 50          // media units/frame
+    val timescale = 600
+    val sizes = Array.tabulate(nFrames)(k => 50 + ((id + k) % 7).toInt * 10)
+    val spc = 4                                     // samples per full chunk
+    val fullChunks = nFrames / spc
+    val rem = nFrames % spc
+    val nChunks = fullChunks + (if (rem > 0) 1 else 0)
+    def moovOf(chunkOffsets: Array[Int]): Array[Byte] = {
+      val mvhd = box("mvhd", Array.fill(4)(0.toByte) ++ be32a(0) ++ be32a(0) ++
+        be32a(timescale) ++ be32a(nFrames * delta) ++ Array.fill(76)(0.toByte))
+      val mdhd = box("mdhd", Array.fill(4)(0.toByte) ++ be32a(0) ++ be32a(0) ++
+        be32a(timescale) ++ be32a(nFrames * delta) ++ Array.fill(4)(0.toByte))
+      val hdlr = box("hdlr", Array.fill(4)(0.toByte) ++ be32a(0) ++
+        "vide".getBytes("US-ASCII") ++ Array.fill(13)(0.toByte))
+      val stts = box("stts", Array.fill(4)(0.toByte) ++ be32a(1) ++
+        be32a(nFrames) ++ be32a(delta))
+      val stscRuns =
+        if (rem == 0) Array((1, spc)) else Array((1, spc), (fullChunks + 1, rem))
+      val stsc = box("stsc", Array.fill(4)(0.toByte) ++ be32a(stscRuns.length) ++
+        stscRuns.flatMap { case (fc, c) => be32a(fc) ++ be32a(c) ++ be32a(1) })
+      val stsz = box("stsz", Array.fill(4)(0.toByte) ++ be32a(0) ++ be32a(nFrames) ++
+        sizes.flatMap(be32a))
+      val stco = box("stco", Array.fill(4)(0.toByte) ++ be32a(chunkOffsets.length) ++
+        chunkOffsets.flatMap(be32a))
+      val stbl = box("stbl", stts ++ stsc ++ stsz ++ stco)
+      val minf = box("minf", stbl)
+      val mdia = box("mdia", mdhd ++ hdlr ++ minf)
+      val trak = box("trak", mdia)
+      box("moov", mvhd ++ trak)
+    }
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32a(0))
+    // two-pass: moov length is offset-value-independent (fixed-width u32s)
+    val moovLen = moovOf(Array.fill(nChunks)(0)).length
+    val mdatPayloadStart = ftyp.length + moovLen + 8
+    val chunkOffsets = new Array[Int](nChunks)
+    var acc = mdatPayloadStart; var s = 0
+    for (c <- 0 until nChunks) {
+      chunkOffsets(c) = acc
+      val inChunk = if (c < fullChunks) spc else rem
+      for (_ <- 0 until inChunk) { acc += sizes(s); s += 1 }
+    }
+    val mdatPayload = Array.tabulate(acc - mdatPayloadStart)(i => ((id + i) % 251).toByte)
+    ftyp ++ moovOf(chunkOffsets) ++ box("mdat", mdatPayload)
   }
 
   /** Exact byte statistics: mean byte value and Shannon entropy (bits) of
@@ -185,6 +409,24 @@ object Multimodal {
     }
   }
 
+  /** Frame index over a (synthetic) video corpus: each asset's sample
+    * tables resolve to ≤8 evenly-strided (frame, timestamp, byte-range)
+    * rows. The flatMap is the UDTF shape — one asset row fans out to its
+    * sampled frames; at scale the input is the binaryFile corpus and the
+    * output feeds a range-read decode stage. Deterministic end to end
+    * (fixture bytes are a pure function of asset_id), spec-gated
+    * (ExtensionsSpec hand-computes a full layout; DuckDB cannot parse
+    * BMFF so there is no SQL oracle). */
+  def frameIndex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vids = (0L until 25L).map(id => (id, syntheticMp4(id)))
+    spark.createDataset(vids)
+      .flatMap { case (id, bytes) =>
+        frameSamples(bytes, 8).map(f => (id, f.frame_idx, f.ts_ms, f.offset, f.n_bytes)) }
+      .toDF("asset_id", "frame_idx", "ts_ms", "offset", "n_bytes")
+      .orderBy("asset_id", "frame_idx")
+  }
+
   /** Oracle-able metadata projection (no decode). */
   def meta(spark: SparkSession, dir: String): DataFrame =
     binaryAssets(spark, dir).toDF()
@@ -203,6 +445,7 @@ object Multimodal {
         .withColumn("mean_byte", round(col("mean_byte"), 4))
         .withColumn("byte_entropy", round(col("byte_entropy"), 4))
         .orderBy("doc_id")),
+    "mm_frames" -> frameIndex _, // spec-gated: DuckDB cannot parse BMFF
   )
 
   val oracleSql: Map[String, String] = Map(

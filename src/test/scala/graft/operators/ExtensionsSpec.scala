@@ -421,6 +421,107 @@ class ExtensionsSpec extends SparkSpec {
     assert(Multimodal.mediaMeta(Array.empty[Byte]).isEmpty)
   }
 
+  test("multimodal: TIFF and WebP dims parse from bytes") {
+    def le16(v: Int) = Array(v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def be16(v: Int) = Array((v >> 8).toByte, v.toByte)
+    def be32(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    // TIFF little-endian: IFD at 8, two entries (256 SHORT 640, 257 LONG 480)
+    val tiffLe = "II".getBytes ++ Array(0x2a.toByte, 0.toByte) ++ le32(8) ++
+      le16(2) ++
+      (le16(256) ++ le16(3) ++ le32(1) ++ le16(640) ++ le16(0)) ++
+      (le16(257) ++ le16(4) ++ le32(1) ++ le32(480)) ++ le32(0)
+    assert(Multimodal.imageDims(tiffLe).contains((640, 480)))
+    // TIFF big-endian, LONG values
+    val tiffBe = "MM".getBytes ++ Array(0.toByte, 0x2a.toByte) ++ be32(8) ++
+      be16(2) ++
+      (be16(256) ++ be16(4) ++ be32(1) ++ be32(1024)) ++
+      (be16(257) ++ be16(4) ++ be32(1) ++ be32(768)) ++ be32(0)
+    assert(Multimodal.imageDims(tiffBe).contains((1024, 768)))
+    // WebP VP8 (lossy): frame tag + 9D 01 2A start code + 14-bit dims
+    val vp8 = "RIFF".getBytes ++ le32(22) ++ "WEBP".getBytes ++
+      "VP8 ".getBytes ++ le32(10) ++ Array.fill(3)(0.toByte) ++
+      Array(0x9d.toByte, 0x01.toByte, 0x2a.toByte) ++ le16(320) ++ le16(240)
+    assert(Multimodal.imageDims(vp8).contains((320, 240)))
+    // WebP VP8L (lossless): 0x2F then packed 14-bit (w-1, h-1)
+    val bits = (200 - 1) | ((100 - 1) << 14)
+    val vp8l = "RIFF".getBytes ++ le32(17) ++ "WEBP".getBytes ++
+      "VP8L".getBytes ++ le32(5) ++ Array(0x2f.toByte) ++ le32(bits)
+    assert(Multimodal.imageDims(vp8l).contains((200, 100)))
+    // WebP VP8X (extended): 24-bit LE canvas dims minus one
+    def u24(v: Int) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte)
+    val vp8x = "RIFF".getBytes ++ le32(18) ++ "WEBP".getBytes ++
+      "VP8X".getBytes ++ le32(10) ++ Array.fill(4)(0.toByte) ++
+      u24(1920 - 1) ++ u24(1080 - 1)
+    assert(Multimodal.imageDims(vp8x).contains((1920, 1080)))
+  }
+
+  test("multimodal: MP4 stsd audio metadata parses sample rate and channels") {
+    def be16(v: Int) = Array((v >> 8).toByte, v.toByte)
+    def be32(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def box(name: String, p: Array[Byte]) = be32(8 + p.length) ++ name.getBytes ++ p
+    val mvhd = box("mvhd", Array.fill(4)(0.toByte) ++ be32(0) ++ be32(0) ++
+      be32(600) ++ be32(1200) ++ Array.fill(76)(0.toByte))
+    // AudioSampleEntry 'mp4a': 8 reserved+dref, 8 reserved, ch u16,
+    // samplesize u16, predefined+reserved 4, samplerate 16.16
+    val mp4a = box("mp4a", Array.fill(6)(0.toByte) ++ be16(1) ++
+      Array.fill(8)(0.toByte) ++ be16(2) ++ be16(16) ++ be32(0) ++
+      be16(44100) ++ be16(0))
+    val stsd = box("stsd", Array.fill(4)(0.toByte) ++ be32(1) ++ mp4a)
+    val hdlr = box("hdlr", Array.fill(4)(0.toByte) ++ be32(0) ++
+      "soun".getBytes ++ Array.fill(13)(0.toByte))
+    val trak = box("trak", box("mdia",
+      hdlr ++ box("minf", box("stbl", stsd))))
+    val mp4 = box("ftyp", "isom".getBytes ++ be32(0)) ++ box("moov", mvhd ++ trak)
+    assert(Multimodal.mediaMeta(mp4).contains(Multimodal.MediaMeta(44100, 2, 2000L)))
+  }
+
+  test("multimodal: frame sampler resolves stbl tables to exact byte ranges") {
+    // id=0: nFrames=4, delta=100, sizes=(50,60,70,80), one chunk of 4
+    val b = Multimodal.syntheticMp4(0L)
+    val frames = Multimodal.frameSamples(b, 8)
+    assert(frames.size == 4)
+    assert(frames.map(_.frame_idx) == Seq(0, 1, 2, 3))
+    // timescale 600: dts 0,100,200,300 units -> 0,166,333,500 ms
+    assert(frames.map(_.ts_ms) == Seq(0L, 166L, 333L, 500L))
+    assert(frames.map(_.n_bytes) == Seq(50L, 60L, 70L, 80L))
+    // offsets: consecutive within the chunk, starting at the mdat payload
+    assert(frames(1).offset == frames(0).offset + 50)
+    assert(frames(2).offset == frames(1).offset + 60)
+    assert(frames(3).offset == frames(2).offset + 70)
+    // every byte range lies inside the container
+    frames.foreach(f => assert(f.offset + f.n_bytes <= b.length))
+    // the declared ranges address the mdat payload exactly: fixture bytes
+    // are (id + i) % 251 from the payload start
+    val payloadStart = frames(0).offset
+    frames.foreach { f =>
+      (0 until f.n_bytes.toInt).foreach { j =>
+        val pos = (f.offset + j).toInt
+        assert(b(pos) == ((pos - payloadStart) % 251).toByte)
+      }
+    }
+    // id=1: 7 frames in chunks of 4+3 (two stsc runs); stride to 5 keeps
+    // even coverage with the first frame included
+    val f7 = Multimodal.frameSamples(Multimodal.syntheticMp4(1L), 5)
+    assert(f7.size == 5)
+    assert(f7.map(_.frame_idx) == Seq(0, 1, 2, 4, 5))
+    // non-BMFF input yields nothing
+    assert(Multimodal.frameSamples("not a video".getBytes, 8).isEmpty)
+  }
+
+  test("multimodal: frame index query emits ranges for every synthetic asset") {
+    val df = Multimodal.frameIndex(spark, sf).collect()
+    val byAsset = df.groupBy(_.getLong(0))
+    assert(byAsset.keySet == (0L until 25L).toSet)
+    byAsset.foreach { case (_, rows) =>
+      assert(rows.length >= 4 && rows.length <= 8)
+      // frame indices strictly increase; offsets are positive and in-range
+      val idxs = rows.map(_.getInt(1)).toSeq
+      assert(idxs == idxs.sorted && idxs.distinct == idxs)
+      rows.foreach(r => assert(r.getLong(3) > 0 && r.getLong(4) > 0))
+    }
+  }
+
   test("multimodal: container-header dims parse for PNG/JPEG/GIF/BMP bytes") {
     def be32(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
     def be16(v: Int) = Array((v >> 8).toByte, v.toByte)
