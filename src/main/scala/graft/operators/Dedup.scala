@@ -94,6 +94,51 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** Tokens per span for spanDedup (non-overlapping chunks). */
+  val SpanTokens = 10
+
+  /** C4-style span-level exact dedup (Raffel et al., JMLR 2020 §2.2
+    * deduplicates three-sentence spans; this is the k-token-chunk variant
+    * for corpora without sentence structure): each document is cut into
+    * non-overlapping SpanTokens-token chunks, and every chunk whose exact
+    * text already occurred earlier in the corpus — ordered by
+    * (doc_id, span_idx) — is removed. Output per doc: span counts and the
+    * surviving text (NULL when every span was seen before, i.e. the whole
+    * document is assembled from earlier content).
+    *
+    * Scale shape: first-occurrence is `min(struct(doc_id, span_idx))`
+    * grouped by span — a hash aggregate with map-side partial combine, so
+    * a boilerplate span repeated 10⁸ times collapses to one row per map
+    * partition BEFORE the shuffle (a row_number window over the same
+    * partition key would instead sort the full 10⁸-row group on one
+    * reducer). The join back to chunks shuffles both sides on the span
+    * hash — uniform unless one span dominates, which the partial agg
+    * already absorbed on the build side. */
+  def spanDedup(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens
+    val chunks = Tables.documents(spark, dir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0L), ceil(size(t) / lit(SpanTokens.toDouble)) - 1),
+          i => array_join(slice(t, (i * SpanTokens + 1).cast("int"), lit(SpanTokens)), " ")))
+        .as(Seq("span_idx", "span")))
+    val firsts = chunks.groupBy("span")
+      .agg(min(struct(col("doc_id"), col("span_idx"))).as("first"))
+    chunks.join(firsts, Seq("span"))
+      .withColumn("is_dup",
+        col("first.doc_id") =!= col("doc_id") || col("first.span_idx") =!= col("span_idx"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_spans"),
+        collect_list(when(!col("is_dup"), struct(col("span_idx"), col("span")))).as("kept"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+        when(size(col("kept")) === 0, lit(null).cast("string"))
+          .otherwise(array_join(transform(sort_array(col("kept")), x => x("span")), " "))
+          .as("text_dedup"))
+      .orderBy("doc_id")
+  }
+
   val MinhashFuncs = 16
   val MinhashBands = 4 // 4 bands × 4 rows
 
@@ -403,6 +448,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> exact _,
+    "dd_span_exact" -> spanDedup _,
     "dd_ngram_jaccard" -> ngramJaccard _,
     "dd_minhash_sig" -> minhashSignatures _,
     "dd_minhash_lsh" -> minhashLsh _,
@@ -439,6 +485,17 @@ object Dedup {
     "dd_exact" ->
       """SELECT md5(text) AS h, COUNT(*) AS c, MIN(doc_id) AS keep
         |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin.replaceAll("\n", " "),
+    "dd_span_exact" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |chunks AS (SELECT doc_id, i AS span_idx,
+        |array_to_string(t[(i*10+1):(i*10+10)], ' ') AS span
+        |FROM toks, LATERAL (SELECT unnest(range(0, CAST(ceil(len(t)/10.0) AS BIGINT))) AS i)),
+        |ranked AS (SELECT doc_id, span_idx, span,
+        |row_number() OVER (PARTITION BY span ORDER BY doc_id, span_idx) AS rn FROM chunks)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+        |string_agg(CASE WHEN rn = 1 THEN span END, ' ' ORDER BY span_idx) AS text_dedup
+        |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     "dd_ngram_jaccard" ->
       (shingleCte + """,
         |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),

@@ -498,7 +498,52 @@ object Similarity {
     * (the classic IVFADC choice: per-cell codebooks would be k× the
     * broadcast state for marginal gain at √N cells). */
   final case class PqCodebook(dsub: Int, centroids: Array[Array[Array[Double]]],
-      residual: Boolean = false)
+      residual: Boolean = false, rotation: Option[Array[Array[Double]]] = None)
+
+  /** Parametric OPQ rotation (Ge et al., CVPR 2013, "Optimized Product
+    * Quantization", the eigenvalue-allocation solution): eigendecompose
+    * the data's second-moment matrix and deal eigenvectors to the M
+    * subspaces so each subspace receives (as near as greedily possible)
+    * equal variance PRODUCT — the independence+balance condition that
+    * minimizes quantization distortion under the Gaussian model. The
+    * returned R (rows = allocated eigenvectors) is orthonormal, so
+    * <Rq, Rx> = <q, x>: rotating both sides preserves every inner product
+    * the ADC path estimates, while decorrelating the coordinates each
+    * subspace codebook has to cover.
+    *
+    * Second moment, not centered covariance: ANN here scores raw inner
+    * products, and x' = R(x − μ) would NOT preserve them. */
+  private[graft] def opqRotation(secondMoment: Array[Array[Double]], m: Int): Array[Array[Double]] = {
+    val d = secondMoment.length
+    val dsub = d / m
+    val (evals, evecs) = graft.functions.JacobiEig.decompose(secondMoment)
+    val order = evals.indices.sortBy(i => -evals(i))
+    // greedy eigenvalue allocation: next-largest eigenvalue goes to the
+    // non-full subspace with the smallest log-product so far. Logs are
+    // CENTERED to zero mean first — comparing raw partial products across
+    // buckets with different fill counts is scale-sensitive (with all
+    // eigenvalues < 1 the empty product 1.0 dominates every partial
+    // product and the greedy degenerates to the natural-order split);
+    // centering makes the comparison scale-free without changing which
+    // allocation balances the true products
+    val logs = evals.map(e => math.log(math.max(e, 1e-12)))
+    val meanLog = logs.sum / d
+    val logProd = Array.fill(m)(0.0)
+    val buckets = Array.fill(m)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    for (i <- order) {
+      val b = (0 until m).filter(buckets(_).size < dsub).minBy(b => (logProd(b), b))
+      buckets(b) += i
+      logProd(b) += logs(i) - meanLog
+    }
+    buckets.flatMap(_.map(evecs)).toArray
+  }
+
+  private def rotate(r: Array[Array[Double]], v: Seq[Double]): Array[Double] =
+    Array.tabulate(r.length) { i =>
+      val row = r(i); var s = 0.0; var j = 0
+      while (j < row.length) { s += row(j) * v(j); j += 1 }
+      s
+    }
 
   /** PQ index artifact: the codebook plus per-vector byte codes (with the
     * coarse IVF cell, so probing and ADC run off this one frame). */
@@ -510,7 +555,7 @@ object Similarity {
     * variant: codebooks are fit on (and codes encode) v − centroid[cell]
     * instead of v, against the coarse quantizer in `ivf`. */
   def buildPqIndex(spark: SparkSession, dir: String, ivf: IvfIndex,
-      k: Int = 0, residual: Boolean = false): PqIndex = {
+      k: Int = 0, residual: Boolean = false, opq: Boolean = false): PqIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val assigned = ivf.assignments
@@ -525,13 +570,51 @@ object Similarity {
     val frac = math.min(1.0, 200.0 * kEff / math.max(1L, n).toDouble)
     val fitOn = (if (frac >= 1.0) withRv else withRv.sample(frac, 42L))
       .select(col("rv")).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // OPQ: second moment of the fit sample via treeAggregate (d² state per
+    // partition, map-side summed — the driver sees one 64×64 matrix, never
+    // rows), eigensolve + eigenvalue allocation on the driver
+    val rotation =
+      if (!opq) None
+      else {
+        val d = Dim
+        val sm = fitOn.rdd.map(_.getSeq[Double](0).toArray).treeAggregate(
+          Array.ofDim[Double](d, d))(
+          (acc, v) => {
+            var i = 0
+            while (i < d) {
+              val vi = v(i); val row = acc(i); var j = 0
+              while (j < d) { row(j) += vi * v(j); j += 1 }
+              i += 1
+            }
+            acc
+          },
+          (a, b) => {
+            var i = 0
+            while (i < d) {
+              var j = 0
+              while (j < d) { a(i)(j) += b(i)(j); j += 1 }
+              i += 1
+            }
+            a
+          })
+        Some(opqRotation(sm, PqM))
+      }
+    // codebooks are fit in the ROTATED space when OPQ is on (the encoder
+    // rotates before table lookup, so fit input and encode input agree)
+    val fitInput = rotation match {
+      case None => fitOn
+      case Some(r) =>
+        val rB = spark.sparkContext.broadcast(r)
+        val rotU = org.apache.spark.sql.functions.udf((v: Seq[Double]) => rotate(rB.value, v))
+        fitOn.select(rotU(col("rv")).as("rv"))
+    }
     val codebooks = Array.tabulate(PqM) { m =>
-      val sub = fitOn.select(array_to_vector(slice(col("rv"), m * dsub + 1, dsub)).as("fv"))
+      val sub = fitInput.select(array_to_vector(slice(col("rv"), m * dsub + 1, dsub)).as("fv"))
       new KMeans().setK(kEff).setSeed(42L + m).setFeaturesCol("fv")
         .fit(sub).clusterCenters.map(_.toArray)
     }
     fitOn.unpersist(false)
-    val cb = PqCodebook(dsub, codebooks, residual)
+    val cb = PqCodebook(dsub, codebooks, residual, rotation)
     val codes = withRv
       .select(col("vec_id"), col("cell"), pqEncodeUdf(spark, cb)(col("rv")).as("code"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -558,8 +641,13 @@ object Similarity {
     * streams alike. */
   private def pqEncodeUdf(spark: SparkSession, cb: PqCodebook): Column => Column = {
     val cbB = spark.sparkContext.broadcast(cb)
-    val u = org.apache.spark.sql.functions.udf { (v: Seq[Double]) =>
+    val u = org.apache.spark.sql.functions.udf { (raw: Seq[Double]) =>
       val c = cbB.value
+      // OPQ codebooks live in the rotated space: rotate first, then quantize
+      val v: IndexedSeq[Double] = c.rotation match {
+        case Some(r) => rotate(r, raw)
+        case None => raw.toIndexedSeq
+      }
       Array.tabulate(PqM) { m =>
         val cents = c.centroids(m)
         var best = 0; var bestD = Double.MaxValue; var ki = 0
@@ -608,8 +696,12 @@ object Similarity {
     val spark = idx.codes.sparkSession
     import spark.implicits._
     val cb = idx.codebook
-    (for { m <- cb.centroids.indices; k <- cb.centroids(m).indices }
-      yield (m, k, cb.dsub, cb.residual, cb.centroids(m)(k).toSeq))
+    // rotation rows ride in the same table under sentinel m = -1
+    // (k = row index, centroid = rotation row)
+    val rotRows = cb.rotation.toSeq.flatMap(r =>
+      r.indices.map(i => (-1, i, cb.dsub, cb.residual, r(i).toSeq)))
+    ((for { m <- cb.centroids.indices; k <- cb.centroids(m).indices }
+      yield (m, k, cb.dsub, cb.residual, cb.centroids(m)(k).toSeq)) ++ rotRows)
       .toDF("m", "k", "dsub", "residual", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
   }
@@ -622,9 +714,13 @@ object Similarity {
       r.getSeq[Double](r.fieldIndex("centroid")).toArray))
     val dsub = rows.head._3
     val residual = rows.head._4
-    val cents = rows.groupBy(_._1).toArray.sortBy(_._1)
+    val rotation = {
+      val rr = rows.filter(_._1 == -1)
+      if (rr.isEmpty) None else Some(rr.sortBy(_._2).map(_._5))
+    }
+    val cents = rows.filter(_._1 >= 0).groupBy(_._1).toArray.sortBy(_._1)
       .map { case (_, ks) => ks.sortBy(_._2).map(_._5) }
-    PqIndex(PqCodebook(dsub, cents, residual),
+    PqIndex(PqCodebook(dsub, cents, residual, rotation),
       spark.read.parquet(s"$path/codes").select(col("vec_id"), col("cell"), col("code")))
   }
 
@@ -664,7 +760,7 @@ object Similarity {
   }
 
   private val pqCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String, Boolean), PqIndex]
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), PqIndex]
 
   /** Drop cached PQ indexes (release persisted codes) — required after
     * rewriting a corpus dir in-place (pairs with clearIvfCache). */
@@ -685,13 +781,14 @@ object Similarity {
     * loses nothing where it claims exactness. */
   def ivfPqTopK(spark: SparkSession, dir: String, nClusters: Int = 0, nProbe: Int = 0,
       rerank: Int = 0, index: Option[IvfIndex] = None, pq: Option[PqIndex] = None,
-      deepProbes: Boolean = false, residual: Boolean = false): DataFrame = {
+      deepProbes: Boolean = false, residual: Boolean = false,
+      opq: Boolean = false): DataFrame = {
     val idx = index.getOrElse(
       ivfCache.getOrElseUpdate((spark.sparkContext.applicationId, dir, nClusters),
         buildIvfIndex(spark, dir, nClusters)))
     val pqi = pq.getOrElse(
-      pqCache.getOrElseUpdate((spark.sparkContext.applicationId, dir, residual),
-        buildPqIndex(spark, dir, idx, residual = residual)))
+      pqCache.getOrElseUpdate((spark.sparkContext.applicationId, dir, s"$residual:$opq"),
+        buildPqIndex(spark, dir, idx, residual = residual, opq = opq)))
     val nProbeEff =
       if (nProbe > 0) nProbe
       else math.max(1, math.ceil(idx.centroids.length * (if (deepProbes) 12.0 else 6.0) / 16).toInt)
@@ -722,7 +819,14 @@ object Similarity {
     val qRows = assigned
       .filter(col("vec_id") < QuerySetSize).select(col("vec_id"), col("v"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
-    val luts: Map[Long, Array[Array[Double]]] = qRows.map { case (id, vq) =>
+    // under OPQ the codes quantize Rx, and <q, x> = <Rq, Rx>: the LUTs are
+    // built from the ROTATED query; the coarse term below stays unrotated
+    // (<q, centroid> is computed in the original space)
+    val luts: Map[Long, Array[Array[Double]]] = qRows.map { case (id, vqRaw) =>
+      val vq = cb.rotation match {
+        case Some(r) => rotate(r, vqRaw)
+        case None => vqRaw
+      }
       id -> Array.tabulate(PqM) { m =>
         cb.centroids(m).map { cent =>
           var s = 0.0; var j = 0
@@ -821,6 +925,11 @@ object Similarity {
     // true nearest neighbor for every query
     "ann_ivfadc_top1" -> ((s: SparkSession, d: String) =>
       ivfPqTopK(s, d, deepProbes = true, residual = true).filter(col("rank") === 1)),
+    // OPQ (rotated PQ): the eigenvalue-allocation rotation must preserve
+    // the same deep-probe equality contract — rotating the space cannot
+    // lose the true nearest neighbor
+    "ann_opq_top1" -> ((s: SparkSession, d: String) =>
+      ivfPqTopK(s, d, deepProbes = true, opq = true).filter(col("rank") === 1)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -885,6 +994,18 @@ object Similarity {
         |SELECT q_id, nbr_id, rank, ROUND(cs,4) AS cs FROM ranked
         |WHERE rank = 1 ORDER BY q_id""".stripMargin.replaceAll("\n", " "),
     "ann_ivfadc_top1" ->
+      """WITH scored AS (
+        |SELECT a.vec_id AS q_id, b.vec_id AS nbr_id,
+        |list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS cs
+        |FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        |WHERE a.vec_id < 20),
+        |ranked AS (SELECT q_id, nbr_id, cs,
+        |CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ROUND(cs,6) DESC, nbr_id) AS INTEGER) AS rank
+        |FROM scored)
+        |SELECT q_id, nbr_id, rank, ROUND(cs,4) AS cs FROM ranked
+        |WHERE rank = 1 ORDER BY q_id""".stripMargin.replaceAll("\n", " "),
+    "ann_opq_top1" ->
       """WITH scored AS (
         |SELECT a.vec_id AS q_id, b.vec_id AS nbr_id,
         |list_sum(list_transform(list_zip(a.embedding, b.embedding),

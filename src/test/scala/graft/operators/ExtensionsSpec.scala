@@ -183,6 +183,90 @@ class ExtensionsSpec extends SparkSpec {
     assert(resMse < rawMse, s"residual MSE $resMse !< raw MSE $rawMse")
   }
 
+  test("ann: OPQ deep-probe top-1 equals the exact nearest neighbor") {
+    // the equality contract behind the ann_opq_top1 oracle: rotating the
+    // space (codes quantize Rx, LUTs built from Rq) must lose nothing
+    val exact = Similarity.bruteForceTopK(spark, sf).filter(col("rank") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val opq = Similarity.ivfPqTopK(spark, sf, deepProbes = true, opq = true)
+      .filter(col("rank") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(opq == exact, s"missed=${exact -- opq} extra=${opq -- exact}")
+  }
+
+  test("ann: OPQ rotation is orthonormal, preserves dot products, and balances variance") {
+    val ivf = Similarity.buildIvfIndex(spark, sf)
+    val pq = Similarity.buildPqIndex(spark, sf, ivf, opq = true)
+    val r = pq.codebook.rotation.get
+    val d = r.length
+    // R Rᵀ = I (rows orthonormal)
+    for (i <- 0 until d; j <- i until d) {
+      val dot = (0 until d).map(k => r(i)(k) * r(j)(k)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-8, s"RRt($i,$j)=$dot")
+    }
+    // eigenvalue allocation balances variance across subspaces: feed a
+    // strongly anisotropic diagonal moment matrix and check the spread of
+    // per-subspace variance sums collapses vs the natural-order split
+    val evals = Array.tabulate(d)(i => math.pow(2.0, -i / 4.0))
+    val sm = Array.tabulate(d, d)((i, j) => if (i == j) evals(i) else 0.0)
+    val rot = Similarity.opqRotation(sm, 8)
+    val dsub = d / 8
+    def subVar(assign: Int => Double): Seq[Double] =
+      (0 until 8).map(m => (0 until dsub).map(s => assign(m * dsub + s)).sum)
+    // rotated: each row of rot is ±e_i for some i (diagonal input), so the
+    // variance landing in slot k is evals(argmax |rot(k)|)
+    val allocated = subVar(k => evals(rot(k).indexWhere(x => math.abs(x) > 0.5)))
+    val natural = subVar(k => evals(k))
+    def spread(v: Seq[Double]) = v.max / v.min
+    info(s"variance spread natural=${spread(natural)} allocated=${spread(allocated)}")
+    assert(spread(allocated) < spread(natural) / 4,
+      s"allocation did not balance: ${spread(allocated)} vs ${spread(natural)}")
+  }
+
+  test("ann: OPQ index save/load roundtrip preserves the rotation and top-k") {
+    val dir = java.nio.file.Files.createTempDirectory("opq").toString
+    val ivf = Similarity.buildIvfIndex(spark, sf)
+    val pq = Similarity.buildPqIndex(spark, sf, ivf, opq = true)
+    Similarity.savePqIndex(pq, dir)
+    val loaded = Similarity.loadPqIndex(spark, dir)
+    assert(loaded.codebook.rotation.isDefined)
+    loaded.codebook.rotation.get.zip(pq.codebook.rotation.get).foreach {
+      case (a, b) => assert(a.sameElements(b))
+    }
+    val direct = Similarity.ivfPqTopK(spark, sf, index = Some(ivf), pq = Some(pq))
+      .collect().toSeq
+    val viaDisk = Similarity.ivfPqTopK(spark, sf, index = Some(ivf), pq = Some(loaded))
+      .collect().toSeq
+    assert(direct.nonEmpty)
+    assert(direct == viaDisk)
+  }
+
+  test("eig: Jacobi decomposition reconstructs a random symmetric matrix") {
+    val rnd = new scala.util.Random(7)
+    val d = 16
+    val a = Array.ofDim[Double](d, d)
+    for (i <- 0 until d; j <- i until d) {
+      val x = rnd.nextGaussian(); a(i)(j) = x; a(j)(i) = x
+    }
+    val (evals, evecs) = graft.functions.JacobiEig.decompose(a)
+    // A v = λ v for every pair
+    for (k <- 0 until d) {
+      val v = evecs(k)
+      val av = Array.tabulate(d)(i => (0 until d).map(j => a(i)(j) * v(j)).sum)
+      for (i <- 0 until d)
+        assert(math.abs(av(i) - evals(k) * v(i)) < 1e-8, s"eigpair $k row $i")
+    }
+    // eigenvectors orthonormal
+    for (p <- 0 until d; q <- p until d) {
+      val dot = (0 until d).map(i => evecs(p)(i) * evecs(q)(i)).sum
+      assert(math.abs(dot - (if (p == q) 1.0 else 0.0)) < 1e-8)
+    }
+    // trace preserved
+    val traceA = (0 until d).map(i => a(i)(i)).sum
+    assert(math.abs(evals.sum - traceA) < 1e-8)
+  }
+
   test("ann: residual PQ index save/load roundtrip preserves the flag and top-k") {
     val dir = java.nio.file.Files.createTempDirectory("ivfadc").toString
     val ivf = Similarity.buildIvfIndex(spark, sf)
@@ -565,6 +649,31 @@ class ExtensionsSpec extends SparkSpec {
     assert(exact.subsetOf(capped) || capped.subsetOf(exact))
     assert((exact & capped).size.toDouble / exact.size >= 0.9,
       s"lost ${(exact -- capped).size} of ${exact.size}")
+  }
+
+  test("span dedup matches a driver-side first-occurrence sweep") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    // reference: one linear sweep in (doc_id, span_idx) order
+    val seen = scala.collection.mutable.HashSet[String]()
+    val expected = docs.map { case (id, text) =>
+      val spans = text.split(" ").grouped(Dedup.SpanTokens).map(_.mkString(" ")).toSeq
+      val keptFlags = spans.map(s => seen.add(s))
+      val kept = spans.zip(keptFlags).collect { case (s, true) => s }
+      id -> ((spans.size.toLong, keptFlags.count(!_).toLong,
+        if (kept.isEmpty) null else kept.mkString(" ")))
+    }.toMap
+    val out = Dedup.spanDedup(spark, sf).collect()
+    assert(out.map(_.getLong(0)).toSet == expected.keySet)
+    out.foreach { r =>
+      val (nSpans, nDup, textDedup) = expected(r.getLong(0))
+      assert(r.getLong(1) == nSpans, s"doc ${r.getLong(0)} n_spans")
+      assert(r.getLong(2) == nDup, s"doc ${r.getLong(0)} n_dup_spans")
+      assert(r.getString(3) == textDedup, s"doc ${r.getLong(0)} text_dedup")
+    }
+    // the operator must actually remove something on this corpus
+    assert(out.map(_.getLong(2)).sum > 0)
   }
 
   test("minhash estimate correlates with exact jaccard on near-dup pairs") {
