@@ -112,7 +112,14 @@ object TextAnalysis {
     * hits with a fixed priority tiebreak (en > de > es > fr). Pure Column
     * expression — array of (score, priority, lang) structs reduced with
     * array_max, which compares structs lexicographically. */
-  def langId(spark: SparkSession, dir: String): DataFrame = {
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), predLangCol.as("pred_lang"))
+      .orderBy("doc_id")
+
+  /** The language prediction as a reusable Column over a `text` column
+    * (shared by tx_langid and the composite cleaning pipeline). */
+  private[operators] def predLangCol: Column = {
     val t = toks
     val scored = LangMarkers.zipWithIndex.map { case ((lang, markers), i) =>
       struct(
@@ -120,14 +127,59 @@ object TextAnalysis {
         lit(LangMarkers.size - i).as("prio"),
         lit(lang).as("lang"))
     }
+    when(col("text").rlike("[\\u4e00-\\u9fff]"), lit("zh"))
+      .otherwise(array_max(array(scored: _*)).getField("lang"))
+  }
+
+  /** PII redaction patterns, applied in order (SSN-shaped ids before
+    * phone numbers — fixed-width alternatives must not race). Each is a
+    * (name, regex, replacement) triple; the regexes are deliberately
+    * RE2-safe (no backreferences, no lookaround) so the exact same
+    * pattern strings run under Spark's Java regex AND the DuckDB oracle. */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<ID>"),
+    ("phone", "\\b\\d{3}-\\d{3}-\\d{4}\\b", "<PHONE>"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+  )
+
+  /** Redact all PII patterns from a text column — the reusable scrubbing
+    * operator (pure codegen'd regexp_replace chain, scan-bound). */
+  def redactPii(c: Column): Column =
+    PiiPatterns.foldLeft(c) { case (acc, (_, pat, repl)) => regexp_replace(acc, pat, repl) }
+
+  /** PII scrubbing over the corpus. The synthetic corpus carries no PII,
+    * so the query first APPENDS deterministic doc_id-derived contact
+    * blocks (emails / phones / IPs / SSN-shaped ids, on disjoint doc_id
+    * residues so counts vary and most docs stay clean) — the oracle
+    * builds the identical enriched text in SQL, which makes the
+    * redaction semantics themselves the thing under hash-compare. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    def mod(m: Int) = (id % m).cast("string")
+    val enriched = concat(col("text"),
+      when(id % 3 === 0, concat(lit(" contact user"), id.cast("string"),
+        lit("@ex"), mod(7), lit(".com"))).otherwise(lit("")),
+      when(id % 4 === 0, concat(lit(" tel 555-"), lpad(mod(1000), 3, "0"),
+        lit("-"), lpad(mod(10000), 4, "0"))).otherwise(lit("")),
+      when(id % 5 === 0, concat(lit(" host 10."), mod(256), lit(".0."), mod(100)))
+        .otherwise(lit("")),
+      when(id % 7 === 0, concat(lit(" ref 123-45-"), lpad(mod(10000), 4, "0")))
+        .otherwise(lit("")))
+    def nMatches(pat: String) = (size(split(col("t"), pat, -1)) - 1).cast("long")
     Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        when(col("text").rlike("[\\u4e00-\\u9fff]"), lit("zh"))
-          .otherwise(array_max(array(scored: _*)).getField("lang")).as("pred_lang"))
+      .select(id, enriched.as("t"))
+      .select(id,
+        nMatches(PiiPatterns(0)._2).as("n_email"),
+        nMatches(PiiPatterns(1)._2).as("n_ssn"),
+        nMatches(PiiPatterns(2)._2).as("n_phone"),
+        nMatches(PiiPatterns(3)._2).as("n_ip"),
+        redactPii(col("t")).as("scrubbed"))
       .orderBy("doc_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_pii" -> piiScrub _,
     "tx_lang_stats" -> langStats _,
     "tx_tokens" -> tokenCounts _,
     "tx_quality" -> quality _,
@@ -139,6 +191,25 @@ object TextAnalysis {
   private def inList(xs: Seq[String]) = xs.map(s => s"'$s'").mkString("(", ",", ")")
 
   val oracleSql: Map[String, String] = Map(
+    "tx_pii" -> {
+      // enrichment + patterns generated from PiiPatterns so the two
+      // engines cannot drift
+      val Seq(email, ssn, phone, ip) = PiiPatterns.map(_._2)
+      val repl = PiiPatterns.foldLeft("t") { case (acc, (_, pat, r)) =>
+        s"regexp_replace($acc, '$pat', '$r', 'g')"
+      }
+      def n(pat: String, as: String) =
+        s"CAST(len(regexp_split_to_array(t, '$pat')) - 1 AS BIGINT) AS $as"
+      """WITH enriched AS (SELECT doc_id, text ||
+        |CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id || '@ex' || (doc_id % 7) || '.com' ELSE '' END ||
+        |CASE WHEN doc_id % 4 = 0 THEN ' tel 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+        |CASE WHEN doc_id % 5 = 0 THEN ' host 10.' || (doc_id % 256) || '.0.' || (doc_id % 100) ELSE '' END ||
+        |CASE WHEN doc_id % 7 = 0 THEN ' ref 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS t
+        |FROM documents)
+        |SELECT doc_id, """.stripMargin.replaceAll("\n", " ") +
+        s"${n(email, "n_email")}, ${n(ssn, "n_ssn")}, ${n(phone, "n_phone")}, " +
+        s"${n(ip, "n_ip")}, $repl AS scrubbed FROM enriched ORDER BY doc_id"
+    },
     "tx_lang_stats" ->
       """SELECT lang, COUNT(*) AS c, CAST(SUM(n_chars) AS BIGINT) AS s
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin.replaceAll("\n", " "),
@@ -173,21 +244,28 @@ object TextAnalysis {
         |ROUND(CAST(LEAST(COALESCE(list_max(list_transform(list_distinct(tg),
         |b -> len(list_filter(tg, x -> x = b)))), 0) * 3, nt) AS DOUBLE) / nt, 4) AS top_trigram_frac
         |FROM g ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
-    "tx_langid" -> {
-      // generated from LangMarkers so Spark and oracle can't drift
-      val scores = LangMarkers.map { case (lang, markers) =>
-        s"len(list_filter(string_split(text,' '), x -> x IN ${inList(markers)})) AS s_$lang"
-      }.mkString(", ")
-      // tie priority = LangMarkers order (en > de > es > fr), like the
-      // (score, prio) struct max on the Spark side
-      val langs = LangMarkers.map(_._1)
-      val cases = langs.init.zipWithIndex.map { case (l, i) =>
-        val rest = langs.drop(i + 1).map(o => s"s_$l >= s_$o").mkString(" AND ")
-        s"WHEN $rest THEN '$l'"
-      }.mkString(" ")
-      ("WITH s AS (SELECT doc_id, text, " + scores + " FROM documents) " +
-        "SELECT doc_id, CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh' " +
-        cases + s" ELSE '${langs.last}' END AS pred_lang FROM s ORDER BY doc_id")
-    },
+    "tx_langid" ->
+      (s"WITH s AS (SELECT doc_id, text, $langScoreSql FROM documents) " +
+        s"SELECT doc_id, $langCaseSql AS pred_lang FROM s ORDER BY doc_id"),
   )
+
+  /** DuckDB marker-score columns s_<lang>, generated from LangMarkers so
+    * Spark and oracle can't drift (shared with the pipeline oracle). */
+  private[operators] def langScoreSql: String =
+    LangMarkers.map { case (lang, markers) =>
+      s"len(list_filter(string_split(text,' '), x -> x IN ${inList(markers)})) AS s_$lang"
+    }.mkString(", ")
+
+  /** DuckDB CASE over the s_<lang> columns + the CJK short-circuit; tie
+    * priority = LangMarkers order (en > de > es > fr), like the
+    * (score, prio) struct max on the Spark side. */
+  private[operators] def langCaseSql: String = {
+    val langs = LangMarkers.map(_._1)
+    val cases = langs.init.zipWithIndex.map { case (l, i) =>
+      val rest = langs.drop(i + 1).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $rest THEN '$l'"
+    }.mkString(" ")
+    "CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh' " +
+      cases + s" ELSE '${langs.last}' END"
+  }
 }

@@ -651,6 +651,55 @@ class ExtensionsSpec extends SparkSpec {
       s"lost ${(exact -- capped).size} of ${exact.size}")
   }
 
+  test("pii: redaction handles fixtures, clean text, and multiple matches") {
+    import spark.implicits._
+    val rows = Seq(
+      ("mail me at jo.doe+x@sub.example.com today", "mail me at <EMAIL> today"),
+      ("ssn 123-45-6789 then phone 555-123-4567", "ssn <ID> then phone <PHONE>"),
+      ("server 192.168.0.1 and 10.0.0.255", "server <IP> and <IP>"),
+      ("two mails a@b.co c@d.org", "two mails <EMAIL> <EMAIL>"),
+      ("no pii here at all", "no pii here at all"),
+      // boundaries: longer digit runs must NOT be clipped into matches
+      ("serial 1234-56-7890 stays", "serial 1234-56-7890 stays"),
+      ("ends with x@y.io", "ends with <EMAIL>"))
+      .toDF("t", "expected")
+    val out = rows.withColumn("got", TextAnalysis.redactPii(col("t"))).collect()
+    out.foreach(r => assert(r.getString(2) == r.getString(1),
+      s"input '${r.getString(0)}'"))
+    // corpus query: clean docs (no injected residue) come through unchanged
+    val pii = TextAnalysis.piiScrub(spark, sf)
+    val docs = graft.sources.Tables.documents(spark, sf).select("doc_id", "text")
+    val joined = pii.join(docs, "doc_id")
+      .filter(col("doc_id") % 3 =!= 0 && col("doc_id") % 4 =!= 0 &&
+        col("doc_id") % 5 =!= 0 && col("doc_id") % 7 =!= 0)
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getAs[String]("scrubbed") == r.getAs[String]("text"))
+      Seq("n_email", "n_ssn", "n_phone", "n_ip").foreach(c =>
+        assert(r.getAs[Long](c) == 0L))
+    }
+  }
+
+  test("pipeline: composite clean agrees with its component operators") {
+    val out = Pipeline.clean(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getString(2)))).toMap
+    assert(out.nonEmpty)
+    // keep is exactly reason == ok
+    out.values.foreach { case (k, r) => assert(k == (r == "ok")) }
+    // rule 1 agrees with tx_langid: every doc predicted non-en reads
+    // non_english, every en doc reads something else
+    val langs = TextAnalysis.langId(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { case (id, (_, reason)) =>
+      assert((reason == "non_english") == (langs(id) != "en"), s"doc $id")
+    }
+    // the corpus exercises more than one drop reason plus survivors
+    val reasons = out.values.map(_._2).toSet
+    assert(reasons.contains("ok"))
+    assert((reasons - "ok").size >= 2, s"reasons=$reasons")
+  }
+
   test("span dedup matches a driver-side first-occurrence sweep") {
     val docs = graft.sources.Tables.documents(spark, sf)
       .select("doc_id", "text").collect()
