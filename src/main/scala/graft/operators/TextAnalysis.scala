@@ -89,8 +89,12 @@ object TextAnalysis {
       val top = coalesce(array_max(transform(array_distinct(grams),
         g => size(filter(grams, x => x === g)))), lit(0))
       // occurrences overlap, so count·n can exceed the doc: cap the
-      // covered-token estimate at nt (an all-one-token doc scores 1.0)
-      round(least(top * n, nt).cast("double") / nt, 4)
+      // covered-token estimate at nt (an all-one-token doc scores 1.0).
+      // Docs shorter than the gram have no n-grams at all: sequence(1, nt-n+1)
+      // would otherwise step DOWNWARD (start > stop defaults to step -1) and
+      // element_at(t, 0) throws — short-circuit to 0.0 before building it.
+      when(nt < lit(n), lit(0.0))
+        .otherwise(round(least(top * n, nt).cast("double") / nt, 4))
     }
     Tables.documents(spark, dir)
       .select(col("doc_id"),

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated TPC-H-ish corpus (one parquet per table;
   * see /root/repo/TESTDATA.md and FIXTURES.md §3).
@@ -29,17 +29,25 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which vanilla Spark rejects
-    * (PARQUET_TYPE_ILLEGAL). Read it as a raw nanos long (legacy conf) and
-    * convert to a µs TimestampType column — the corpus only carries µs
-    * precision, so the truncation is lossless and matches what DuckDB
-    * compares at. */
+  /** events.ts arrives in different parquet vintages depending on the
+    * writer: TIMESTAMP(NANOS) (which vanilla Spark rejects —
+    * PARQUET_TYPE_ILLEGAL — so we read it as a raw nanos long via the
+    * legacy conf), or naive timestamp[us] (which Spark 4 reads as
+    * TIMESTAMP_NTZ). Normalize every shape to a µs TimestampType column:
+    * the corpus only carries µs precision and the session timezone is
+    * pinned to UTC, so both conversions are value-preserving and match
+    * what DuckDB compares at. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = table(spark, dir, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    normalizeTs(table(spark, dir, "events"))
+  }
+
+  /** Normalize a raw events frame's `ts` to TimestampType (shared with the
+    * streaming file source, which must read the raw schema). */
+  def normalizeTs(raw: DataFrame): DataFrame = raw.schema("ts").dataType match {
+    case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+    case _                => raw
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

@@ -1,9 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
-import org.apache.spark.sql.types.LongType
 
 import graft.sources.Tables
 
@@ -25,9 +23,11 @@ object StreamMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // events.ts is TIMESTAMP(NANOS) parquet; the batch loader handles the
-    // legacy conf — reuse its schema for the streaming source
-    val batchEvents = Tables.events(spark, sfDir)
+    // events.ts parquet vintage varies (NANOS-as-long vs naive µs); set the
+    // legacy conf via the batch loader, then stream with the RAW file schema
+    // and apply the same normalization the batch path uses
+    Tables.events(spark, sfDir)
+    val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
     // the file stream source wants a directory: stage the single parquet
     // file behind a symlink in a temp dir (a real deployment tails a
     // landing directory of event files)
@@ -36,13 +36,8 @@ object StreamMain {
       stageDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$sfDir/events.parquet"))
 
-    val raw = spark.readStream
-      .schema(batchEvents.schema.copy(fields = batchEvents.schema.fields.map {
-        case f if f.name == "ts" => f.copy(dataType = LongType)
-        case f => f
-      }))
-      .parquet(stageDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = Tables.normalizeTs(
+      spark.readStream.schema(rawSchema).parquet(stageDir.toString))
 
     val q = EventStreams.hourlyAgg(raw).writeStream
       .format("memory").queryName("hourly_stream")

@@ -356,7 +356,9 @@ class ExtensionsSpec extends SparkSpec {
     val docs = Seq(
       (0L, "spam spam spam spam spam spam", "en", 29L),
       (1L, "one two three four five six", "en", 27L),
-      (2L, "ab cd ab cd ab cd ab cd", "en", 23L)).toDF("doc_id", "text", "lang", "n_chars")
+      (2L, "ab cd ab cd ab cd ab cd", "en", 23L),
+      (3L, "solo", "en", 4L),
+      (4L, "just two", "en", 8L)).toDF("doc_id", "text", "lang", "n_chars")
     val dir = java.nio.file.Files.createTempDirectory("repdocs").toString
     docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val r = TextAnalysis.repetition(spark, dir).collect()
@@ -367,6 +369,11 @@ class ExtensionsSpec extends SparkSpec {
     assert(r(1L)._1 == 0.0 && r(1L)._2 < 0.5)
     // alternating pair: half the tokens are dups, "ab cd" bigram dominates
     assert(r(2L)._1 > 0.5 && r(2L)._2 > 0.8)
+    // docs shorter than the gram must not crash (sequence(1, 0) steps
+    // downward) and must score 0.0, matching the oracle's empty range()
+    assert(r(3L) == ((0.0, 0.0, 0.0)))
+    // a 2-token doc has exactly one bigram (full coverage) and no trigram
+    assert(r(4L)._2 == 1.0 && r(4L)._3 == 0.0)
   }
 
   test("pq: 8-byte codes reconstruct unit vectors with high cosine fidelity") {
