@@ -34,7 +34,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ SkewJoin.oracleSql ++ Dedup.oracleSql ++
       Similarity.oracleSql ++ TextAnalysis.oracleSql ++ Sampling.oracleSql ++
-      Pipeline.oracleSql ++ Multimodal.oracleSql ++ Materials.oracleSql
+      Pipeline.oracleSql ++ Multimodal.oracleSql ++ Materials.oracleSql ++
+      DielectricModel.oracleSql
 
   /** Headline subset used by Bench (fast, scale-sensitive queries across
     * all operator families: relational, dedup, similarity, text). */

@@ -21,6 +21,12 @@ object Verify {
     catch { case e: Throwable =>
       System.err.println(s"[verify] materials raw export failed: ${e.getMessage}")
     }
+    // golden-parity export next: ml_golden_gate (Spark AND its DuckDB
+    // oracle) reads these fixed-path parquets
+    try graft.ml.DielectricModel.exportGoldenParity(spark)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] ml golden-parity export failed: ${e.getMessage}")
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

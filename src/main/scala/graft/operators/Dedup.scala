@@ -23,15 +23,22 @@ object Dedup {
   /** Word tokens of documents.text. */
   private def tokens: Column = split(col("text"), " ")
 
-  /** Distinct word-level 3-gram shingles per document: (doc_id, s).
-    * The corpus arrives as one small parquet file (one input split), so
-    * without an explicit repartition every downstream md5 runs on ONE
-    * core — the repartition buys full parallelism for the 16 hash
-    * functions at the cost of shuffling the (tiny) document table. */
+  /** Unlock parallelism for CPU-heavy narrow stages ONLY when the scan
+    * arrives under-split: the LOCAL FIXTURE is one small parquet file
+    * (one input split), so without a repartition every downstream hash
+    * runs on one core. A 100 TB corpus arrives with thousands of natural
+    * splits — there the repartition would be a full shuffle of the raw
+    * text bought for nothing, so it is skipped (PlanSpec asserts the
+    * no-Exchange plan for a pre-split input). The probe is metadata-only
+    * (partition count of the scan, no job). */
+  private def spread(spark: SparkSession, df: DataFrame): DataFrame =
+    if (df.rdd.getNumPartitions >= spark.sparkContext.defaultParallelism) df
+    else df.repartition(col("doc_id"))
+
+  /** Distinct word-level 3-gram shingles per document: (doc_id, s). */
   private def shingles(spark: SparkSession, dir: String): DataFrame = {
     val t = tokens
-    Tables.documents(spark, dir)
-      .repartition(col("doc_id"))
+    spread(spark, Tables.documents(spark, dir))
       .select(col("doc_id"),
         explode(array_distinct(
           when(size(t) >= 3,
@@ -116,8 +123,7 @@ object Dedup {
     * already absorbed on the build side. */
   def spanDedup(spark: SparkSession, dir: String): DataFrame = {
     val t = tokens
-    val chunks = Tables.documents(spark, dir)
-      .repartition(col("doc_id"))
+    val chunks = spread(spark, Tables.documents(spark, dir))
       .select(col("doc_id"), posexplode(
         transform(sequence(lit(0L), ceil(size(t) / lit(SpanTokens.toDouble)) - 1),
           i => array_join(slice(t, (i * SpanTokens + 1).cast("int"), lit(SpanTokens)), " ")))
@@ -264,8 +270,7 @@ object Dedup {
     * over tokens (with multiplicity) of ±1 by the high bit of the j-th
     * md5 nibble. Emitted as a bitstring so the oracle compares exactly. */
   def simhash(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .repartition(col("doc_id")) // single-file input: unlock parallel md5
+    spread(spark, Tables.documents(spark, dir))
       .select(col("doc_id"), explode(tokens).as("tok"))
       .select(col("doc_id"), md5(col("tok")).as("h"))
       .select(col("doc_id"), col("h"), explode(sequence(lit(1), lit(32))).as("j"))
@@ -324,8 +329,7 @@ object Dedup {
     * family (like signaturesFast), so its PAIR query verifies candidates
     * with exact Jaccard and is oracled against the exact pair set. */
   def simhash64(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .repartition(col("doc_id")) // single-file input: unlock parallelism
+    spread(spark, Tables.documents(spark, dir))
       .select(col("doc_id"), explode(tokens).as("tok"))
       .select(col("doc_id"), xxhash64(col("tok")).as("h"))
       .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(63))).as("j"))
@@ -415,7 +419,17 @@ object Dedup {
     // catastrophically at the 10× evidence run
     val idx = index.getOrElse(Similarity.buildLshIndex(spark, dir))
     val nBits = idx.nBits
-    val b = idx.buckets
+    // the ALL-PAIRS path pins its table count at the base LshTables: its
+    // candidate volume is ∝ N·occupancy·tables, so riding lshTablesFor's
+    // recall-driven table growth (an ANN-side knob: per-QUERY cost there)
+    // would scale pair generation superlinearly. Tables 0..7 are the same
+    // hyperplane family regardless of how many tables the shared index
+    // carries, so at the oracle SFs (where lshTablesFor = LshTables) this
+    // filter is the identity and every plan/result stays byte-identical.
+    val b =
+      if (idx.nTables > Similarity.LshTables)
+        idx.buckets.filter(col("tbl") < Similarity.LshTables)
+      else idx.buckets
     // probe depth = recall/cost knob: 1-bit flips are the scale operating
     // point (probing 7/64 buckets); 2-bit flips (22/64) buy the ~2e-4
     // miss rate that supports a full equality oracle at the gate SF, at a

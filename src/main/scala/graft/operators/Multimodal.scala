@@ -243,14 +243,29 @@ object Multimodal {
     * touching a codec. */
   case class FrameRef(frame_idx: Int, ts_ms: Long, offset: Long, n_bytes: Long)
 
-  /** Frame-offset sampler over the MP4 sample tables (stts/stsc/stsz/
-    * stco): resolves up to `maxFrames` evenly-strided samples of the
-    * first trak with a complete stbl to (timestamp, byte offset, size).
-    * This is the header-math half of distributed frame extraction — the
-    * expensive half (decode) reads only `n_bytes` at `offset`, so a
-    * 100 TB video corpus never ships whole files to the decode stage. */
-  private[operators] def frameSamples(b: Array[Byte], maxFrames: Int): Seq[FrameRef] = {
-    if (!isBmff(b) || maxFrames <= 0) return Seq.empty
+  /** Sanity cap on declared table entry counts: a corrupt 32-bit count
+    * must never drive Array.tabulate into a multi-GB allocation — one bad
+    * asset in a binaryFile corpus yields Seq.empty, not a dead stage. */
+  private val MaxSamples = 1 << 20
+
+  /** mdhd timescale with the version branch: v0 keeps u32 times
+    * (timescale at +20), v1 widens ctime/mtime to u64 (timescale at +28).
+    * 0 on truncation or an unknown version. */
+  private def mdhdTimescale(b: Array[Byte], mdhd: Int, mdhdEnd: Int): Long = {
+    if (mdhd + 9 > mdhdEnd) return 0L
+    u8(b, mdhd + 8) match {
+      case 0 if mdhd + 24 <= mdhdEnd => be32(b, mdhd + 20).toLong & 0xffffffffL
+      case 1 if mdhd + 32 <= mdhdEnd => be32(b, mdhd + 28).toLong & 0xffffffffL
+      case _ => 0L
+    }
+  }
+
+  /** (dts, offset, size) for every sample the moov sample tables resolve,
+    * plus the media timescale. None when the stbl is absent, empty (a
+    * fragmented file keeps zero-entry tables in moov), or inconsistent —
+    * every declared entry count is validated against its box end before
+    * any allocation. */
+  private def moovSamples(b: Array[Byte]): Option[(IndexedSeq[(Long, Long, Long)], Long)] = {
     val stblOpt = for {
       (moov, moovEnd) <- findBox(b, "moov", 0, b.length)
       (trak, trakEnd) <- findBoxes(b, "trak", moov + 8, moovEnd).collectFirst {
@@ -265,59 +280,231 @@ object Multimodal {
         } yield ()).isDefined => t
       }
       (mdia, mdiaEnd) <- findBox(b, "mdia", trak + 8, trakEnd)
-      (mdhd, _) <- findBox(b, "mdhd", mdia + 8, mdiaEnd)
+      (mdhd, mdhdEnd) <- findBox(b, "mdhd", mdia + 8, mdiaEnd)
       (minf, minfEnd) <- findBox(b, "minf", mdia + 8, mdiaEnd)
       (stbl, stblEnd) <- findBox(b, "stbl", minf + 8, minfEnd)
-    } yield (stbl, stblEnd, be32(b, mdhd + 20).toLong) // mdhd v0 timescale
-    stblOpt match {
-      case None => Seq.empty
-      case Some((stbl, stblEnd, timescale)) =>
-        val Some((stts, _)) = findBox(b, "stts", stbl + 8, stblEnd)
-        val Some((stsc, _)) = findBox(b, "stsc", stbl + 8, stblEnd)
-        val Some((stsz, _)) = findBox(b, "stsz", stbl + 8, stblEnd)
-        val Some((stco, _)) = findBox(b, "stco", stbl + 8, stblEnd)
-        // stsz: uniform size or per-sample table
-        val uniform = be32(b, stsz + 12)
-        val n = be32(b, stsz + 16)
-        if (n <= 0) return Seq.empty
-        val sizes = Array.tabulate(n)(k =>
-          (if (uniform != 0) uniform else be32(b, stsz + 20 + 4 * k)).toLong)
-        // stts: (count, delta) runs → per-sample decode timestamps
-        val dts = new Array[Long](n)
-        var k = 0; var t = 0L; var e = 0
-        val sttsN = be32(b, stts + 12)
-        while (e < sttsN && k < n) {
-          val cnt = be32(b, stts + 16 + 8 * e); val delta = be32(b, stts + 20 + 8 * e)
-          var c = 0
-          while (c < cnt && k < n) { dts(k) = t; t += delta; k += 1; c += 1 }
-          e += 1
+    } yield (stbl, stblEnd, mdhdTimescale(b, mdhd, mdhdEnd))
+    def resolve(stbl: Int, stblEnd: Int,
+        timescale: Long): Option[(IndexedSeq[(Long, Long, Long)], Long)] = {
+      val Some((stts, sttsEnd)) = findBox(b, "stts", stbl + 8, stblEnd)
+      val Some((stsc, stscEnd)) = findBox(b, "stsc", stbl + 8, stblEnd)
+      val Some((stsz, stszEnd)) = findBox(b, "stsz", stbl + 8, stblEnd)
+      val Some((stco, stcoEnd)) = findBox(b, "stco", stbl + 8, stblEnd)
+      if (stsz + 20 > stszEnd || stts + 16 > sttsEnd ||
+          stsc + 16 > stscEnd || stco + 16 > stcoEnd) return None
+      // stsz: uniform size or per-sample table
+      val uniform = be32(b, stsz + 12)
+      val n = be32(b, stsz + 16)
+      val sttsN = be32(b, stts + 12)
+      val stscN = be32(b, stsc + 12)
+      val nChunks = be32(b, stco + 12)
+      // declared counts vs box ends (and the sanity cap): reject, don't trust
+      if (n <= 0 || n > MaxSamples ||
+          (uniform == 0 && stsz + 20 + 4L * n > stszEnd) ||
+          sttsN < 0 || stts + 16 + 8L * sttsN > sttsEnd ||
+          stscN <= 0 || stsc + 16 + 12L * stscN > stscEnd ||
+          nChunks <= 0 || stco + 16 + 4L * nChunks > stcoEnd) return None
+      val sizes = Array.tabulate(n)(k =>
+        (if (uniform != 0) uniform else be32(b, stsz + 20 + 4 * k)).toLong)
+      // stts: (count, delta) runs → per-sample decode timestamps
+      val dts = new Array[Long](n)
+      var k = 0; var t = 0L; var e = 0
+      while (e < sttsN && k < n) {
+        val cnt = be32(b, stts + 16 + 8 * e); val delta = be32(b, stts + 20 + 8 * e)
+        var c = 0
+        while (c < cnt && k < n) { dts(k) = t; t += delta; k += 1; c += 1 }
+        e += 1
+      }
+      // stsc runs + stco chunk offsets → absolute sample offsets
+      val runs = Array.tabulate(stscN)(i =>
+        (be32(b, stsc + 16 + 12 * i), be32(b, stsc + 20 + 12 * i))) // (first_chunk 1-based, samples/chunk)
+      val chunkOff = Array.tabulate(nChunks)(i => be32(b, stco + 16 + 4 * i).toLong & 0xffffffffL)
+      val offsets = new Array[Long](n)
+      var s = 0; var chunk = 1; var run = 0
+      while (s < n && chunk <= nChunks) {
+        if (run + 1 < runs.length && chunk >= runs(run + 1)._1) run += 1
+        val spc = runs(run)._2
+        var within = 0; var off = chunkOff(chunk - 1)
+        while (within < spc && s < n) {
+          offsets(s) = off; off += sizes(s); s += 1; within += 1
         }
-        // stsc runs + stco chunk offsets → absolute sample offsets
-        val stscN = be32(b, stsc + 12)
-        val runs = Array.tabulate(stscN)(i =>
-          (be32(b, stsc + 16 + 12 * i), be32(b, stsc + 20 + 12 * i))) // (first_chunk 1-based, samples/chunk)
-        val nChunks = be32(b, stco + 12)
-        val chunkOff = Array.tabulate(nChunks)(i => be32(b, stco + 16 + 4 * i).toLong & 0xffffffffL)
-        val offsets = new Array[Long](n)
-        var s = 0; var chunk = 1; var run = 0
-        while (s < n && chunk <= nChunks) {
-          if (run + 1 < runs.length && chunk >= runs(run + 1)._1) run += 1
-          val spc = runs(run)._2
-          var within = 0; var off = chunkOff(chunk - 1)
-          while (within < spc && s < n) {
-            offsets(s) = off; off += sizes(s); s += 1; within += 1
+        chunk += 1
+      }
+      val total = math.min(s, n) // samples actually mapped to chunks
+      if (total <= 0) None
+      else Some(((0 until total).map(i => (dts(i), offsets(i), sizes(i))), timescale))
+    }
+    stblOpt.flatMap { case (stbl, stblEnd, ts) => resolve(stbl, stblEnd, ts) }
+  }
+
+  /** (dts, offset, size) from fragmented-MP4 movie fragments (moof/traf/
+    * trun, ISO 14496-12 §8.8): tfhd carries per-fragment defaults and the
+    * base-offset mode, tfdt the decode-time base, trun the per-sample
+    * size/duration arrays. Same bounds discipline as moovSamples — a
+    * truncated fragment contributes nothing rather than throwing. */
+  private def fragSamples(b: Array[Byte]): IndexedSeq[(Long, Long, Long)] = {
+    val out = IndexedSeq.newBuilder[(Long, Long, Long)]
+    var nextDts = 0L
+    for ((moof, moofEnd) <- findBoxes(b, "moof", 0, b.length)) {
+      for ((traf, trafEnd) <- findBoxes(b, "traf", moof + 8, moofEnd)) {
+        findBox(b, "tfhd", traf + 8, trafEnd).foreach { case (tfhd, tfhdEnd) =>
+          if (tfhd + 16 <= tfhdEnd) {
+            val tfFlags = be32(b, tfhd + 8) & 0xffffff
+            var p = tfhd + 16
+            // base-data-offset explicit (0x1) or default-base-is-moof
+            // (0x20000); either way fragment data addresses are
+            // moof-relative in the synthetic and common real layouts
+            var baseOff: Long = moof.toLong
+            if ((tfFlags & 0x1) != 0 && p + 8 <= tfhdEnd) {
+              baseOff = (be32(b, p).toLong << 32) | (be32(b, p + 4).toLong & 0xffffffffL); p += 8
+            }
+            if ((tfFlags & 0x2) != 0) p += 4 // sample_description_index
+            var defDur = 0L; var defSize = 0L
+            if ((tfFlags & 0x8) != 0 && p + 4 <= tfhdEnd) {
+              defDur = be32(b, p).toLong & 0xffffffffL; p += 4
+            }
+            if ((tfFlags & 0x10) != 0 && p + 4 <= tfhdEnd) {
+              defSize = be32(b, p).toLong & 0xffffffffL; p += 4
+            }
+            val baseTime = findBox(b, "tfdt", traf + 8, trafEnd).collect {
+              case (tfdt, tfdtEnd) if tfdt + 12 <= tfdtEnd =>
+                if (u8(b, tfdt + 8) == 1 && tfdt + 20 <= tfdtEnd)
+                  (be32(b, tfdt + 12).toLong << 32) | (be32(b, tfdt + 16).toLong & 0xffffffffL)
+                else be32(b, tfdt + 12).toLong & 0xffffffffL
+            }
+            var dts = baseTime.getOrElse(nextDts)
+            for ((trun, trunEnd) <- findBoxes(b, "trun", traf + 8, trafEnd)) {
+              if (trun + 16 <= trunEnd) {
+                val trFlags = be32(b, trun + 8) & 0xffffff
+                val cnt = be32(b, trun + 12)
+                var q = trun + 16
+                var off = baseOff
+                if ((trFlags & 0x1) != 0 && q + 4 <= trunEnd) { off = baseOff + be32(b, q); q += 4 }
+                if ((trFlags & 0x4) != 0) q += 4 // first_sample_flags
+                val perSample = (if ((trFlags & 0x100) != 0) 4 else 0) +
+                  (if ((trFlags & 0x200) != 0) 4 else 0) +
+                  (if ((trFlags & 0x400) != 0) 4 else 0) +
+                  (if ((trFlags & 0x800) != 0) 4 else 0)
+                // declared sample count vs the trun box end + sanity cap
+                if (cnt > 0 && cnt <= MaxSamples && q + perSample.toLong * cnt <= trunEnd) {
+                  var s = 0
+                  while (s < cnt) {
+                    var dur = defDur; var sz = defSize
+                    if ((trFlags & 0x100) != 0) { dur = be32(b, q).toLong & 0xffffffffL; q += 4 }
+                    if ((trFlags & 0x200) != 0) { sz = be32(b, q).toLong & 0xffffffffL; q += 4 }
+                    if ((trFlags & 0x400) != 0) q += 4 // sample_flags
+                    if ((trFlags & 0x800) != 0) q += 4 // cts offset
+                    out += ((dts, off, sz))
+                    off += sz; dts += dur; s += 1
+                  }
+                }
+                nextDts = dts
+              }
+            }
           }
-          chunk += 1
         }
-        val total = math.min(s, n) // samples actually mapped to chunks
-        val take = math.min(maxFrames, total)
-        (0 until take).map { i =>
-          val idx = (i.toLong * total / take).toInt
-          FrameRef(idx, if (timescale > 0) dts(idx) * 1000L / timescale else 0L,
-            offsets(idx), sizes(idx))
+      }
+    }
+    out.result()
+  }
+
+  /** Evenly-strided sample of ≤ maxFrames refs (first frame included). */
+  private def strideSample(samples: IndexedSeq[(Long, Long, Long)], timescale: Long,
+      maxFrames: Int): Seq[FrameRef] = {
+    val total = samples.length
+    val take = math.min(maxFrames, total)
+    (0 until take).map { i =>
+      val idx = (i.toLong * total / take).toInt
+      val (dts, off, sz) = samples(idx)
+      FrameRef(idx, if (timescale > 0) dts * 1000L / timescale else 0L, off, sz)
+    }
+  }
+
+  /** Frame-offset sampler over the MP4 sample tables: resolves up to
+    * `maxFrames` evenly-strided samples of the first trak with a complete
+    * stbl — or, for fragmented files (zero-entry moov tables), of the
+    * moof/trun fragment runs — to (timestamp, byte offset, size). This is
+    * the header-math half of distributed frame extraction — the expensive
+    * half (decode) reads only `n_bytes` at `offset`, so a 100 TB video
+    * corpus never ships whole files to the decode stage. */
+  private[operators] def frameSamples(b: Array[Byte], maxFrames: Int): Seq[FrameRef] = {
+    if (!isBmff(b) || maxFrames <= 0) return Seq.empty
+    moovSamples(b) match {
+      case Some((samples, timescale)) => strideSample(samples, timescale, maxFrames)
+      case None =>
+        val frags = fragSamples(b)
+        if (frags.isEmpty) Seq.empty
+        else {
+          // media timescale from any trak's mdhd (fragmented files keep
+          // the trak headers in moov even with empty sample tables)
+          val ts = (for {
+            (moov, moovEnd) <- findBox(b, "moov", 0, b.length)
+            (trak, trakEnd) <- findBoxes(b, "trak", moov + 8, moovEnd).headOption
+            (mdia, mdiaEnd) <- findBox(b, "mdia", trak + 8, trakEnd)
+            (mdhd, mdhdEnd) <- findBox(b, "mdhd", mdia + 8, mdiaEnd)
+          } yield mdhdTimescale(b, mdhd, mdhdEnd)).getOrElse(0L)
+          strideSample(frags, ts, maxFrames)
         }
     }
   }
+
+  /** Strip byte-ranges from a TIFF IFD0 — StripOffsets (273) /
+    * StripByteCounts (279) arrays, SHORT or LONG, inline when the value
+    * fits the 4-byte entry field and OFFSET-TYPED otherwise (the entry
+    * holds a file offset to the array, the normal multi-strip layout).
+    * The TIFF analogue of the MP4 sample tables for range-read decoding:
+    * a strip decodes independently, so a distributed stage reads only
+    * (offset, n_bytes) slices. */
+  private[operators] def tiffStrips(b: Array[Byte], maxStrips: Int): Seq[FrameRef] = {
+    if (b.length < 8 || maxStrips <= 0) return Seq.empty
+    val isLe = b(0) == 'I' && b(1) == 'I' && u8(b, 2) == 0x2a && u8(b, 3) == 0
+    val isBe = b(0) == 'M' && b(1) == 'M' && u8(b, 2) == 0 && u8(b, 3) == 0x2a
+    if (!isLe && !isBe) return Seq.empty
+    def r16(i: Int) = if (isLe) le16(b, i) else be16(b, i)
+    def r32(i: Int) = if (isLe) le32(b, i) else be32(b, i)
+    val ifd = r32(4)
+    if (ifd < 0 || ifd + 2 > b.length) return Seq.empty
+    // read a SHORT/LONG array entry value, inline or at-offset, with the
+    // same bounds discipline as the MP4 tables
+    def readArray(off: Int): Option[IndexedSeq[Long]] = {
+      val typ = r16(off + 2); val cnt = r32(off + 4)
+      val elemSize = typ match { case 3 => 2; case 4 => 4; case _ => return None }
+      if (cnt <= 0 || cnt > MaxSamples) return None
+      val total = elemSize.toLong * cnt
+      val base = if (total <= 4) off + 8 else r32(off + 8)
+      if (base < 0 || base + total > b.length) return None
+      Some((0 until cnt).map(k =>
+        if (typ == 3) r16(base + 2 * k).toLong else r32(base + 4 * k).toLong & 0xffffffffL))
+    }
+    val n = r16(ifd)
+    var offs: Option[IndexedSeq[Long]] = None
+    var cnts: Option[IndexedSeq[Long]] = None
+    var e = 0
+    while (e < n && ifd + 2 + 12 * (e + 1) <= b.length) {
+      val off = ifd + 2 + 12 * e
+      r16(off) match {
+        case 273 => offs = readArray(off)
+        case 279 => cnts = readArray(off)
+        case _   => ()
+      }
+      e += 1
+    }
+    (offs, cnts) match {
+      case (Some(o), Some(c)) if o.length == c.length && o.nonEmpty =>
+        val take = math.min(maxStrips, o.length)
+        (0 until take).map { i =>
+          val idx = (i.toLong * o.length / take).toInt
+          FrameRef(idx, 0L, o(idx), c(idx))
+        }.filter(f => f.offset >= 0 && f.offset + f.n_bytes <= b.length)
+      case _ => Seq.empty
+    }
+  }
+
+  /** Container-dispatching byte ranges: MP4-family sample tables (plain or
+    * fragmented) or TIFF strips — the one entry point a range-read decode
+    * stage needs. */
+  private[graft] def byteRanges(b: Array[Byte], maxFrames: Int): Seq[FrameRef] =
+    if (isBmff(b)) frameSamples(b, maxFrames) else tiffStrips(b, maxFrames)
 
   /** Deterministic ISO-BMFF fixture: a structurally-valid MP4 skeleton
     * (ftyp, moov/mvhd + one video trak with real stts/stsc/stsz/stco
@@ -375,6 +562,90 @@ object Multimodal {
     ftyp ++ moovOf(chunkOffsets) ++ box("mdat", mdatPayload)
   }
 
+  /** Deterministic FRAGMENTED ISO-BMFF fixture: moov with zero-entry
+    * sample tables (the fMP4 signature), then two moof+mdat fragments
+    * whose trun carries per-sample sizes (tfhd holds the default duration
+    * and the default-base-is-moof flag, tfdt the decode-time base).
+    * Exercises the moof/trun path of frameSamples end to end. */
+  private[graft] def syntheticFragMp4(id: Long): Array[Byte] = {
+    def be32a(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def box(name: String, payload: Array[Byte]): Array[Byte] =
+      be32a(8 + payload.length) ++ name.getBytes("US-ASCII") ++ payload
+    val timescale = 600
+    val delta = 80 + (id % 4).toInt * 20
+    val framesPerFrag = 3 + (id % 3).toInt // 3..5 per fragment, 2 fragments
+    def sizesOf(frag: Int) =
+      Array.tabulate(framesPerFrag)(k => 40 + ((id + frag * 10 + k) % 7).toInt * 10)
+    // moov: real trak/mdhd but EMPTY stts/stsc/stsz/stco (entry count 0)
+    val mvhd = box("mvhd", Array.fill(4)(0.toByte) ++ be32a(0) ++ be32a(0) ++
+      be32a(timescale) ++ be32a(0) ++ Array.fill(76)(0.toByte))
+    val mdhd = box("mdhd", Array.fill(4)(0.toByte) ++ be32a(0) ++ be32a(0) ++
+      be32a(timescale) ++ be32a(0) ++ Array.fill(4)(0.toByte))
+    val hdlr = box("hdlr", Array.fill(4)(0.toByte) ++ be32a(0) ++
+      "vide".getBytes("US-ASCII") ++ Array.fill(13)(0.toByte))
+    val empt = Seq("stts", "stsc", "stco").map(n =>
+      box(n, Array.fill(4)(0.toByte) ++ be32a(0)))
+    val stsz0 = box("stsz", Array.fill(4)(0.toByte) ++ be32a(0) ++ be32a(0))
+    val stbl = box("stbl", empt(0) ++ empt(1) ++ stsz0 ++ empt(2))
+    val moov = box("moov", mvhd ++ box("trak", box("mdia",
+      mdhd ++ hdlr ++ box("minf", stbl))))
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32a(0))
+    def fragment(frag: Int, baseTime: Int): Array[Byte] = {
+      val sizes = sizesOf(frag)
+      // tfhd: default-base-is-moof (0x20000) + default-sample-duration (0x8)
+      val tfhd = box("tfhd", be32a(0x020008) ++ be32a(1) ++ be32a(delta))
+      val tfdt = box("tfdt", be32a(0) ++ be32a(baseTime))
+      // trun: data-offset (0x1) + sample-size (0x200); data offset is
+      // moof-relative and known only after sizing — two-pass like moov
+      def trunOf(dataOff: Int) = box("trun", be32a(0x000201) ++
+        be32a(framesPerFrag) ++ be32a(dataOff) ++ sizes.flatMap(be32a))
+      val moofLen = box("moof", box("mfhd", be32a(0) ++ be32a(frag + 1)) ++
+        box("traf", tfhd ++ tfdt ++ trunOf(0))).length
+      val moof = box("moof", box("mfhd", be32a(0) ++ be32a(frag + 1)) ++
+        box("traf", tfhd ++ tfdt ++ trunOf(moofLen + 8)))
+      val payload = Array.tabulate(sizes.sum)(i => ((id + frag * 7 + i) % 251).toByte)
+      moof ++ box("mdat", payload)
+    }
+    ftyp ++ moov ++ fragment(0, 0) ++ fragment(1, framesPerFrag * delta)
+  }
+
+  /** Deterministic multi-strip TIFF fixture (little-endian): IFD0 with
+    * dims, RowsPerStrip, and OFFSET-TYPED StripOffsets/StripByteCounts
+    * LONG arrays (count > 1 ⇒ the entry's value field is a file offset to
+    * the array — the out-of-line layout tiffStrips must follow). */
+  private[graft] def syntheticTiff(id: Long): Array[Byte] = {
+    def le16a(v: Int) = Array(v.toByte, (v >> 8).toByte)
+    def le32a(v: Int) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    val nStrips = 3 + (id % 4).toInt // ≥3 → arrays never fit inline
+    val stripSizes = Array.tabulate(nStrips)(k => 40 + ((id + k) % 5).toInt * 8)
+    val nEntries = 5
+    val ifdStart = 8
+    val ifdLen = 2 + 12 * nEntries + 4
+    val offArrayAt = ifdStart + ifdLen
+    val cntArrayAt = offArrayAt + 4 * nStrips
+    val dataAt = cntArrayAt + 4 * nStrips
+    val stripOffsets = stripSizes.scanLeft(dataAt)(_ + _).init
+    def entry(tag: Int, typ: Int, cnt: Int, value: Int) =
+      le16a(tag) ++ le16a(typ) ++ le32a(cnt) ++ le32a(value)
+    val ifd = le16a(nEntries) ++
+      entry(256, 4, 1, 64 + (id % 8).toInt * 16) ++        // ImageWidth
+      entry(257, 4, 1, 48 + (id % 6).toInt * 16) ++        // ImageLength
+      entry(273, 4, nStrips, offArrayAt) ++                // StripOffsets → offset-typed
+      entry(278, 4, 1, 16) ++                              // RowsPerStrip
+      entry(279, 4, nStrips, cntArrayAt) ++                // StripByteCounts → offset-typed
+      le32a(0)                                             // next IFD
+    val header = "II".getBytes("US-ASCII") ++ Array(0x2a.toByte, 0.toByte) ++ le32a(ifdStart)
+    val data = Array.tabulate(stripSizes.sum)(i => ((id * 3 + i) % 251).toByte)
+    header ++ ifd ++ stripOffsets.flatMap(le32a) ++ stripSizes.flatMap(le32a) ++ data
+  }
+
+  /** CRC32 of `len` bytes at `off` — the integrity stamp of a range read. */
+  private def crc32(b: Array[Byte], off: Int, len: Int): Long = {
+    val c = new java.util.zip.CRC32()
+    c.update(b, off, len)
+    c.getValue
+  }
+
   /** Exact byte statistics: mean byte value and Shannon entropy (bits) of
     * the byte histogram. */
   private[operators] def byteStats(bytes: Array[Byte]): (Double, Double) = {
@@ -427,6 +698,35 @@ object Multimodal {
       .orderBy("asset_id", "frame_idx")
   }
 
+  /** The synthetic media corpus for the frame queries: plain MP4s,
+    * fragmented MP4s, and multi-strip TIFFs — every container family the
+    * range parser understands, all deterministic functions of asset_id. */
+  private def frameCorpus: Seq[(Long, Array[Byte])] =
+    (0L until 25L).map(id => (id, syntheticMp4(id))) ++
+      (25L until 35L).map(id => (id, syntheticFragMp4(id))) ++
+      (35L until 45L).map(id => (id, syntheticTiff(id)))
+
+  /** Range-read frame extraction — the consumer of the byte ranges
+    * frameIndex computes: slice `content` at each (offset, n_bytes),
+    * verify the slice stays in bounds, and stamp it with CRC32. At scale
+    * the slice feeds the decode stage directly; the whole file is never
+    * shipped past this operator. Spec-gated: ExtensionsSpec asserts the
+    * per-frame checksums equal a whole-file-layout recomputation (DuckDB
+    * cannot parse BMFF/TIFF, so there is no SQL oracle). */
+  def frameBytes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.createDataset(frameCorpus)
+      .flatMap { case (id, bytes) =>
+        byteRanges(bytes, 8).map { f =>
+          val ok = f.offset >= 0 && f.n_bytes > 0 && f.offset + f.n_bytes <= bytes.length
+          (id, f.frame_idx, f.n_bytes,
+            if (ok) crc32(bytes, f.offset.toInt, f.n_bytes.toInt) else -1L, ok)
+        }
+      }
+      .toDF("asset_id", "frame_idx", "n_bytes", "crc32", "in_bounds")
+      .orderBy("asset_id", "frame_idx")
+  }
+
   /** Oracle-able metadata projection (no decode). */
   def meta(spark: SparkSession, dir: String): DataFrame =
     binaryAssets(spark, dir).toDF()
@@ -446,6 +746,7 @@ object Multimodal {
         .withColumn("byte_entropy", round(col("byte_entropy"), 4))
         .orderBy("doc_id")),
     "mm_frames" -> frameIndex _, // spec-gated: DuckDB cannot parse BMFF
+    "mm_frame_bytes" -> frameBytes _, // spec-gated: range-read consumer
   )
 
   val oracleSql: Map[String, String] = Map(

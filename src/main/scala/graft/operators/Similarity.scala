@@ -78,6 +78,23 @@ object Similarity {
     math.max(LshBits, math.min(20, raw))
   }
 
+  /** Table-count scaling — the recall-side companion of lshBitsFor: at
+    * constant occupancy the per-table collision probability for a true
+    * neighbor decays as p₁^bits (p₁ = 1 − θ/π ≈ 2/3 at this corpus's
+    * θ≈60° neighbor geometry), so every bucket bit lshBitsFor adds costs
+    * ×p₁ recall per table; holding recall needs tables ×(1/p₁) = ×1.5
+    * per added bit. The 10× evidence run measured the gap directly:
+    * 8 tables at 9 bits gave top-k recall 0.583 — silently poor at
+    * exactly the scale the occupancy fix targets. Floor LshTables keeps
+    * every oracle-SF plan byte-identical; cap 32 bounds index size and
+    * probe fan-out (the n^0.585 table growth this law implies is the
+    * published hyperplane-LSH tradeoff — past ~10⁵ vectors IVF-PQ is the
+    * production ANN family and the cap documents that boundary). */
+  def lshTablesFor(n: Long): Int = {
+    val extraBits = lshBitsFor(n) - LshBits
+    math.min(32, math.ceil(LshTables * math.pow(1.5, extraBits.toDouble)).toInt)
+  }
+
   /** Deterministic pseudo-random hyperplane component for (table, plane, dim):
     * first 4 md5 bytes as a signed int scaled to [-1, 1]. Seeded hashing
     * instead of RNG state keeps every run (and every executor) identical. */
@@ -91,11 +108,19 @@ object Similarity {
 
   /** Bucket id columns: for each table, the bitstring of hyperplane signs.
     * Package-visible so Dedup's bucketed near-dup pair path reuses the
-    * same tables. nBits ≤ 0 → size from the corpus row count
-    * (lshBitsFor — one cheap count over the id column). */
-  private[graft] def withBuckets(df: DataFrame, nBits: Int = 0): DataFrame = {
-    val bits0 = if (nBits > 0) nBits else lshBitsFor(df.count())
-    val bucketCols = (0 until LshTables).map { t =>
+    * same tables. nBits/nTables ≤ 0 → size from the corpus row count
+    * (lshBitsFor/lshTablesFor — at most ONE cheap count over the id
+    * column, shared by both; pass both explicitly for streaming frames,
+    * which cannot be counted). */
+  private[graft] def withBuckets(df: DataFrame, nBits: Int = 0, nTables: Int = 0): DataFrame = {
+    val (bits0, tables0) =
+      if (nBits > 0 && nTables > 0) (nBits, nTables)
+      else {
+        val n = df.count()
+        (if (nBits > 0) nBits else lshBitsFor(n),
+          if (nTables > 0) nTables else lshTablesFor(n))
+      }
+    val bucketCols = (0 until tables0).map { t =>
       val bits = (0 until bits0).map { p =>
         val plane = hyperplane(t, p)
         val planeCol = array(plane.toIndexedSeq.map(lit): _*)
@@ -146,34 +171,65 @@ object Similarity {
     * (the vectors stay in the corpus and join back by id at rescoring
     * time, so the index is ~20 bytes/vector/table, not a corpus copy).
     * Built once per corpus and reusable across queries / persistable to
-    * parquet, like IvfIndex. nBits is baked in: the probe expansion must
-    * use the width the buckets were hashed with. */
-  final case class LshIndex(nBits: Int, buckets: DataFrame)
+    * parquet, like IvfIndex. nBits/nTables are baked in: the probe
+    * expansion must use the width the buckets were hashed with, and
+    * appends must hash into the same table family. */
+  final case class LshIndex(nBits: Int, nTables: Int, buckets: DataFrame)
 
   def buildLshIndex(spark: SparkSession, dir: String): LshIndex = {
     val raw = emb(spark, dir)
-    val nBits = lshBitsFor(raw.count())
+    val n = raw.count()
+    val nBits = lshBitsFor(n)
+    val nTables = lshTablesFor(n)
     val b = PersistSlots.cached(spark, s"lsh-index:$dir")(
-      withBuckets(raw, nBits).select(col("vec_id"), col("tbl"), col("bucket")))
-    LshIndex(nBits, b)
+      withBuckets(raw, nBits, nTables).select(col("vec_id"), col("tbl"), col("bucket")))
+    LshIndex(nBits, nTables, b)
   }
 
   /** Persist the index: bucket rows as tbl-partitioned parquet plus a
     * one-row meta table carrying the hash width — a cold query session
-    * loads the artifact instead of re-hashing the corpus. */
+    * loads the artifact instead of re-hashing the corpus. Versioned like
+    * the PQ codes artifact (see the manifest-commit block below). */
   def saveLshIndex(idx: LshIndex, path: String): Unit = {
-    idx.buckets.write.mode("overwrite").partitionBy("tbl").parquet(s"$path/buckets")
+    idx.buckets.write.mode("overwrite").partitionBy("tbl").parquet(s"$path/buckets_v0")
     val spark = idx.buckets.sparkSession
+    commitDataManifest(spark, path, "buckets", "buckets_v0")
     import spark.implicits._
-    Seq(idx.nBits).toDF("n_bits")
+    Seq((idx.nBits, idx.nTables)).toDF("n_bits", "n_tables")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
   def loadLshIndex(spark: SparkSession, path: String): LshIndex = {
-    val nBits = spark.read.parquet(s"$path/meta").head().getInt(0)
-    LshIndex(nBits, spark.read.parquet(s"$path/buckets")
+    val meta = spark.read.parquet(s"$path/meta")
+    val row = meta.head()
+    val nBits = row.getInt(row.fieldIndex("n_bits"))
+    val nTables = // legacy artifacts predate the table-count column
+      if (meta.columns.contains("n_tables")) row.getInt(row.fieldIndex("n_tables"))
+      else LshTables
+    LshIndex(nBits, nTables, spark.read.parquet(dataLocation(spark, path, "buckets"))
       .select(col("vec_id"), col("tbl"), col("bucket")))
   }
+
+  /** Hash NEW vectors into bucket rows with the index's own bit width —
+    * append-without-refit for the LSH artifact: the hyperplane family is
+    * deterministic and the width is pinned by `meta`, so appended rows
+    * are byte-identical to what a full rebuild would produce. */
+  def bucketsForAppend(spark: SparkSession, vecs: DataFrame, idx: LshIndex): DataFrame =
+    withBuckets(
+      vecs.select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v")),
+      idx.nBits, idx.nTables)
+      .select(col("vec_id"), col("tbl"), col("bucket"))
+
+  /** Append bucket rows (bucketsForAppend output) to a persisted LSH
+    * index — new tbl-partitioned files beside the existing ones. */
+  def appendToLshIndex(path: String, newBuckets: DataFrame): Unit =
+    newBuckets.select(col("vec_id"), col("tbl"), col("bucket"))
+      .write.mode("append").partitionBy("tbl")
+      .parquet(dataLocation(newBuckets.sparkSession, path, "buckets"))
+
+  /** Compact an appended-to buckets artifact (see compactPqIndex). */
+  def compactLshIndex(spark: SparkSession, path: String): Unit =
+    compactData(spark, path, "buckets", "tbl", Seq("vec_id", "tbl", "bucket"))
 
   /** ANN top-k via sign-random-projection LSH with multi-probe: corpus
     * vectors hash to one bucket per table; each QUERY probes its own
@@ -258,10 +314,12 @@ object Similarity {
   }
 
   /** Persist the index: assignments as cell-partitioned parquet (cell
-    * pruning at query time), centroids as a tiny parquet table. */
+    * pruning at query time), centroids as a tiny parquet table. Versioned
+    * like the PQ codes artifact (see the manifest-commit block below). */
   def saveIvfIndex(idx: IvfIndex, path: String): Unit = {
-    idx.assignments.write.mode("overwrite").partitionBy("cell").parquet(s"$path/assignments")
+    idx.assignments.write.mode("overwrite").partitionBy("cell").parquet(s"$path/assignments_v0")
     val spark = idx.assignments.sparkSession
+    commitDataManifest(spark, path, "assignments", "assignments_v0")
     import spark.implicits._
     idx.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "centroid")
@@ -272,9 +330,30 @@ object Similarity {
     val cents = spark.read.parquet(s"$path/centroids")
       .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1).map(_._2)
-    IvfIndex(cents, spark.read.parquet(s"$path/assignments")
+    IvfIndex(cents, spark.read.parquet(dataLocation(spark, path, "assignments"))
       .select(col("vec_id"), col("v"), col("cell")))
   }
+
+  /** Assign NEW vectors to their nearest existing cell — append-without-
+    * refit for the IVF artifact: the centroids are frozen (broadcast),
+    * so appended assignments are identical to what a rebuild against the
+    * same quantizer would produce. */
+  def assignForAppend(spark: SparkSession, vecs: DataFrame, idx: IvfIndex): DataFrame = {
+    val cellUdf = cellProbeUdf(spark, idx.centroids, 1)
+    vecs.select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .select(col("vec_id"), col("v"), element_at(cellUdf(col("v")), 1).as("cell"))
+  }
+
+  /** Append assignment rows (assignForAppend output) to a persisted IVF
+    * index — new cell-partitioned files beside the existing ones. */
+  def appendToIvfIndex(path: String, newAssignments: DataFrame): Unit =
+    newAssignments.select(col("vec_id"), col("v"), col("cell"))
+      .write.mode("append").partitionBy("cell")
+      .parquet(dataLocation(newAssignments.sparkSession, path, "assignments"))
+
+  /** Compact an appended-to assignments artifact (see compactPqIndex). */
+  def compactIvfIndex(spark: SparkSession, path: String): Unit =
+    compactData(spark, path, "assignments", "cell", Seq("vec_id", "v", "cell"))
 
   // per-process index reuse: queries and benches hitting the same corpus
   // share one fitted quantizer instead of re-fitting per invocation.
@@ -380,6 +459,19 @@ object Similarity {
     best
   }
 
+  /** Supers to probe: enough that the member-cell POOL covers ~2× the
+    * cells the flat probe selects, so the CELL-level ranking — not the
+    * super-cell boundary — decides the final probe set. Assuming balanced
+    * supers (k/k2 member cells each), s = ceil(2·nProbe·k2/k). The fixed
+    * 6/16-of-supers default was the scale trap the 10× evidence run
+    * measured (recall 0.917 flat → 0.767 ivf2): at 10× the pool barely
+    * exceeded nProbe, so "cells of the nearest supers" silently replaced
+    * "nearest cells" — exactly the miss mode that grows with the corpus.
+    * k and k2 both follow √-scaling (√N cells, √k supers), so the
+    * covered-super FRACTION this yields is scale-stable. */
+  def defaultNSupers(k: Int, k2: Int, nProbe: Int): Int =
+    math.min(k2, math.max(1, math.ceil(2.0 * nProbe * k2 / math.max(1, k).toDouble).toInt))
+
   def buildHierarchy(centroids: Array[Array[Double]], k2: Int = 0): IvfHierarchy = {
     val k = centroids.length
     val kk = math.min(k, if (k2 > 0) k2 else math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt))
@@ -440,9 +532,9 @@ object Similarity {
         buildIvfIndex(spark, dir, nClusters)))
     val hier = buildHierarchy(idx.centroids)
     val k2 = hier.superCentroids.length
-    val nSupers = math.max(1, math.ceil(k2 * (if (deepProbes) 12.0 else 6.0) / 16).toInt)
     val nProbeEff = math.max(1,
       math.ceil(idx.centroids.length * (if (deepProbes) 12.0 else 6.0) / 16).toInt)
+    val nSupers = defaultNSupers(idx.centroids.length, k2, nProbeEff)
     val probeUdf = hierProbeUdf(spark, idx.centroids, hier, nSupers, nProbeEff)
     val assigned = idx.assignments
     val q = assigned.filter(col("vec_id") < QuerySetSize)
@@ -688,11 +780,108 @@ object Similarity {
       pqEncodeUdf(spark, pq.codebook)(encodee).as("code"))
   }
 
+  // --- versioned data directories + manifest commit ----------------------
+  // A mutable index artifact (`codes` for PQ, `assignments` for IVF,
+  // `buckets` for LSH) is never rewritten in place: each compaction writes
+  // a NEW `<name>_v<N>` directory and commits it by atomically replacing
+  // the one-line `<name>_manifest` file. A reader resolves the manifest at
+  // load time and keeps reading its pinned version dir; the previous
+  // version survives until the NEXT compaction (one-version grace), so a
+  // DataFrame loaded before a compaction stays readable through it.
+  // Recovery is explicit: a missing or torn manifest falls back to the
+  // highest _SUCCESS-complete versioned dir, then the legacy unversioned
+  // layout.
+
+  private def fsFor(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def readDataManifest(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, name: String): Option[String] = {
+    val mf = new org.apache.hadoop.fs.Path(s"$path/${name}_manifest")
+    if (!fs.exists(mf)) None
+    else {
+      val in = fs.open(mf)
+      try {
+        val line = scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        if (line.nonEmpty) Some(line) else None
+      } finally in.close()
+    }
+  }
+
+  /** Resolve the live `name` directory NAME under `path` (manifest first,
+    * then crash recovery: highest complete versioned dir, then legacy). */
+  private def currentDataDir(spark: SparkSession, path: String, name: String): String = {
+    val fs = fsFor(spark, path)
+    def complete(d: String) =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$path/$d/_SUCCESS"))
+    readDataManifest(fs, path, name)
+      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(s"$path/$d")))
+      .orElse {
+        val root = new org.apache.hadoop.fs.Path(path)
+        val versions =
+          if (fs.exists(root))
+            fs.listStatus(root).toSeq.map(_.getPath.getName)
+              .filter(n => n.matches(java.util.regex.Pattern.quote(name) + "_v\\d+") && complete(n))
+          else Seq.empty
+        if (versions.nonEmpty) Some(versions.maxBy(_.drop(name.length + 2).toInt))
+        else None
+      }
+      .getOrElse(name)
+  }
+
+  /** The resolved live data path for an index artifact — exposed for
+    * operational tooling and the compaction specs. */
+  def dataLocation(spark: SparkSession, path: String, name: String): String =
+    s"$path/${currentDataDir(spark, path, name)}"
+
+  /** Atomically point the manifest at `dirName`: write a temp file, then
+    * delete+rename (file rename is atomic on posix/HDFS; the tiny window
+    * between delete and rename is covered by the recovery path above). */
+  private def commitDataManifest(spark: SparkSession, path: String,
+      name: String, dirName: String): Unit = {
+    val fs = fsFor(spark, path)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/${name}_manifest.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(dirName.getBytes("UTF-8")) finally out.close()
+    val mf = new org.apache.hadoop.fs.Path(s"$path/${name}_manifest")
+    if (fs.exists(mf)) fs.delete(mf, false)
+    fs.rename(tmp, mf)
+  }
+
+  /** Shared compaction: read the live version of `name`, one-file-per-
+    * partition-value rewrite into `<name>_v<N+1>`, manifest flip, retire
+    * everything but the previous version (grace) and the new one. */
+  private def compactData(spark: SparkSession, path: String, name: String,
+      partCol: String, cols: Seq[String]): Unit = {
+    val fs = fsFor(spark, path)
+    val cur = currentDataDir(spark, path, name)
+    val curV = if (cur == name) 0 else cur.drop(name.length + 2).toInt
+    val next = s"${name}_v${curV + 1}"
+    spark.read.parquet(s"$path/$cur")
+      .select(cols.map(col): _*)
+      .repartition(col(partCol))
+      .sortWithinPartitions("vec_id")
+      .write.mode("overwrite").partitionBy(partCol).parquet(s"$path/$next")
+    commitDataManifest(spark, path, name, next)
+    val keep = Set(cur, next)
+    fs.listStatus(new org.apache.hadoop.fs.Path(path)).foreach { st =>
+      val nm = st.getPath.getName
+      if ((nm == name || nm.matches(java.util.regex.Pattern.quote(name) + "_v\\d+")) && !keep(nm))
+        fs.delete(st.getPath, true)
+    }
+  }
+
+  /** The resolved codes data path (PQ artifact). */
+  def pqCodesLocation(spark: SparkSession, path: String): String =
+    dataLocation(spark, path, "codes")
+
   /** Persist the PQ index: codes as cell-partitioned parquet (the 8-byte
     * rows are the ONLY per-vector state a query-serving cluster needs in
     * memory), codebook as a tiny parquet table. */
   def savePqIndex(idx: PqIndex, path: String): Unit = {
-    idx.codes.write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    idx.codes.write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes_v0")
+    commitDataManifest(idx.codes.sparkSession, path, "codes", "codes_v0")
     val spark = idx.codes.sparkSession
     import spark.implicits._
     val cb = idx.codebook
@@ -721,43 +910,36 @@ object Similarity {
     val cents = rows.filter(_._1 >= 0).groupBy(_._1).toArray.sortBy(_._1)
       .map { case (_, ks) => ks.sortBy(_._2).map(_._5) }
     PqIndex(PqCodebook(dsub, cents, residual, rotation),
-      spark.read.parquet(s"$path/codes").select(col("vec_id"), col("cell"), col("code")))
+      spark.read.parquet(pqCodesLocation(spark, path))
+        .select(col("vec_id"), col("cell"), col("code")))
   }
 
   /** Append freshly-encoded rows (encodeForAppend output) to a PERSISTED
     * PQ index: new cell-partitioned parquet files land beside the
-    * existing ones — no re-fit, no rewrite of existing data. The cost of
-    * this freedom is file proliferation (each append adds ≥1 file per
-    * touched cell), which `compactPqIndex` periodically repays. */
+    * existing ones in the LIVE version dir — no re-fit, no rewrite of
+    * existing data. The cost of this freedom is file proliferation (each
+    * append adds ≥1 file per touched cell), which `compactPqIndex`
+    * periodically repays. */
   def appendToPqIndex(path: String, newCodes: DataFrame): Unit =
     newCodes.select(col("vec_id"), col("cell"), col("code"))
-      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+      .write.mode("append").partitionBy("cell")
+      .parquet(pqCodesLocation(newCodes.sparkSession, path))
 
   /** Compact an appended-to codes artifact back to one file per cell:
-    * read everything, hash-repartition ON the cell column (each cell
-    * lands in exactly one task, so partitionBy emits exactly one file
-    * per cell), write to a sibling dir, and atomically swap. The swap is
-    * two renames — readers holding the old DataFrame keep their snapshot;
-    * new loads see the compacted layout. This is the maintenance story
-    * for a 100 TB serving index: appends stay cheap between compactions,
-    * and compaction cost is one shuffle of the (24-byte) code rows, never
-    * the corpus vectors. */
-  def compactPqIndex(spark: SparkSession, path: String): Unit = {
-    val codesPath = s"$path/codes"
-    val tmpPath = s"$path/codes_compacting"
-    spark.read.parquet(codesPath)
-      .select(col("vec_id"), col("cell"), col("code"))
-      .repartition(col("cell"))
-      .sortWithinPartitions("vec_id")
-      .write.mode("overwrite").partitionBy("cell").parquet(tmpPath)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new org.apache.hadoop.fs.Path(codesPath).getFileSystem(conf)
-    val old = new org.apache.hadoop.fs.Path(s"$path/codes_old")
-    if (fs.exists(old)) fs.delete(old, true)
-    fs.rename(new org.apache.hadoop.fs.Path(codesPath), old)
-    fs.rename(new org.apache.hadoop.fs.Path(tmpPath), new org.apache.hadoop.fs.Path(codesPath))
-    fs.delete(old, true)
-  }
+    * read the live version, hash-repartition ON the cell column (each
+    * cell lands in exactly one task, so partitionBy emits exactly one
+    * file per cell), write a NEW `codes_v<N+1>` dir, and commit it with
+    * an atomic manifest flip. The superseded version is retained for one
+    * compaction cycle (readers that loaded before the flip keep a live
+    * directory to finish their lazy parquet reads from); anything older
+    * is retired here. A crash at any point leaves either the old
+    * manifest (new dir is an orphan the next compaction retires) or a
+    * recoverable state the load path resolves. This is the maintenance
+    * story for a 100 TB serving index: appends stay cheap between
+    * compactions, and compaction cost is one shuffle of the (24-byte)
+    * code rows, never the corpus vectors. */
+  def compactPqIndex(spark: SparkSession, path: String): Unit =
+    compactData(spark, path, "codes", "cell", Seq("vec_id", "cell", "code"))
 
   private val pqCache =
     scala.collection.concurrent.TrieMap.empty[(String, String, String), PqIndex]

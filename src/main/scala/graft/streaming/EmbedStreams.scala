@@ -43,7 +43,9 @@ object EmbedStreams {
   def bucketKeys(vecs: DataFrame, nBits: Int): DataFrame = {
     val v = vecs.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
-    val b = Similarity.withBuckets(v, nBits)
+    // both width AND table count passed explicitly: a streaming frame
+    // cannot be counted for the corpus-derived defaults
+    val b = Similarity.withBuckets(v, nBits, Similarity.LshTables)
     val home = b.select(col("vec_id"), col("v"),
       concat_ws(":", col("tbl"), col("bucket")).as("key"), lit(true).as("home"))
     // probeBuckets' head is the bucket itself — the flips are the tail

@@ -120,6 +120,14 @@ class MlSpec extends SparkSpec {
     assert(stats.getDouble(1) < 0.06, s"rmse ${stats.getDouble(1)}") // golden: 0.0215
   }
 
+  test("ml_golden_gate: exported parity parquet yields a passing gate row") {
+    DielectricModel.exportGoldenParity(spark)
+    val row = DielectricModel.queries("ml_golden_gate")(spark, "").head()
+    assert(row.getLong(0) == 1266, s"join covered ${row.getLong(0)} of 1266 goldens")
+    assert(row.getBoolean(1), "corr gate failed")
+    assert(row.getBoolean(2), "rmse gate failed")
+  }
+
   test("ion_comp model: quality gates vs golden predictions and error ordering") {
     val model = DielectricModel.train(spark, DielectricModel.Ionic,
       numTrees = 120, maxDepth = 12)

@@ -299,17 +299,78 @@ class ExtensionsSpec extends SparkSpec {
     val expected = rowSet(pq.codes) ++ rowSet(appended)
     val afterAppend = rowSet(Similarity.loadPqIndex(spark, dir).codes)
     assert(afterAppend == expected, "append lost or altered rows")
+    // a reader loaded BEFORE the compaction must stay readable after it
+    // (its version dir gets one compaction cycle of grace)
+    val preCompact = Similarity.loadPqIndex(spark, dir)
     Similarity.compactPqIndex(spark, dir)
     val afterCompact = Similarity.loadPqIndex(spark, dir)
     assert(rowSet(afterCompact.codes) == expected, "compaction lost or altered rows")
+    assert(rowSet(preCompact.codes) == expected, "pre-compaction reader broke mid-swap")
+    // the manifest points new loads at the compacted version dir
+    val live = Similarity.pqCodesLocation(spark, dir)
+    assert(live.endsWith("codes_v1"), s"manifest should commit codes_v1, got $live")
+    assert(new java.io.File(s"$dir/codes_v0").exists(), "previous version must survive one cycle")
     // one data file per cell directory after compaction
-    val cellDirs = new java.io.File(s"$dir/codes").listFiles()
+    val cellDirs = new java.io.File(live).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("cell="))
     assert(cellDirs.nonEmpty)
     cellDirs.foreach { d =>
       val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
       assert(files.length == 1, s"${d.getName} has ${files.length} files after compaction")
     }
+    // second compaction retires the v0 grace copy
+    Similarity.compactPqIndex(spark, dir)
+    assert(!new java.io.File(s"$dir/codes_v0").exists(), "older versions must be retired")
+    assert(rowSet(Similarity.loadPqIndex(spark, dir).codes) == expected)
+    // crash recovery: a torn/missing manifest resolves to the highest
+    // complete version dir
+    assert(new java.io.File(s"$dir/codes_manifest").delete())
+    assert(Similarity.pqCodesLocation(spark, dir).endsWith("codes_v2"))
+    assert(rowSet(Similarity.loadPqIndex(spark, dir).codes) == expected)
+  }
+
+  test("ann: IVF and LSH artifacts append without refit and compact atomically") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    // --- IVF: frozen-centroid assignment parity (append ≡ rebuild
+    // against the same quantizer), then append + compact lifecycle
+    val ivfDir = java.nio.file.Files.createTempDirectory("ivfmaint").toString
+    val ivf = Similarity.buildIvfIndex(spark, sf)
+    Similarity.saveIvfIndex(ivf, ivfDir)
+    val own = ivf.assignments.select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val reassigned = Similarity.assignForAppend(spark, emb, ivf)
+      .select("vec_id", "cell").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(reassigned == own, "frozen-centroid assignment must equal the fitted assignments")
+    val newVecs = emb.filter(col("vec_id") < 40)
+      .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding"))
+    val newAssigned = Similarity.assignForAppend(spark, newVecs, ivf)
+    val newRows = newAssigned.select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    Similarity.appendToIvfIndex(ivfDir, newAssigned)
+    def ivfRows() = Similarity.loadIvfIndex(spark, ivfDir).assignments
+      .select("vec_id", "cell").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(ivfRows() == own ++ newRows, "IVF append lost or altered rows")
+    Similarity.compactIvfIndex(spark, ivfDir)
+    assert(ivfRows() == own ++ newRows, "IVF compaction lost or altered rows")
+    assert(Similarity.dataLocation(spark, ivfDir, "assignments").endsWith("assignments_v1"))
+    // --- LSH: deterministic-hyperplane parity, then append + compact
+    val lshDir = java.nio.file.Files.createTempDirectory("lshmaint").toString
+    val lsh = Similarity.buildLshIndex(spark, sf)
+    Similarity.saveLshIndex(lsh, lshDir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "tbl", "bucket").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val ownB = rows(lsh.buckets)
+    assert(rows(Similarity.bucketsForAppend(spark, emb, lsh)) == ownB,
+      "re-hashing the corpus at the pinned width must reproduce the index exactly")
+    val newBuckets = Similarity.bucketsForAppend(spark, newVecs, lsh)
+    val newB = rows(newBuckets)
+    Similarity.appendToLshIndex(lshDir, newBuckets)
+    def lshRows() = rows(Similarity.loadLshIndex(spark, lshDir).buckets)
+    assert(lshRows() == ownB ++ newB, "LSH append lost or altered rows")
+    Similarity.compactLshIndex(spark, lshDir)
+    assert(lshRows() == ownB ++ newB, "LSH compaction lost or altered rows")
+    assert(Similarity.dataLocation(spark, lshDir, "buckets").endsWith("buckets_v1"))
   }
 
   test("sampling: bernoulli gate is deterministic and near the nominal rate") {
@@ -598,6 +659,131 @@ class ExtensionsSpec extends SparkSpec {
     assert(f7.map(_.frame_idx) == Seq(0, 1, 2, 4, 5))
     // non-BMFF input yields nothing
     assert(Multimodal.frameSamples("not a video".getBytes, 8).isEmpty)
+  }
+
+  test("multimodal: fragmented-MP4 sampler resolves moof/trun runs to byte ranges") {
+    // id=25: 4 frames/fragment x 2 fragments, delta=100, timescale 600
+    val id = 25L
+    val b = Multimodal.syntheticFragMp4(id)
+    val frames = Multimodal.frameSamples(b, 8)
+    assert(frames.size == 8)
+    assert(frames.map(_.frame_idx) == (0 until 8))
+    // sizes: frag0 k=0..3 -> (25+k)%7*10+40; frag1 -> (35+k)%7*10+40
+    assert(frames.map(_.n_bytes) == Seq(80L, 90L, 100L, 40L, 40L, 50L, 60L, 70L))
+    // dts: frag0 from 0 by 100; frag1 tfdt base 400 -> ms via timescale 600
+    assert(frames.map(_.ts_ms) == Seq(0L, 166L, 333L, 500L, 666L, 833L, 1000L, 1166L))
+    // offsets are consecutive within a fragment and in-bounds; payload
+    // bytes follow the generator rule (id + frag*7 + i) % 251
+    assert(frames(1).offset == frames(0).offset + 80)
+    assert(frames(5).offset == frames(4).offset + 40)
+    frames.foreach(f => assert(f.offset + f.n_bytes <= b.length))
+    for ((f, k) <- frames.zipWithIndex) {
+      val frag = k / 4
+      val fragStart = frames(frag * 4).offset
+      val within = (f.offset - fragStart).toInt
+      (0 until f.n_bytes.toInt).foreach { j =>
+        assert(b((f.offset + j).toInt) == ((id + frag * 7 + within + j) % 251).toByte)
+      }
+    }
+  }
+
+  test("multimodal: mdhd v1 timescale is read at the 64-bit-time offset") {
+    def be32(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def box(name: String, payload: Array[Byte]): Array[Byte] =
+      be32(8 + payload.length) ++ name.getBytes ++ payload
+    // v1 mdhd: version 1, u64 ctime/mtime, timescale u32 at +28
+    val mdhdV1 = box("mdhd", Array(1.toByte) ++ Array.fill(3)(0.toByte) ++
+      Array.fill(16)(0.toByte) ++ be32(1200) ++ Array.fill(8)(0.toByte))
+    val stts = box("stts", Array.fill(4)(0.toByte) ++ be32(1) ++ be32(2) ++ be32(600))
+    val stsc = box("stsc", Array.fill(4)(0.toByte) ++ be32(1) ++ be32(1) ++ be32(2) ++ be32(1))
+    val stsz = box("stsz", Array.fill(4)(0.toByte) ++ be32(0) ++ be32(2) ++ be32(10) ++ be32(12))
+    val mkFile = { (stcoOff: Int) =>
+      val stco = box("stco", Array.fill(4)(0.toByte) ++ be32(1) ++ be32(stcoOff))
+      val stbl = box("stbl", stts ++ stsc ++ stsz ++ stco)
+      val moov = box("moov", box("trak", box("mdia", mdhdV1 ++ box("minf", stbl))))
+      val ftyp = box("ftyp", "isom".getBytes ++ be32(0))
+      ftyp ++ moov ++ box("mdat", Array.fill(22)(7.toByte))
+    }
+    val probe = mkFile(0)
+    val dataStart = probe.length - 22
+    val frames = Multimodal.frameSamples(mkFile(dataStart), 8)
+    assert(frames.size == 2)
+    // timescale 1200 (not the creation-time bytes a v0 read would see):
+    // dts 0,600 units -> 0,500 ms
+    assert(frames.map(_.ts_ms) == Seq(0L, 500L))
+    assert(frames.map(_.n_bytes) == Seq(10L, 12L))
+  }
+
+  test("multimodal: corrupt or truncated containers yield empty, never throw") {
+    val good = Multimodal.syntheticMp4(3L)
+    // find the stsz sample count and declare a huge n (allocation guard)
+    val stszAt = (0 until good.length - 4).find(i =>
+      good(i) == 's' && good(i + 1) == 't' && good(i + 2) == 's' && good(i + 3) == 'z').get - 4
+    val huge = good.clone()
+    huge(stszAt + 16) = 0x7f.toByte // n = 0x7fxxxxxx >> MaxSamples
+    assert(Multimodal.frameSamples(huge, 8).isEmpty)
+    // truncation at every quarter: parse must stay total
+    Seq(good.length / 4, good.length / 2, 3 * good.length / 4).foreach { cut =>
+      Multimodal.frameSamples(good.take(cut), 8) // must not throw
+    }
+    // fragmented: corrupt the trun sample count the same way
+    val frag = Multimodal.syntheticFragMp4(26L)
+    val trunAt = (0 until frag.length - 4).find(i =>
+      frag(i) == 't' && frag(i + 1) == 'r' && frag(i + 2) == 'u' && frag(i + 3) == 'n').get - 4
+    val fragBad = frag.clone()
+    fragBad(trunAt + 12) = 0x7f.toByte
+    Multimodal.frameSamples(fragBad, 8) // the bad trun contributes nothing
+    // zero-length and garbage inputs
+    assert(Multimodal.frameSamples(Array.emptyByteArray, 8).isEmpty)
+    assert(Multimodal.tiffStrips("not a tiff at all".getBytes, 8).isEmpty)
+  }
+
+  test("multimodal: TIFF strip ranges follow offset-typed IFD arrays") {
+    val id = 35L
+    val b = Multimodal.syntheticTiff(id)
+    // dims parse from the same IFD (inline LONG entries)
+    assert(Multimodal.imageDims(b).contains((112, 128)))
+    val strips = Multimodal.tiffStrips(b, 8)
+    // nStrips = 3 + 35%4 = 6; sizes 40+((35+k)%5)*8
+    assert(strips.size == 6)
+    assert(strips.map(_.n_bytes) == Seq(40L, 48L, 56L, 64L, 72L, 40L))
+    // offsets are consecutive (strips abut in the fixture) and in-bounds
+    strips.sliding(2).foreach { case Seq(a, c) =>
+      assert(c.offset == a.offset + a.n_bytes)
+    }
+    strips.foreach(f => assert(f.offset + f.n_bytes <= b.length))
+    // strip content matches the generator rule (id*3 + i) % 251 measured
+    // from the data start — the whole-file recomputation
+    val dataStart = strips.head.offset
+    strips.foreach { f =>
+      (0 until f.n_bytes.toInt).foreach { j =>
+        assert(b((f.offset + j).toInt) == ((id * 3 + (f.offset - dataStart) + j) % 251).toByte)
+      }
+    }
+  }
+
+  test("multimodal: frame-bytes query checksums equal whole-file recomputation") {
+    val rows = Multimodal.frameBytes(spark, sf).collect()
+    val byAsset = rows.groupBy(_.getLong(0))
+    assert(byAsset.keySet == (0L until 45L).toSet)
+    assert(rows.forall(_.getBoolean(4)), "every slice must be in bounds")
+    // independent recomputation: regenerate each asset's bytes, slice by
+    // the parser's ranges, CRC — the query's distributed path must agree
+    def gen(id: Long): Array[Byte] =
+      if (id < 25) Multimodal.syntheticMp4(id)
+      else if (id < 35) Multimodal.syntheticFragMp4(id)
+      else Multimodal.syntheticTiff(id)
+    byAsset.foreach { case (id, frames) =>
+      val bytes = gen(id)
+      val refs = Multimodal.byteRanges(bytes, 8)
+      assert(frames.length == refs.size)
+      frames.sortBy(_.getInt(1)).zip(refs).foreach { case (row, ref) =>
+        val c = new java.util.zip.CRC32()
+        c.update(bytes, ref.offset.toInt, ref.n_bytes.toInt)
+        assert(row.getLong(3) == c.getValue, s"asset $id frame ${ref.frame_idx}")
+        assert(row.getLong(2) == ref.n_bytes)
+      }
+    }
   }
 
   test("multimodal: frame index query emits ranges for every synthetic asset") {

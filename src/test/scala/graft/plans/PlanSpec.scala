@@ -78,6 +78,23 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup repartition is conditional: pre-split input takes no Exchange") {
+    // single-file fixture: the fan-in scan must be spread for parallelism
+    val single = graft.operators.Dedup.simhash64(spark, sf)
+    assert(single.queryExecution.optimizedPlan.toString.contains("RepartitionByExpression"),
+      "single-split input should be repartitioned for parallel hashing")
+    // pre-split corpus (≥ defaultParallelism input splits): the same
+    // operator must NOT buy a full-corpus shuffle of the raw text
+    val dir = java.nio.file.Files.createTempDirectory("presplit").toString
+    Tables.documents(spark, sf).repartition(8)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val spread = graft.operators.Dedup.simhash64(spark, dir)
+    assert(!spread.queryExecution.optimizedPlan.toString.contains("RepartitionByExpression"),
+      "pre-split input must not be repartitioned")
+    // results identical either way
+    assert(spread.collect().toSeq == single.collect().toSeq)
+  }
+
   test("ANN/near-dup candidate joins are id-only: no array column through the dedup") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
     import org.apache.spark.sql.types.ArrayType
