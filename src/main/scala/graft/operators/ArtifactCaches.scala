@@ -8,6 +8,7 @@ package graft.operators
 object ArtifactCaches {
   def clear(): Unit = {
     PersistSlots.clear()
+    Similarity.clearLshCache()
     Similarity.clearIvfCache()
     Similarity.clearPqCache()
   }

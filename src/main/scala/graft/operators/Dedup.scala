@@ -35,8 +35,10 @@ object Dedup {
     if (df.rdd.getNumPartitions >= spark.sparkContext.defaultParallelism) df
     else df.repartition(col("doc_id"))
 
-  /** Distinct word-level 3-gram shingles per document: (doc_id, s). */
-  private def shingles(spark: SparkSession, dir: String): DataFrame = {
+  /** Distinct word-level 3-gram shingles per document: (doc_id, s).
+    * Package-visible: TextAnalysis.contamination reuses the same shingle
+    * family so both operators agree on what "an n-gram" is. */
+  private[operators] def shingles(spark: SparkSession, dir: String): DataFrame = {
     val t = tokens
     spread(spark, Tables.documents(spark, dir))
       .select(col("doc_id"),
@@ -460,8 +462,59 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** Connected-components dedup clustering over the exact near-dup pair
+    * graph (j ≥ 0.5): every document connected through any CHAIN of
+    * near-dup pairs lands in one cluster labeled by the cluster's min
+    * doc_id, which is also the survivor. This is the missing step between
+    * pair detection and actually deduplicating a corpus: near-duplication
+    * is not transitive, so per-pair survivor rules (keep a < b) can keep
+    * two documents that share a middle neighbor or drop every copy.
+    *
+    * Scale shape: Hash-Min label propagation (the MapReduce CC family of
+    * Rastogi et al. 2013; CC-MR / large-star–small-star are the published
+    * optimizations of the same idea): label(v) ← min over v's closed
+    * neighborhood, iterated to fixpoint. Each round is ONE shuffle keyed
+    * by doc_id (uniform — no giant-component key because labels travel to
+    * vertices, vertices never gather their component); rounds grow with
+    * component DIAMETER, and near-dup clusters are near-cliques around a
+    * shared template, so 2–3 rounds close real corpora. The driver loop
+    * polls only a convergence count — no edge or label data ever lands on
+    * the driver. */
+  def cluster(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramJaccard(spark, dir).select("a_id", "b_id")
+    val edges = pairs.union(pairs.select(col("b_id"), col("a_id")))
+      .toDF("u", "v")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.groupBy(col("u")).agg(min(col("v")).as("mv"))
+      .select(col("u").as("doc_id"), least(col("u"), col("mv")).as("label"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val prev = labels
+      val next = edges.join(labels.withColumnRenamed("doc_id", "u"), Seq("u"))
+        .select(col("v").as("doc_id"), col("label"))
+        .union(labels)
+        .groupBy("doc_id").agg(min("label").as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = next.join(prev.withColumnRenamed("label", "old"), Seq("doc_id"))
+        .filter(col("label") < col("old")).count()
+      prev.unpersist(false)
+      labels = next
+      rounds += 1
+    }
+    val sizes = labels.groupBy(col("label").as("cluster"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.select(col("doc_id"), col("label").as("cluster"))
+      .join(sizes, Seq("cluster"))
+      .select(col("doc_id"), col("cluster"), col("cluster_size"),
+        (col("doc_id") === col("cluster")).as("keep"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> exact _,
+    "dd_cluster" -> cluster _,
     "dd_span_exact" -> spanDedup _,
     "dd_ngram_jaccard" -> ngramJaccard _,
     "dd_minhash_sig" -> minhashSignatures _,
@@ -510,6 +563,26 @@ object Dedup {
         |CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
         |string_agg(CASE WHEN rn = 1 THEN span END, ' ' ORDER BY span_idx) AS text_dedup
         |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    // the oracle computes the SAME clusters as a transitive closure: a
+    // recursive reachability CTE to every reachable vertex, labeled by
+    // the min — tiny at oracle SF, where Spark runs the scalable
+    // label-propagation form instead
+    "dd_cluster" ->
+      (shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") + """,
+        |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) c
+        |FROM sh a JOIN sh b ON a.s=b.s AND a.doc_id<b.doc_id GROUP BY 1,2),
+        |pairs AS (SELECT a_id, b_id FROM inter
+        |JOIN sizes sa ON sa.doc_id=a_id JOIN sizes sb ON sb.doc_id=b_id
+        |WHERE c*1.0/(sa.n+sb.n-c) >= 0.5),
+        |edges AS (SELECT a_id u, b_id v FROM pairs UNION ALL SELECT b_id AS u, a_id AS v FROM pairs),
+        |reach(u, v) AS (SELECT u, v FROM edges
+        |UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        |lbl AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster FROM reach GROUP BY u)
+        |SELECT l.doc_id, l.cluster, CAST(cs.n AS BIGINT) AS cluster_size,
+        |l.doc_id = l.cluster AS keep
+        |FROM lbl l JOIN (SELECT cluster, COUNT(*) n FROM lbl GROUP BY 1) cs USING (cluster)
+        |ORDER BY doc_id""").stripMargin.replaceAll("\n", " "),
     "dd_ngram_jaccard" ->
       (shingleCte + """,
         |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),

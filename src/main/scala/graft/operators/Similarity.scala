@@ -176,15 +176,22 @@ object Similarity {
     * appends must hash into the same table family. */
   final case class LshIndex(nBits: Int, nTables: Int, buckets: DataFrame)
 
-  def buildLshIndex(spark: SparkSession, dir: String): LshIndex = {
-    val raw = emb(spark, dir)
-    val n = raw.count()
-    val nBits = lshBitsFor(n)
-    val nTables = lshTablesFor(n)
-    val b = PersistSlots.cached(spark, s"lsh-index:$dir")(
-      withBuckets(raw, nBits, nTables).select(col("vec_id"), col("tbl"), col("bucket")))
-    LshIndex(nBits, nTables, b)
-  }
+  // whole-index memo (bucket frame AND the corpus-derived bits/tables):
+  // without it every index-less lshTopK/embeddingCosineBucketed call pays
+  // a corpus count just to re-derive the same two integers
+  private val lshCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), LshIndex]
+
+  def buildLshIndex(spark: SparkSession, dir: String): LshIndex =
+    lshCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val raw = emb(spark, dir)
+      val n = raw.count()
+      val nBits = lshBitsFor(n)
+      val nTables = lshTablesFor(n)
+      val b = PersistSlots.cached(spark, s"lsh-index:$dir")(
+        withBuckets(raw, nBits, nTables).select(col("vec_id"), col("tbl"), col("bucket")))
+      LshIndex(nBits, nTables, b)
+    })
 
   /** Persist the index: bucket rows as tbl-partitioned parquet plus a
     * one-row meta table carrying the hash width — a cold query session
@@ -363,6 +370,10 @@ object Similarity {
   // under `dir` is REWRITTEN in-place mid-process, call clearIvfCache().
   private val ivfCache =
     scala.collection.concurrent.TrieMap.empty[(String, String, Int), IvfIndex]
+
+  /** Drop memoized LSH indexes (pairs with PersistSlots.clear, which
+    * releases the persisted bucket frames). */
+  def clearLshCache(): Unit = lshCache.clear()
 
   /** Drop all cached indexes (and release their persisted assignments) —
     * required after rewriting a corpus dir in-place. */

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -104,6 +105,60 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Per-document top-3 TF-IDF terms. Ranking uses the RATIONAL surrogate
+    * score c·N/(nt·df) — monotone in tf·idf for the reported rows because
+    * ln is increasing, but computed purely from integer ratios, so both
+    * engines produce bit-identical ranking doubles (a natural-log ulp
+    * difference between libm and DuckDB could otherwise flip a near-tie);
+    * the displayed tfidf column carries the standard (c/nt)·ln(N/df),
+    * rounded. Scale shape: one explode + two hash aggregations keyed by
+    * (term) then (doc_id, term) — uniform keys, map-side combine, no
+    * driver state; the window ranks 3 rows per doc. */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val n = docs.count() // corpus size N for idf — one metadata-cheap count
+    val toksWithCount = docs
+      .select(col("doc_id"), size(toks).as("nt"), explode(toks).as("term"))
+      .groupBy("doc_id", "nt", "term").agg(count(lit(1)).as("c"))
+    val df_ = toksWithCount.groupBy("term")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    toksWithCount.join(df_, Seq("term"))
+      .withColumn("score",
+        (col("c") * lit(n.toDouble)) / (col("nt") * col("df")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("term"), col("rank"),
+        round(col("c") / col("nt").cast("double") * log(lit(n.toDouble) / col("df")), 4)
+          .as("tfidf"))
+      .orderBy("doc_id", "rank")
+  }
+
+  /** Train/test contamination check — the decontamination operator every
+    * training-data pipeline runs before an eval split ships: for each
+    * TEST document (doc_id ≡ 0 mod 10), the fraction of its distinct
+    * 3-gram shingles that appear in ANY train document. Shingle family
+    * shared with Dedup (same tokenization, same n). Scale shape: the
+    * train shingle set is corpus-sized, so membership is an equi JOIN on
+    * the shingle (uniform key, shuffle both sides), never a broadcast or
+    * driver-side set. The ratio is emitted UNROUNDED: IEEE division of
+    * two exact integers is bit-identical across engines, while rounding a
+    * rational double is the known decimal-boundary trap. */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    // same memo slot as ngramJaccard: one materialized shingle frame per
+    // corpus serves both operators (and the test/train branches below)
+    val sh = PersistSlots.cached(spark, s"ngram-shingles:$dir")(
+      Dedup.shingles(spark, dir))
+    val test = sh.filter(col("doc_id") % 10 === 0)
+    val train = sh.filter(col("doc_id") % 10 =!= 0).select("s").distinct()
+    test.join(train.withColumn("hit", lit(1L)), Seq("s"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+      .withColumn("ratio", col("n_contaminated").cast("double") / col("n_grams"))
+      .orderBy("doc_id")
+  }
+
   /** Content fingerprint: md5 over case-folded, whitespace-collapsed text —
     * the normalization-then-hash dedup key. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
@@ -190,6 +245,8 @@ object TextAnalysis {
     "tx_fingerprint" -> fingerprint _,
     "tx_langid" -> langId _, // oracled below; accuracy also checked in ExtensionsSpec
     "tx_repetition" -> repetition _,
+    "tx_tfidf" -> tfidf _,
+    "tx_contamination" -> contamination _,
   )
 
   private def inList(xs: Seq[String]) = xs.map(s => s"'$s'").mkString("(", ",", ")")
@@ -251,6 +308,33 @@ object TextAnalysis {
     "tx_langid" ->
       (s"WITH s AS (SELECT doc_id, text, $langScoreSql FROM documents) " +
         s"SELECT doc_id, $langCaseSql AS pred_lang FROM s ORDER BY doc_id"),
+    "tx_tfidf" ->
+      """WITH n AS (SELECT COUNT(*) cnt FROM documents),
+        |d AS (SELECT doc_id, string_split(text,' ') t FROM documents),
+        |tc AS (SELECT doc_id, len(t) nt, tok AS term, COUNT(*) c
+        |FROM d, LATERAL (SELECT unnest(t) AS tok) GROUP BY 1,2,3),
+        |dfreq AS (SELECT term, COUNT(DISTINCT doc_id) df FROM tc GROUP BY 1),
+        |scored AS (SELECT doc_id, term, nt, c, df,
+        |(c * CAST(n.cnt AS DOUBLE)) / (nt * df) AS score
+        |FROM tc JOIN dfreq USING (term) CROSS JOIN n),
+        |ranked AS (SELECT doc_id, term, c, nt, df,
+        |row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) rnk
+        |FROM scored)
+        |SELECT r.doc_id, r.term, CAST(r.rnk AS INTEGER) AS rank,
+        |ROUND(r.c / CAST(r.nt AS DOUBLE) * ln(CAST(n.cnt AS DOUBLE) / r.df), 4) AS tfidf
+        |FROM ranked r CROSS JOIN n WHERE r.rnk <= 3
+        |ORDER BY doc_id, rank""".stripMargin.replaceAll("\n", " "),
+    "tx_contamination" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) i)),
+        |test AS (SELECT * FROM sh WHERE doc_id % 10 = 0),
+        |train AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 <> 0)
+        |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |CAST(SUM(CASE WHEN tr.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+        |CAST(SUM(CASE WHEN tr.s IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS ratio
+        |FROM test t LEFT JOIN train tr ON t.s = tr.s
+        |GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "),
   )
 
   /** DuckDB marker-score columns s_<lang>, generated from LangMarkers so

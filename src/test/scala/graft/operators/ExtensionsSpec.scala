@@ -373,6 +373,67 @@ class ExtensionsSpec extends SparkSpec {
     assert(Similarity.dataLocation(spark, lshDir, "buckets").endsWith("buckets_v1"))
   }
 
+  test("dedup clustering equals union-find over the pair graph, one survivor each") {
+    val pairs = Dedup.ngramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val rows = Dedup.cluster(spark, sf).collect()
+    val cl = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent reference: union-find to the min root
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    assert(cl.keySet == pairs.flatMap(p => Seq(p._1, p._2)).toSet)
+    rows.foreach(r => assert(find(r.getLong(0)) == r.getLong(1),
+      s"doc ${r.getLong(0)}: cluster ${r.getLong(1)} != union-find ${find(r.getLong(0))}"))
+    // label = min member; exactly one survivor; size column consistent
+    rows.groupBy(_.getLong(1)).foreach { case (label, members) =>
+      assert(members.map(_.getLong(0)).min == label)
+      assert(members.count(_.getBoolean(3)) == 1)
+      assert(members.forall(_.getLong(2) == members.length))
+    }
+  }
+
+  test("text: tfidf ranks distinctive terms; contamination finds planted overlap") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta", "en", 46L), // test; copied in train
+      (1L, "alpha beta gamma delta epsilon zeta eta theta", "en", 46L), // train copy
+      (2L, "unique words only here nothing shared at all", "en", 44L),  // train, disjoint
+      (10L, "totally fresh content never seen before anywhere", "en", 48L)) // test, clean
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("txnew").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val cont = TextAnalysis.contamination(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // doc 0's every shingle appears in train doc 1 → ratio 1.0; doc 10
+    // shares nothing with train → 0.0; train docs are absent from output
+    assert(cont.keySet == Set(0L, 10L))
+    assert(cont(0L)._3 == 1.0 && cont(0L)._1 == cont(0L)._2)
+    assert(cont(10L)._3 == 0.0 && cont(10L)._2 == 0L)
+    val tf = TextAnalysis.tfidf(spark, dir).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getInt(2)).map(_.getString(1)).toSeq).toMap
+    // doc 2: all terms df=1 and tf equal → rank ties break alphabetically
+    assert(tf(2L) == Seq("all", "at", "here"))
+    // doc 0 and 1 share every term (df=2, equal tf) → same alphabetical top-3
+    assert(tf(0L) == Seq("alpha", "beta", "delta") && tf(1L) == tf(0L))
+    // shared terms (df=2) must score BELOW unique terms for a doc holding both
+    val mixed = Seq((20L, "alpha beta gamma rare", "en", 21L),
+      (21L, "alpha beta gamma common words", "en", 28L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val dir2 = java.nio.file.Files.createTempDirectory("txnew2").toString
+    mixed.write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val top20 = TextAnalysis.tfidf(spark, dir2).collect()
+      .filter(_.getLong(0) == 20L).sortBy(_.getInt(2)).map(_.getString(1))
+    assert(top20.head == "rare", s"df=1 term must outrank df=2 terms, got ${top20.toSeq}")
+  }
+
   test("sampling: bernoulli gate is deterministic and near the nominal rate") {
     val total = graft.sources.Tables.documents(spark, sf).count()
     val a = Sampling.bernoulliSample(spark, sf).collect().map(_.getLong(0)).toSeq
