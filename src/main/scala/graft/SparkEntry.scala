@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.materials.Materials
 import graft.ml.DielectricModel
-import graft.operators.{Dedup, Multimodal, Pipeline, Relational, Sampling, Similarity, SkewJoin, TextAnalysis}
+import graft.operators.{Bpe, Decontam, Dedup, Multimodal, Packing, Pipeline, Quantize, Relational, Sampling, Similarity, SkewJoin, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -25,6 +25,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ SkewJoin.queries ++ Dedup.queries ++
       Similarity.queries ++ TextAnalysis.queries ++ Sampling.queries ++
+      Packing.queries ++ Quantize.queries ++ Bpe.queries ++ Decontam.queries ++
       Pipeline.queries ++ Multimodal.queries ++
       Materials.queries ++ DielectricModel.queries ++
       graft.ml.ScalerDrift.queries
@@ -34,6 +35,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ SkewJoin.oracleSql ++ Dedup.oracleSql ++
       Similarity.oracleSql ++ TextAnalysis.oracleSql ++ Sampling.oracleSql ++
+      Packing.oracleSql ++ Quantize.oracleSql ++
       Pipeline.oracleSql ++ Multimodal.oracleSql ++ Materials.oracleSql ++
       DielectricModel.oracleSql
 

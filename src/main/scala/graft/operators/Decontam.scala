@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Bloom-filter decontamination — the approximate sibling of
+  * [[TextAnalysis.contamination]]'s exact shingle join (the GPT-3 paper's
+  * eval decontamination ran exactly this way: a membership filter over
+  * train n-grams, Brown et al. 2020 §C).
+  *
+  * Plan-shape tradeoff, stated honestly:
+  *   - The EXACT form shuffles both shingle sides of an equi join —
+  *     unavoidable when the train side's distinct-shingle set outgrows
+  *     executor memory (~10¹⁰ shingles ≈ 12 GB of bloom bits at 1% fpp).
+  *   - This BLOOM form aggregates the train shingles into an O(bits)
+  *     sketch (distributed build: per-partition filters OR-merged — order
+  *     insensitive, so the result is deterministic), broadcasts it, and
+  *     probes the TEST side in place: the test corpus never shuffles at
+  *     all. For the standard case — train is the 100 TB side, test is an
+  *     eval suite probed constantly — this turns every re-check into a
+  *     scan-bound map job.
+  *   - Errors are ONE-SIDED: no false negatives ever (a contaminated
+  *     shingle is always flagged — DecontamSpec asserts flagged ⊇ exact
+  *     per document), false positives bounded by fpp.
+  * Spark's `stat.bloomFilter` hashes with a fixed Murmur3 seed, so the
+  * sketch — and this operator's output — is bit-reproducible. No SQL
+  * expression exists for the sketch (rows-only driver check; the exact
+  * join tx_contamination is the oracled sibling).
+  */
+object Decontam {
+
+  /** Per-test-document flagged-shingle counts from a bloom built over the
+    * train split (doc_id mod 10 partitioning, matching contamination). */
+  def bloomDecontam(spark: SparkSession, dir: String, fpp: Double = 0.01): DataFrame = {
+    val sh = PersistSlots.cached(spark, s"ngram-shingles:$dir")(
+      Dedup.shingles(spark, dir))
+    val train = sh.filter(col("doc_id") % 10 =!= 0).select("s")
+    // size the filter on the distinct-shingle estimate (HLL, one cheap
+    // pass with map-side partials) — the exact count would cost a shuffle
+    val est = train.agg(approx_count_distinct("s").as("n"))
+      .collect()(0).getLong(0)
+    val bloom = train.stat.bloomFilter("s", math.max(est, 1024L), fpp)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val might = udf((s: String) => bc.value.mightContainString(s))
+    sh.filter(col("doc_id") % 10 === 0)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(might(col("s")), lit(1L)).otherwise(lit(0L))).as("n_flagged"))
+      .withColumn("ratio", col("n_flagged").cast("double") / col("n_grams"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_decontam_bloom" -> ((s: SparkSession, d: String) => bloomDecontam(s, d)),
+  )
+
+  val oracleSql: Map[String, String] = Map.empty
+}

@@ -50,9 +50,41 @@ object Sampling {
       .orderBy("lang", "rn")
   }
 
+  /** Temperature-weighted domain mixture sampling (the multilingual /
+    * multi-domain rebalancing rule: target share of domain d ∝ c_d^α,
+    * α<1 upweights small domains — Conneau & Lample 2019 §3.1, also the
+    * Pile / ROOTS mixture construction). For a token budget of `target`
+    * documents, domain d gets expected take n_d = target·c_d^α/Σc^α,
+    * i.e. per-row keep probability p_d = n_d/c_d, capped at 1.
+    *
+    * The keep decision stays HASH-deterministic: p_d is materialized as
+    * an 8-hex-digit md5-prefix threshold (⌊p·2³²⌋ as zero-padded hex, so
+    * lexicographic compare == numeric compare, same trick as
+    * [[bernoulliSample]]). Plan shape at 100 TB: one tiny groupBy for the
+    * domain counts (20 rows), a broadcast join of the per-domain
+    * thresholds, then a scan-bound filter — no corpus shuffle. */
+  def mixtureSample(spark: SparkSession, dir: String,
+      target: Double = 200.0, alpha: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val w = Window.partitionBy() // 20-row frame: the global window is fine
+    val rates = docs.groupBy("source")
+      .agg(count(lit(1)).cast("double").as("cnt"))
+      .withColumn("p", least(lit(1.0),
+        lit(target) * pow(col("cnt"), alpha) / sum(pow(col("cnt"), alpha)).over(w) / col("cnt")))
+      .withColumn("thr",
+        lpad(lower(hex(floor(col("p") * lit(4294967296.0)).cast("long"))), 8, "0"))
+      .select("source", "p", "thr")
+    docs.join(broadcast(rates), "source")
+      .filter(col("p") >= 1.0 ||
+        substring(md5(col("doc_id").cast("string")), 1, 8) < col("thr"))
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ds_sample" -> ((s: SparkSession, d: String) => bernoulliSample(s, d)),
     "ds_stratified" -> ((s: SparkSession, d: String) => stratifiedSample(s, d)),
+    "ds_mixture" -> ((s: SparkSession, d: String) => mixtureSample(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -66,5 +98,12 @@ object Sampling {
         |ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rn
         |FROM documents)
         |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin.replaceAll("\n", " "),
+    "ds_mixture" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS DOUBLE) AS cnt FROM documents GROUP BY source),
+        |r AS (SELECT source, least(1.0, 200.0 * pow(cnt, 0.5) / SUM(pow(cnt, 0.5)) OVER () / cnt) AS p FROM c)
+        |SELECT d.doc_id, d.source FROM documents d JOIN r ON d.source = r.source
+        |WHERE p >= 1.0 OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+        |  < lpad(lower(hex(CAST(floor(p * 4294967296.0) AS BIGINT))), 8, '0')
+        |ORDER BY d.doc_id""".stripMargin.replaceAll("\n", " "),
   )
 }

@@ -75,6 +75,32 @@ object EventStreams {
       .toDF()
   }
 
+  /** Stream-stream interval join: attribute each click to the same
+    * user's preceding view within `horizon` (the ad-attribution /
+    * funnel-stitching join). Both sides carry watermarks and the join
+    * condition bounds event-time distance, so Spark can EXPIRE buffered
+    * state: rows older than (watermark + horizon) are evicted — without
+    * the interval bound a stream-stream inner join would buffer both
+    * streams forever. State is keyed by user_id, sharded across
+    * executors; memory is O(rate × horizon), not stream length. */
+  def clickAttribution(events: DataFrame, horizon: String = "15 minutes",
+      watermark: String = "10 minutes"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", watermark)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", watermark)
+    clicks.join(views,
+      col("c_user") === col("v_user") &&
+        col("c_ts") >= col("v_ts") &&
+        col("c_ts") <= col("v_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("view_id"),
+        col("c_ts"), col("v_ts"))
+  }
+
   /** Run a streaming query over a memory-fed stream to completion
     * (test/replay harness): returns the final result table. */
   def runToCompletion(q: StreamingQuery): Unit = {

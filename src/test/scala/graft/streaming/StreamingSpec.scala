@@ -310,4 +310,28 @@ class StreamingSpec extends SparkSpec {
     assert(rowsOf("nd_evict").isEmpty,
       s"state past the horizon must be evicted (no pair), got ${rowsOf("nd_evict")}")
   }
+
+  test("stream-stream interval join (click attribution) equals the batch join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val result = EventStreams.clickAttribution(input.toDF())
+    val q = result.writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append()).start()
+    val evs = eventsAsCase()
+    try {
+      evs.grouped(math.max(1, evs.size / 4)).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val streamed = key(spark.table("attrib").collect())
+    val batch = key(EventStreams.clickAttribution(
+      Tables.events(spark, sf)).collect())
+    assert(batch.nonEmpty, "fixture must produce at least one attributed click")
+    assert(streamed == batch)
+  }
 }
