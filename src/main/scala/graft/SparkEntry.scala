@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.materials.Materials
 import graft.ml.DielectricModel
-import graft.operators.{Bpe, Decontam, Dedup, Multimodal, Packing, Pipeline, Quantize, Relational, Sampling, Similarity, SkewJoin, TextAnalysis}
+import graft.operators.{Bpe, Chunking, Decontam, Dedup, JoinOpt, Multimodal, NgramLm, Packing, Pipeline, Quantize, Relational, Sampling, Sharding, Similarity, SkewJoin, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,8 +23,9 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ SkewJoin.queries ++ Dedup.queries ++
-      Similarity.queries ++ TextAnalysis.queries ++ Sampling.queries ++
+    Relational.queries ++ SkewJoin.queries ++ JoinOpt.queries ++ Dedup.queries ++
+      Similarity.queries ++ TextAnalysis.queries ++ Chunking.queries ++
+      NgramLm.queries ++ Sampling.queries ++ Sharding.queries ++
       Packing.queries ++ Quantize.queries ++ Bpe.queries ++ Decontam.queries ++
       Pipeline.queries ++ Multimodal.queries ++
       Materials.queries ++ DielectricModel.queries ++
@@ -33,8 +34,9 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracleSql ++ SkewJoin.oracleSql ++ Dedup.oracleSql ++
-      Similarity.oracleSql ++ TextAnalysis.oracleSql ++ Sampling.oracleSql ++
+    Relational.oracleSql ++ SkewJoin.oracleSql ++ JoinOpt.oracleSql ++ Dedup.oracleSql ++
+      Similarity.oracleSql ++ TextAnalysis.oracleSql ++ Chunking.oracleSql ++
+      NgramLm.oracleSql ++ Sampling.oracleSql ++ Sharding.oracleSql ++
       Packing.oracleSql ++ Quantize.oracleSql ++
       Pipeline.oracleSql ++ Multimodal.oracleSql ++ Materials.oracleSql ++
       DielectricModel.oracleSql

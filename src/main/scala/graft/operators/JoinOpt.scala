@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Join-optimization operators for scale: bucketed co-located joins and
+  * bloom-filter semi-join pruning — the two standard levers for cutting
+  * shuffle volume on fact-fact joins at 100 TB.
+  *
+  * Bucketing: both sides are written once as bucketed tables on the join
+  * key (same bucket count, same hash), so every subsequent join between
+  * them is Exchange-free — the scan itself delivers co-partitioned input
+  * and the sort-merge join runs with NO shuffle of either side. That
+  * converts a per-query O(data) shuffle into a one-time write cost, the
+  * right trade for a fact table joined daily. BucketingSpec asserts the
+  * physical plan has zero ShuffleExchange below the join.
+  *
+  * Bloom pruning: when a selective dimension filter shrinks one side, a
+  * bloom filter built from the small side's keys (treeAggregate of a
+  * fixed-size bit array — KBs on the driver regardless of corpus size) is
+  * broadcast and applied to the big side BEFORE its shuffle, so rows that
+  * cannot match never enter the exchange. False positives are eliminated
+  * by the exact join that follows, so the result is bit-identical to the
+  * plain join — which is exactly what the DuckDB oracle checks.
+  */
+object JoinOpt {
+
+  val NBuckets = 8
+
+  // one bucketed-table write per (session, sfDir); tables are external
+  // (explicit /tmp path) so no warehouse dir is touched
+  private val prepared = scala.collection.concurrent.TrieMap.empty[String, Unit]
+
+  private def tag(dir: String): String =
+    math.abs(dir.hashCode).toString
+
+  /** Write orders + customer as bucketed/sorted tables on the join key
+    * (once per session+dir). `repartition(n, key)` aligns task hashing
+    * with bucket hashing so each bucket is one file — which also lets
+    * Spark trust the per-bucket sort order and skip the SortExec. */
+  def ensureBucketed(spark: SparkSession, dir: String): (String, String) = {
+    val t = tag(dir)
+    val (ot, ct) = (s"graft_b_orders_$t", s"graft_b_customer_$t")
+    prepared.getOrElseUpdate(s"${spark.sparkContext.applicationId}|$dir", {
+      def write(df: DataFrame, key: String, table: String): Unit = {
+        spark.sql(s"DROP TABLE IF EXISTS $table")
+        df.repartition(NBuckets, col(key))
+          .write.mode("overwrite")
+          .option("path", s"/tmp/graft_bucketed/$t/$table")
+          .bucketBy(NBuckets, key).sortBy(key)
+          .format("parquet").saveAsTable(table)
+      }
+      write(Tables.orders(spark, dir), "o_custkey", ot)
+      write(Tables.customer(spark, dir), "c_custkey", ct)
+    })
+    (ot, ct)
+  }
+
+  /** The co-located join frame (pre-aggregation) — exposed so the spec
+    * can assert its physical plan is Exchange-free. The `merge` hint pins
+    * sort-merge (a broadcast would also avoid the shuffle, but only
+    * because the fixture is small — SMJ over buckets is the shape that
+    * survives two 100 TB sides). */
+  def bucketedJoinFrame(spark: SparkSession, dir: String): DataFrame = {
+    val (ot, ct) = ensureBucketed(spark, dir)
+    spark.table(ot).hint("merge")
+      .join(spark.table(ct), col("o_custkey") === col("c_custkey"))
+  }
+
+  /** Bucketed join + small aggregate, oracled against the plain join. */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame =
+    bucketedJoinFrame(spark, dir)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("c"), round(sum("o_totalprice"), 2).as("s"))
+      .orderBy("c_mktsegment")
+
+  /** Orders pruned by a bloom filter over the filtered customers' keys —
+    * exposed for the spec (pruning ratio + plan shape). */
+  def bloomPrunedOrders(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+    val bf = cust.stat.bloomFilter("c_custkey", 100000L, 0.01)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val might = udf((k: Long) => bfB.value.mightContain(k))
+    Tables.orders(spark, dir).filter(might(col("o_custkey")))
+  }
+
+  /** Bloom-pruned join: big side filtered map-side before the shuffle,
+    * exact equi join removes bloom false positives ⇒ result ≡ plain
+    * join (the oracle). The UDF probe sits outside whole-stage codegen;
+    * that is the price of pruning ~¾ of the shuffle input — at 100 TB
+    * the exchange bytes saved dwarf the codegen break, and Spark's own
+    * runtime bloom (`spark.sql.optimizer.runtime.bloomFilter.enabled`)
+    * applies the same trade automatically when stats allow. */
+  def bloomJoin(spark: SparkSession, dir: String): DataFrame =
+    bloomPrunedOrders(spark, dir)
+      .join(Tables.customer(spark, dir)
+          .filter(col("c_mktsegment") === "BUILDING"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("c"), round(sum("o_totalprice"), 2).as("s"))
+      .orderBy("o_orderpriority")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q24_bucketed_join" -> bucketedJoin _,
+    "q25_bloom_join" -> bloomJoin _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q24_bucketed_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS c, ROUND(SUM(o_totalprice), 2) AS s
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin.replaceAll("\n", " "),
+    "q25_bloom_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS c, ROUND(SUM(o_totalprice), 2) AS s
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin.replaceAll("\n", " "),
+  )
+}

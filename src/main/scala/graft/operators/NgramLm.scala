@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Distributed n-gram language model + per-document perplexity scoring —
+  * the CCNet-style quality signal (Wenzek et al. 2020 train a KenLM and
+  * rank CommonCrawl documents by perplexity; low-perplexity ≈ clean
+  * prose). This is the trainable counterpart to the heuristic rules in
+  * [[TextAnalysis.quality]].
+  *
+  * Model: bigram LM with add-k smoothing,
+  *   p(w₂|w₁) = (c(w₁w₂) + k) / (c(w₁) + k·V),
+  * trained on the corpus itself (self-perplexity — the CCNet setup trains
+  * on a clean reference corpus; the plan shape is identical).
+  *
+  * Scale shape at 100 TB: bigram/unigram counts are hash aggregations
+  * over exploded token streams (uniform keys, map-side combine) producing
+  * vocabulary-sized count tables; scoring joins each document's bigrams
+  * against those tables on the n-gram key — shuffle joins on uniform
+  * keys, never a broadcast of the corpus and no driver state (V is one
+  * scalar aggregate). Per-doc cross entropy is then a single groupBy.
+  *
+  * Determinism for the cross-engine oracle: counts are exact integers in
+  * both engines; the only floats are the final −avg(ln·) (rounded to 4dp;
+  * a libm-ulp difference would need to land within ~1e-14 of a rounding
+  * boundary to flip the hash) and ppl, which is exp() of the ALREADY
+  * ROUNDED cross entropy so it inherits that determinism.
+  */
+object NgramLm {
+
+  /** Add-k smoothing constant. */
+  val K = 0.5
+
+  /** Per-document bigram cross entropy (nats) and perplexity. */
+  def perplexity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val t = split(col("text"), " ")
+
+    val bigrams = docs.select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(t) - 1), i =>
+          struct(element_at(t, i).as("w1"), element_at(t, i + lit(1)).as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+
+    val uni = docs.select(explode(t).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    // V: one scalar aggregate over the vocabulary-sized frame (at 100 TB
+    // this is a count of a table that already fits the shuffle tier)
+    val v = uni.count().toDouble
+    val bi = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+
+    val xent = -avg(log((col("c12") + lit(K)) / (col("c1") + lit(K * v))))
+    bigrams
+      .join(bi, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("m"), round(xent, 4).as("xent"))
+      .withColumn("ppl", round(exp(col("xent")), 4))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_perplexity" -> perplexity _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "tx_perplexity" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |bi AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        |FROM d, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i)),
+        |uni AS (SELECT w1, COUNT(*) AS c1
+        |FROM (SELECT unnest(t) AS w1 FROM d) GROUP BY 1),
+        |vv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM uni),
+        |bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY 1, 2),
+        |x AS (SELECT bi.doc_id, CAST(COUNT(*) AS BIGINT) AS m,
+        |ROUND(-AVG(ln((bc.c12 + $K) / (uni.c1 + $K * vv.v))), 4) AS xent
+        |FROM bi JOIN bc ON bi.w1 = bc.w1 AND bi.w2 = bc.w2
+        |JOIN uni ON bi.w1 = uni.w1 CROSS JOIN vv
+        |GROUP BY bi.doc_id)
+        |SELECT doc_id, m, xent, ROUND(exp(xent), 4) AS ppl
+        |FROM x ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+  )
+}

@@ -159,6 +159,32 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Corpus-level heavy hitters: the exact top-k terms by occurrence
+    * (explode → hash agg with map-side combine → global top-k). The exact
+    * form is the oracle; [[cmsTopTerms]] is the sketch path a 100 TB run
+    * would use to pre-screen candidates without a full vocabulary shuffle.
+    * Ties break on the term so the top-k cut is deterministic. */
+  def topTerms(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(toks).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("term"))
+      .limit(k)
+
+  /** Count-min-sketch estimates for a set of probe terms (Cormode &
+    * Muthukrishnan 2005). The sketch is built by Spark's native
+    * `stat.countMinSketch` — a treeAggregate of fixed-size (depth×width)
+    * arrays, so the build is one map-side pass + a driver merge of
+    * ~KB-sized sketches regardless of corpus size; estimates are
+    * one-sided (≥ true count, ≤ true + εN with prob 1−δ). Used by
+    * HeavyHittersSpec to assert the error law against [[topTerms]]. */
+  def cmsTopTerms(spark: SparkSession, dir: String, probes: Seq[String],
+      eps: Double = 0.001, confidence: Double = 0.99): Seq[(String, Long)] = {
+    val terms = Tables.documents(spark, dir).select(explode(toks).as("term"))
+    val cms = terms.stat.countMinSketch(col("term"), eps, confidence, seed = 42)
+    probes.map(t => t -> cms.estimateCount(t))
+  }
+
   /** Content fingerprint: md5 over case-folded, whitespace-collapsed text —
     * the normalization-then-hash dedup key. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
@@ -247,6 +273,7 @@ object TextAnalysis {
     "tx_repetition" -> repetition _,
     "tx_tfidf" -> tfidf _,
     "tx_contamination" -> contamination _,
+    "tx_top_terms" -> ((s: SparkSession, d: String) => topTerms(s, d)),
   )
 
   private def inList(xs: Seq[String]) = xs.map(s => s"'$s'").mkString("(", ",", ")")
@@ -335,6 +362,10 @@ object TextAnalysis {
         |CAST(SUM(CASE WHEN tr.s IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS ratio
         |FROM test t LEFT JOIN train tr ON t.s = tr.s
         |GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "),
+    "tx_top_terms" ->
+      """SELECT term, COUNT(*) AS c
+        |FROM (SELECT unnest(string_split(text,' ')) AS term FROM documents)
+        |GROUP BY term ORDER BY c DESC, term LIMIT 20""".stripMargin.replaceAll("\n", " "),
   )
 
   /** DuckDB marker-score columns s_<lang>, generated from LangMarkers so
