@@ -29,6 +29,7 @@ object SparkEntry {
       Packing.queries ++ Quantize.queries ++ Bpe.queries ++ Decontam.queries ++
       Pipeline.queries ++ Multimodal.queries ++
       Materials.queries ++ DielectricModel.queries ++
+      graft.ml.QualityClassifier.queries ++
       graft.ml.ScalerDrift.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -39,7 +40,7 @@ object SparkEntry {
       NgramLm.oracleSql ++ Sampling.oracleSql ++ Sharding.oracleSql ++
       Packing.oracleSql ++ Quantize.oracleSql ++
       Pipeline.oracleSql ++ Multimodal.oracleSql ++ Materials.oracleSql ++
-      DielectricModel.oracleSql
+      DielectricModel.oracleSql ++ graft.ml.QualityClassifier.oracleSql
 
   /** Headline subset used by Bench (fast, scale-sensitive queries across
     * all operator families: relational, dedup, similarity, text). */

@@ -27,6 +27,12 @@ object Verify {
     catch { case e: Throwable =>
       System.err.println(s"[verify] ml golden-parity export failed: ${e.getMessage}")
     }
+    // quality-classifier export: ml_quality_score (Spark AND its DuckDB
+    // oracle) recomputes sigmoid scores from these fixed-path parquets
+    try graft.ml.QualityClassifier.exportScored(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] quality-classifier export failed: ${e.getMessage}")
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

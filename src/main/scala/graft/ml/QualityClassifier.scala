@@ -79,15 +79,71 @@ object QualityClassifier {
       .transform(feats)
   }
 
+  private def isTest: Column = col("doc_id") % 5 === 0
+
+  private def fitOn(all: DataFrame): LogisticRegressionModel =
+    new LogisticRegression()
+      .setMaxIter(50).setRegParam(1e-4)
+      .fit(all.filter(!isTest))
+
   /** Train on the hash-split train half; returns (model, holdout frame). */
   def train(spark: SparkSession, dir: String): (LogisticRegressionModel, DataFrame) = {
     val all = withFeatures(labeled(spark, dir))
-    val isTest = col("doc_id") % 5 === 0
-    val model = new LogisticRegression()
-      .setMaxIter(50).setRegParam(1e-4)
-      .fit(all.filter(!isTest))
-    (model, all.filter(isTest))
+    (fitOn(all), all.filter(isTest))
   }
+
+  val FeatsExportPath = "/tmp/graft_quality_feats.parquet"
+  val WeightsExportPath = "/tmp/graft_quality_weights.parquet"
+
+  /** Export the labeled feature matrix (long form, with an idx = −1
+    * intercept pseudo-feature) and the fitted weights as parquet — the
+    * inputs of the ml_quality_score oracle: both engines recompute every
+    * document's sigmoid(w·x) score from the SAME bytes, making the serve
+    * path of the trained filter a full per-row equality oracle (same
+    * recipe as DielectricModel.exportGoldenParity). */
+  def exportScored(spark: SparkSession, dir: String): Unit = {
+    val all = withFeatures(labeled(spark, dir))
+    val model = fitOn(all)
+    val names = featureCols.map(_._1)
+    all.select(col("doc_id"), col("label"),
+        posexplode(array(names.map(col): _*)).as(Seq("idx", "x")))
+      .unionByName(all.select(col("doc_id"), col("label"),
+        lit(-1).as("idx"), lit(1.0).as("x")))
+      .coalesce(1).write.mode("overwrite").parquet(FeatsExportPath)
+    val w = model.coefficients.toArray.zipWithIndex.map { case (v, i) => (i, v) } :+
+      (-1 -> model.intercept)
+    spark.createDataFrame(w.toSeq).toDF("idx", "w")
+      .coalesce(1).write.mode("overwrite").parquet(WeightsExportPath)
+  }
+
+  /** The model serve path, recomputed from the exported bytes: margin =
+    * Σ wᵢxᵢ (the idx join brings intercept along), score = σ(margin).
+    * Margins sit far from 0 for this corpus (the classes are separated),
+    * so cross-engine float-summation order cannot flip pred_pos, and the
+    * 4dp-rounded score flips only if a sum lands ~1e-14 from a rounding
+    * boundary. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_quality_score" -> ((s: SparkSession, _: String) =>
+      s.read.parquet(FeatsExportPath)
+        .join(s.read.parquet(WeightsExportPath), Seq("idx"))
+        .groupBy("doc_id", "label")
+        .agg(sum(col("w") * col("x")).as("margin"))
+        .select(col("doc_id"), col("label"),
+          round(lit(1.0) / (lit(1.0) + exp(-col("margin"))), 4).as("score"),
+          (col("margin") > 0).as("pred_pos"))
+        .orderBy("doc_id", "label")),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "ml_quality_score" ->
+      (s"""SELECT f.doc_id, f.label,
+        |ROUND(1.0/(1.0 + exp(-SUM(w.w * f.x))), 4) AS score,
+        |SUM(w.w * f.x) > 0 AS pred_pos
+        |FROM '$FeatsExportPath/*.parquet' f
+        |JOIN '$WeightsExportPath/*.parquet' w USING (idx)
+        |GROUP BY f.doc_id, f.label ORDER BY f.doc_id, f.label""").stripMargin
+        .replaceAll("\n", " "),
+  )
 
   /** Score a corpus: P(quality) per document. */
   def score(model: LogisticRegressionModel, spark: SparkSession, dir: String): DataFrame = {
