@@ -23,6 +23,15 @@ import graft.sources.Tables
   * keys, never a broadcast of the corpus and no driver state (V is one
   * scalar aggregate). Per-doc cross entropy is then a single groupBy.
   *
+  * Plan-shape note (measured, 10× ScaleUp corpus): pre-aggregating the
+  * occurrence stream to per-doc bigram counts before the scoring joins
+  * looks cheaper on paper but measured SLOWER (9.0 → 10.6 s warm) — the
+  * (doc_id,w₁,w₂) pre-aggregation is a full shuffle of the occurrence
+  * stream, while this form never shuffles it: the count tables aggregate
+  * with map-side combine, AQE broadcasts them (they are vocabulary-sized),
+  * and the per-doc groupBy partial-aggregates to one row per doc before
+  * its exchange.
+  *
   * Determinism for the cross-engine oracle: counts are exact integers in
   * both engines; the only floats are the final −avg(ln·) (rounded to 4dp;
   * a libm-ulp difference would need to land within ~1e-14 of a rounding

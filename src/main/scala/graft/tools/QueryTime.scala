@@ -1,0 +1,39 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.SparkEntry
+
+/** Ad-hoc wall-clock timing for named SparkEntry queries against any data
+  * dir (the scale-evidence companion to Bench: point it at the ScaleUp
+  * output to see how an operator's cost moves with 10× rows). Two passes
+  * per query — pass 1 is cold (plan compile + any artifact build), pass 2
+  * warm. Results sink to the noop format so the full plan executes
+  * without measuring local-disk write throughput.
+  *
+  * Usage: runMain graft.tools.QueryTime <dir> <query> [query ...]
+  */
+object QueryTime {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val names = args.drop(1).toSeq
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    names.foreach { n =>
+      val fn = SparkEntry.queries.getOrElse(n,
+        sys.error(s"unknown query: $n (see SparkEntry.queries)"))
+      (1 to 2).foreach { pass =>
+        val t0 = System.nanoTime()
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"[qt] $n pass$pass $secs%.2f s")
+      }
+    }
+    spark.stop()
+  }
+}
