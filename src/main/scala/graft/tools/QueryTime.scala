@@ -24,8 +24,13 @@ object QueryTime {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // non-contract variants worth timing (not registered driver queries)
+    val extras: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+      "dd_substring_spans_fast" ->
+        ((s, d) => graft.operators.SubstringDedup.duplicatedSpans(s, d, fastHash = true)),
+    )
     names.foreach { n =>
-      val fn = SparkEntry.queries.getOrElse(n,
+      val fn = (SparkEntry.queries ++ extras).getOrElse(n,
         sys.error(s"unknown query: $n (see SparkEntry.queries)"))
       (1 to 2).foreach { pass =>
         val t0 = System.nanoTime()
