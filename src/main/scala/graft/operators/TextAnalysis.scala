@@ -203,8 +203,9 @@ object TextAnalysis {
       .orderBy("doc_id")
 
   /** The language prediction as a reusable Column over a `text` column
-    * (shared by tx_langid and the composite cleaning pipeline). */
-  private[operators] def predLangCol: Column = {
+    * (shared by tx_langid, the composite cleaning pipeline, and the
+    * streaming clean). */
+  private[graft] def predLangCol: Column = {
     val t = toks
     val scored = LangMarkers.zipWithIndex.map { case ((lang, markers), i) =>
       struct(
