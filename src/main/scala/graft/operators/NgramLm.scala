@@ -70,6 +70,42 @@ object NgramLm {
       .orderBy("doc_id")
   }
 
+  /** Bigram rows (doc_id, w1, w2) for any (doc_id, text) frame — works
+    * identically on static and streaming input (pure flatMap). */
+  private def bigramsOf(docs: DataFrame): DataFrame = {
+    val t = split(col("text"), " ")
+    docs.select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(t) - 1), i =>
+          struct(element_at(t, i).as("w1"), element_at(t, i + lit(1)).as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+  }
+
+  /** Score a STREAM of documents against the frozen LM trained on `dir` —
+    * the serve half of the CCNet setup (train once on a clean corpus,
+    * score every arriving crawl doc). Stream-static joins: each
+    * micro-batch's bigrams join the static count tables (broadcast-sized
+    * here; uniform-key shuffle joins past broadcast size), then one
+    * streaming per-doc aggregation (update mode — each doc arrives whole
+    * in a batch). LEFT joins + coalesce handle n-grams the frozen LM has
+    * never seen (c=0 smoothing mass), which self-scoring never hits but
+    * fresh stream data will. */
+  def scoreStream(spark: SparkSession, dir: String, docs: DataFrame): DataFrame = {
+    val trainBigrams = bigramsOf(Tables.documents(spark, dir))
+    val uni = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val v = uni.count().toDouble
+    val bi = trainBigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val logp = log((coalesce(col("c12"), lit(0L)) + lit(K)) /
+      (coalesce(col("c1"), lit(0L)) + lit(K * v)))
+    bigramsOf(docs)
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(uni, Seq("w1"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("m"), round(-avg(logp), 4).as("xent"))
+      .withColumn("ppl", round(exp(col("xent")), 4))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_perplexity" -> perplexity _,
   )

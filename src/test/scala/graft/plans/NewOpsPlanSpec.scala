@@ -1,0 +1,71 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{CdcChunking, Chunking, NgramLm, Sharding, SubstringDedup}
+
+/** Plan-shape gates for the round-5 batch-2 operators: the chunkers and
+  * the shard assigner must stay scan-bound (no Exchange except their
+  * final presentation sort), and the heavy text operators must never
+  * take a quadratic join. */
+class NewOpsPlanSpec extends AnyFunSuite {
+
+  val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // finalize the adaptive plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  /** Exchanges other than the single rangepartitioning of the final
+    * ORDER BY (the presentation sort the oracle contract requires). */
+  private def nonSortExchanges(plan: String): Int =
+    "Exchange (hash|SinglePartition|rangepartitioning)".r.findAllIn(plan)
+      .toSeq.count(!_.contains("rangepartitioning"))
+
+  test("tx_chunks: scan-bound — no Exchange except the final sort") {
+    val plan = planOf(Chunking.chunks(spark, sf))
+    assert(nonSortExchanges(plan) == 0, s"chunking shuffles:\n${plan.take(900)}")
+  }
+
+  test("tx_cdc_chunks: scan-bound — no Exchange except the final sort") {
+    val plan = planOf(CdcChunking.cdcChunks(spark, sf))
+    assert(nonSortExchanges(plan) == 0, s"CDC chunking shuffles:\n${plan.take(900)}")
+  }
+
+  test("ds_shards: deterministic assignment is a pure scan projection") {
+    val plan = planOf(Sharding.shardAssign(spark, sf))
+    assert(nonSortExchanges(plan) == 0, s"shard assign shuffles:\n${plan.take(900)}")
+  }
+
+  test("dd_substring_spans: no quadratic join; window input is duplicated positions only") {
+    val df = SubstringDedup.duplicatedSpans(spark, sf)
+    val plan = planOf(df)
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"quadratic shape:\n${plan.take(900)}")
+    // the gaps-and-islands window must sit ABOVE the duplicate-hash join
+    // (windowing the full position stream would be corpus-sized state)
+    val wIdx = plan.indexOf("Window")
+    val jIdx = plan.indexOf("Join")
+    assert(wIdx >= 0 && jIdx >= 0 && wIdx < jIdx,
+      s"window not above the dup join:\n${plan.take(900)}")
+  }
+
+  test("tx_perplexity: count tables broadcast; occurrence stream is never exchange-joined") {
+    val plan = planOf(NgramLm.perplexity(spark, sf))
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"))
+    // AQE turns both count-table joins into broadcasts: the only
+    // non-broadcast exchanges left are aggregations + the final sort
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n${plan.take(900)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"occurrence stream shuffled for a join:\n${plan.take(900)}")
+  }
+}
