@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Sequential event analytics over the events stream — the funnel and
+  * cohort-retention queries every product-analytics deployment runs
+  * (SURVEY §2.G relational surface, G8/G14 composition).
+  *
+  * Both are expressed as per-user aggregates joined back against the
+  * event scan: the per-user frames are user-cardinality (tiny next to
+  * the event log), so Catalyst broadcasts them and the 100 TB event scan
+  * is only ever filtered + hash-aggregated — no self-join of the raw log
+  * on itself, no window over the full stream.
+  */
+object EventAnalytics {
+
+  /** Ordered conversion funnel view → click → purchase, each step within
+    * `windowHours` of the user's FIRST view and strictly after the
+    * previous step (the standard strict-order funnel semantics). One row
+    * per step with the surviving user count. */
+  def funnel(spark: SparkSession, dir: String, windowHours: Int = 24): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val horizon = expr(s"INTERVAL $windowHours HOURS")
+    val tv = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("tv"))
+    val tc = ev.filter(col("event_type") === "click")
+      .join(broadcast(tv), Seq("user_id"))
+      .filter(col("ts") > col("tv") && col("ts") <= col("tv") + horizon)
+      .groupBy("user_id").agg(min("ts").as("tc"), min("tv").as("tv"))
+    val tp = ev.filter(col("event_type") === "purchase")
+      .join(broadcast(tc), Seq("user_id"))
+      .filter(col("ts") > col("tc") && col("ts") <= col("tv") + horizon)
+      .groupBy("user_id").agg(min("ts").as("tp"))
+    def step(n: Int, name: String, d: DataFrame): DataFrame =
+      d.agg(count(lit(1)).as("users"))
+        .select(lit(n).as("step"), lit(name).as("name"), col("users"))
+    step(1, "view", tv)
+      .unionByName(step(2, "click", tc))
+      .unionByName(step(3, "purchase", tp))
+      .orderBy("step")
+  }
+
+  /** Day-k cohort retention: users grouped by their first-activity day;
+    * for each cohort and offset k ∈ [0, maxDays], how many of its users
+    * were active on day₀+k. */
+  def retention(spark: SparkSession, dir: String, maxDays: Int = 7): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val active = ev.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val cohort = active.groupBy("user_id").agg(min("day").as("d0"))
+    active.join(broadcast(cohort), Seq("user_id"))
+      .withColumn("k", datediff(col("day"), col("d0")))
+      .filter(col("k") >= 0 && col("k") <= maxDays)
+      .groupBy(col("d0"), col("k"))
+      .agg(countDistinct("user_id").as("users"))
+      .orderBy("d0", "k")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_funnel" -> ((s: SparkSession, d: String) => funnel(s, d)),
+    "q27_retention" -> ((s: SparkSession, d: String) => retention(s, d)),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q26_funnel" ->
+      """WITH tv AS (SELECT user_id, MIN(ts) AS tv FROM events
+        |WHERE event_type = 'view' GROUP BY 1),
+        |tc AS (SELECT e.user_id, MIN(e.ts) AS tc, MIN(tv.tv) AS tv
+        |FROM events e JOIN tv ON e.user_id = tv.user_id
+        |WHERE e.event_type = 'click' AND e.ts > tv.tv
+        |AND e.ts <= tv.tv + INTERVAL 24 HOUR GROUP BY 1),
+        |tp AS (SELECT e.user_id, MIN(e.ts) AS tp
+        |FROM events e JOIN tc ON e.user_id = tc.user_id
+        |WHERE e.event_type = 'purchase' AND e.ts > tc.tc
+        |AND e.ts <= tc.tv + INTERVAL 24 HOUR GROUP BY 1)
+        |SELECT 1 AS step, 'view' AS name, COUNT(*) AS users FROM tv
+        |UNION ALL SELECT 2, 'click', COUNT(*) FROM tc
+        |UNION ALL SELECT 3, 'purchase', COUNT(*) FROM tp
+        |ORDER BY step""".stripMargin.replaceAll("\n", " "),
+    "q27_retention" ->
+      """WITH active AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |cohort AS (SELECT user_id, MIN(day) AS d0 FROM active GROUP BY 1)
+        |SELECT c.d0, CAST(date_diff('day', c.d0, a.day) AS INTEGER) AS k,
+        |COUNT(DISTINCT a.user_id) AS users
+        |FROM active a JOIN cohort c ON a.user_id = c.user_id
+        |WHERE date_diff('day', c.d0, a.day) BETWEEN 0 AND 7
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replaceAll("\n", " "),
+  )
+}

@@ -1,0 +1,65 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+
+import graft.SparkEntry
+
+/** Execution-metrics audit: run named queries and report the SHUFFLE and
+  * SPILL bytes their physical plans actually moved — the numbers that
+  * decide 100 TB viability, where wall-clock on a 32-core box cannot
+  * (a query can look fast locally while shuffling its whole input).
+  *
+  * Walks the finalized adaptive plan (through AQE wrappers and query
+  * stages) and sums each node's SQLMetrics after execution.
+  *
+  * Usage: runMain graft.tools.PlanAudit <dir> <query> [query ...]
+  */
+object PlanAudit {
+
+  /** All physical nodes, descending through AQE wrappers and stages. */
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case s: QueryStageExec        => Seq(s.plan)
+      case other                    => other.children
+    }
+    p +: kids.flatMap(allNodes)
+  }
+
+  def audit(df: org.apache.spark.sql.DataFrame): Map[String, Long] = {
+    // drive THIS df's QueryExecution (a .write wraps the plan in a new
+    // QueryExecution, leaving these nodes' metrics untouched)
+    df.queryExecution.toRdd.foreach(_ => ())
+    val nodes = allNodes(df.queryExecution.executedPlan)
+    def sumOf(key: String): Long =
+      nodes.flatMap(_.metrics.get(key)).map(_.value).filter(_ > 0).sum
+    Map(
+      "shuffle_bytes" -> sumOf("shuffleBytesWritten"),
+      "shuffle_records" -> sumOf("shuffleRecordsWritten"),
+      "spill_bytes" -> (sumOf("spillSize") + sumOf("diskBytesSpilled")),
+      "scan_rows" -> nodes.filter(_.getClass.getSimpleName.contains("FileSourceScan"))
+        .flatMap(_.metrics.get("numOutputRows")).map(_.value).sum,
+    )
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val names = if (args.length > 1) args.drop(1).toSeq else SparkEntry.benchQueries
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    println(f"[audit] ${"query"}%-22s ${"scan_rows"}%12s ${"shuffle_rec"}%12s ${"shuffle_MB"}%10s ${"spill_MB"}%8s")
+    names.foreach { n =>
+      val m = audit(SparkEntry.queries(n)(spark, dir))
+      println(f"[audit] $n%-22s ${m("scan_rows")}%12d ${m("shuffle_records")}%12d " +
+        f"${m("shuffle_bytes") / 1e6}%10.1f ${m("spill_bytes") / 1e6}%8.1f")
+    }
+    spark.stop()
+  }
+}
