@@ -48,10 +48,7 @@ object NgramLm {
     val docs = Tables.documents(spark, dir)
     val t = split(col("text"), " ")
 
-    val bigrams = docs.select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(t) - 1), i =>
-          struct(element_at(t, i).as("w1"), element_at(t, i + lit(1)).as("w2")))).as("bg"))
-      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bigrams = bigramsOf(docs)
 
     val uni = docs.select(explode(t).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("c1"))
@@ -71,11 +68,18 @@ object NgramLm {
   }
 
   /** Bigram rows (doc_id, w1, w2) for any (doc_id, text) frame — works
-    * identically on static and streaming input (pure flatMap). */
+    * identically on static and streaming input (pure flatMap). Guarded
+    * for docs with <2 tokens: sequence(1, nt−1) would otherwise step
+    * DOWNWARD (start > stop defaults to step −1) and element_at(t, 0)
+    * throws — the short-doc trap that once crashed repetition(). Such
+    * docs simply contribute no bigrams (matching the oracle, where
+    * generate_series(1, 0) is empty). */
   private def bigramsOf(docs: DataFrame): DataFrame = {
     val t = split(col("text"), " ")
+    val starts = when(size(t) >= 2, sequence(lit(1), size(t) - 1))
+      .otherwise(array().cast("array<int>"))
     docs.select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(t) - 1), i =>
+        explode(transform(starts, i =>
           struct(element_at(t, i).as("w1"), element_at(t, i + lit(1)).as("w2")))).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
   }

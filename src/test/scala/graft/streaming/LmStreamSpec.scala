@@ -11,6 +11,17 @@ import graft.sources.Tables
   * bigram LM match the batch scorer exactly. */
 class LmStreamSpec extends SparkSpec {
 
+  test("short docs: 1-token doc contributes no bigrams and does not crash") {
+    import spark.implicits._
+    val tiny = Seq((1L, "solo"), (2L, "two tokens")).toDF("doc_id", "text")
+    // scoreStream works on static frames too (stream-static joins degrade
+    // to plain joins) — the 1-token doc must vanish, not throw
+    val got = NgramLm.scoreStream(spark, sf, tiny).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set(2L))
+    assert(got(2L) == 1)
+  }
+
   test("stream scoring ≡ batch perplexity on corpus docs; unseen n-grams smoothed") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
