@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -58,9 +58,37 @@ object EventAnalytics {
       .orderBy("d0", "k")
   }
 
+  /** Pure interval join without an equi key — "clicks within the hour
+    * after each error" — rewritten as a BINNED equi join: the probe side
+    * keys on its hour bucket, the interval side explodes into the (≤2)
+    * hour buckets its window overlaps, the join runs on the bucket, and
+    * the exact interval predicate filters residually. A naive
+    * formulation is a BroadcastNestedLoopJoin — O(N·M) comparisons; the
+    * binned form shuffles each side once on a uniform time key and
+    * compares only within-bucket pairs (the manual form of the
+    * bin-based range-join optimization; NewOpsPlanSpec asserts the
+    * no-NLJ plan). Each probe row lives in exactly ONE bucket, so no
+    * pair can match twice — no post-join dedup needed. */
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val hourBin = (c: Column) => floor(unix_timestamp(c) / lit(3600L))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("ts").as("ets"),
+        explode(sequence(hourBin(col("ts")), hourBin(col("ts")) + 1)).as("bin"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("ts").as("cts"), hourBin(col("ts")).as("bin"))
+    errors.join(clicks, Seq("bin"))
+      .filter(col("cts") > col("ets") &&
+        col("cts") <= col("ets") + expr("INTERVAL 1 HOURS"))
+      .groupBy("event_id")
+      .agg(count(lit(1)).as("clicks"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_funnel" -> ((s: SparkSession, d: String) => funnel(s, d)),
     "q27_retention" -> ((s: SparkSession, d: String) => retention(s, d)),
+    "q28_interval_join" -> intervalJoin _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -87,5 +115,11 @@ object EventAnalytics {
         |FROM active a JOIN cohort c ON a.user_id = c.user_id
         |WHERE date_diff('day', c.d0, a.day) BETWEEN 0 AND 7
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replaceAll("\n", " "),
+    "q28_interval_join" ->
+      """SELECT e.event_id, COUNT(*) AS clicks
+        |FROM events e JOIN events c
+        |ON c.ts > e.ts AND c.ts <= e.ts + INTERVAL 1 HOUR
+        |WHERE e.event_type = 'error' AND c.event_type = 'click'
+        |GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "),
   )
 }

@@ -59,6 +59,12 @@ class NewOpsPlanSpec extends AnyFunSuite {
       s"window not above the dup join:\n${plan.take(900)}")
   }
 
+  test("q28_interval_join: binned equi join, not a nested loop") {
+    val plan = planOf(graft.operators.EventAnalytics.intervalJoin(spark, sf))
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"interval join went quadratic:\n${plan.take(900)}")
+  }
+
   test("tx_perplexity: count tables broadcast; occurrence stream is never exchange-joined") {
     val plan = planOf(NgramLm.perplexity(spark, sf))
     assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"))
