@@ -51,10 +51,9 @@ object Sharding {
     * file per shard, no tiny-file fanout); at 100 TB the same call with
     * a larger n plus `maxRecordsPerFile` bounds individual file sizes
     * while keeping shard→file mapping deterministic. */
-  def writeShards(df: DataFrame, keyCol: String, outDir: String,
-      n: Int = NShards): Unit =
+  def writeShards(df: DataFrame, keyCol: String, outDir: String): Unit =
     df.withColumn("shard", shardCol(col(keyCol)))
-      .repartition(n, col("shard"))
+      .repartition(NShards, col("shard"))
       .write.mode("overwrite")
       .partitionBy("shard")
       .parquet(outDir)
