@@ -67,6 +67,34 @@ class ChunkShardSpec extends SparkSpec {
     }
   }
 
+  test("approx_percentile: rank-error law vs the exact quantiles report_corpus uses") {
+    // the sketch path a 100 TB report would swap in for the exact
+    // percentile: rank error ≤ n/accuracy (KLL-style guarantee)
+    val accuracy = 100
+    val perLang = Tables.documents(spark, sf)
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("nt"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (l, v) => l -> v.map(_._2).sorted }
+    val approx = Tables.documents(spark, sf)
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("nt"))
+      .groupBy("lang")
+      .agg(expr(s"approx_percentile(nt, array(0.5, 0.9), $accuracy)").as("ap"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    perLang.foreach { case (lang, sorted) =>
+      val n = sorted.length
+      Seq(0.5, 0.9).zipWithIndex.foreach { case (q, i) =>
+        val est = approx(lang)(i)
+        // rank window: the (n−1)·q position ± (rank error + 1 index of
+        // definitional slack between percentile conventions)
+        val slack = n / accuracy + 1
+        val lo = sorted(math.max(0, math.floor((n - 1) * q).toInt - slack))
+        val hi = sorted(math.min(n - 1, math.ceil((n - 1) * q).toInt + slack))
+        assert(est >= lo && est <= hi,
+          s"$lang q$q: approx $est outside rank window [$lo, $hi]")
+      }
+    }
+  }
+
   test("count-min sketch: one-sided error law vs exact heavy hitters") {
     val exact = TextAnalysis.topTerms(spark, sf, k = 20).collect()
       .map(r => r.getString(0) -> r.getLong(1))
