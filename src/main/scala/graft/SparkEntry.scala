@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.materials.Materials
 import graft.ml.DielectricModel
-import graft.operators.{Bpe, CdcChunking, Chunking, Decontam, Dedup, EventAnalytics, JoinOpt, Multimodal, NgramLm, Packing, Pipeline, Quantize, Relational, Sampling, Sharding, Similarity, SkewJoin, SubstringDedup, TextAnalysis}
+import graft.operators.{Bpe, CdcChunking, Chunking, Decontam, Dedup, Dsir, EventAnalytics, JoinOpt, Multimodal, NgramLm, Packing, Pipeline, Quantize, Relational, Sampling, SemDedup, Sharding, Similarity, SkewJoin, SubstringDedup, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -24,8 +24,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ SkewJoin.queries ++ JoinOpt.queries ++
-      EventAnalytics.queries ++ Dedup.queries ++
-      SubstringDedup.queries ++ CdcChunking.queries ++
+      EventAnalytics.queries ++ Dedup.queries ++ SemDedup.queries ++
+      Dsir.queries ++ SubstringDedup.queries ++ CdcChunking.queries ++
       Similarity.queries ++ TextAnalysis.queries ++ Chunking.queries ++
       NgramLm.queries ++ Sampling.queries ++ Sharding.queries ++
       Packing.queries ++ Quantize.queries ++ Bpe.queries ++ Decontam.queries ++
@@ -38,8 +38,8 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ SkewJoin.oracleSql ++ JoinOpt.oracleSql ++
-      EventAnalytics.oracleSql ++ Dedup.oracleSql ++
-      SubstringDedup.oracleSql ++ CdcChunking.oracleSql ++
+      EventAnalytics.oracleSql ++ Dedup.oracleSql ++ SemDedup.oracleSql ++
+      Dsir.oracleSql ++ SubstringDedup.oracleSql ++ CdcChunking.oracleSql ++
       Similarity.oracleSql ++ TextAnalysis.oracleSql ++ Chunking.oracleSql ++
       NgramLm.oracleSql ++ Sampling.oracleSql ++ Sharding.oracleSql ++
       Packing.oracleSql ++ Quantize.oracleSql ++

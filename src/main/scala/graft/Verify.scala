@@ -33,6 +33,12 @@ object Verify {
     catch { case e: Throwable =>
       System.err.println(s"[verify] quality-classifier export failed: ${e.getMessage}")
     }
+    // semdedup cell export: dd_semdedup (Spark AND its DuckDB oracle)
+    // computes the prune from this fitted (vec_id, cell) assignment
+    try graft.operators.SemDedup.exportCells(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] semdedup cell export failed: ${e.getMessage}")
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

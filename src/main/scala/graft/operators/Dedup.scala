@@ -229,6 +229,78 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** Deterministic ingest-batch membership: ~1/16 of documents (md5
+    * prefix '0') play "tonight's new batch"; the rest are the already-
+    * deduplicated historical corpus. md5-based so the DuckDB oracle
+    * draws the identical split. */
+  private[operators] def isNewBatch: Column =
+    substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
+
+  /** The persisted incremental-dedup store: band keys of the HISTORY
+    * corpus only — (doc_id, band_idx, band_hash), ~8 longs per document.
+    * At 100 TB this is the whole point: the nightly job reads THIS
+    * artifact (≈0.1% of corpus bytes), never the historical text. */
+  def buildBandStore(spark: SparkSession, dir: String): DataFrame =
+    bandKeys(signaturesFast(spark, dir).filter(isNewBatch.unary_!), nBands = 8)
+
+  def saveBandStore(store: DataFrame, path: String): Unit =
+    store.write.mode("overwrite").parquet(path)
+
+  def loadBandStore(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Incremental near-dup detection: new-batch documents vs the
+    * historical store (Lee et al. 2022 "Deduplicating Training Data
+    * Makes Language Models Better" §4 runs exactly this shape nightly —
+    * dedup each crawl increment against the accumulated corpus).
+    *
+    * Candidates = new-batch band keys equi-joined against the store
+    * (uniform hash keys, shuffle ∝ batch + store, never history text);
+    * verification = EXACT n-gram Jaccard confined to candidates, with
+    * the history side's shingles re-derived only for MATCHED doc_ids
+    * (the join-back is candidate-bounded). Output (new_id, hist_id, j ≥
+    * 0.5) is equality-oracled against the exact cross-batch Jaccard pair
+    * set — a banding miss fails the gate, same contract as
+    * dd_minhash_lsh_fast. */
+  def incrementalPairs(spark: SparkSession, dir: String,
+      store0: Option[DataFrame] = None): DataFrame = {
+    val store = store0.getOrElse(
+      PersistSlots.cached(spark, s"incr-store:$dir")(buildBandStore(spark, dir)))
+    val newBands = bandKeys(signaturesFast(spark, dir).filter(isNewBatch), nBands = 8)
+    val cand = newBands
+      .select(col("doc_id").as("new_id"), col("band_idx"), col("band_hash"))
+      .join(store.select(col("doc_id").as("hist_id"), col("band_idx"), col("band_hash")),
+        Seq("band_idx", "band_hash"))
+      .select("new_id", "hist_id").distinct()
+    val sh = PersistSlots.cached(spark, s"ngram-shingles:$dir")(shingles(spark, dir))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("new_id"), col("s")), Seq("new_id"))
+      .join(sh.select(col("doc_id").as("hist_id"), col("s")), Seq("hist_id", "s"))
+      .groupBy("new_id", "hist_id").agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.select(col("doc_id").as("new_id"), col("n").as("na")), Seq("new_id"))
+      .join(sizes.select(col("doc_id").as("hist_id"), col("n").as("nb")), Seq("hist_id"))
+      .withColumn("j", col("c") / (col("na") + col("nb") - col("c")))
+      .filter(col("j") >= 0.5)
+      .select(col("new_id"), col("hist_id"), round(col("j"), 4).as("j"))
+      .orderBy("new_id", "hist_id")
+  }
+
+  /** Exploded (doc_id, band_idx, band_hash) rows for a signature frame —
+    * shared by lshCandidates (self-join form) and the incremental store
+    * (asymmetric new-vs-history form). */
+  private def bandKeys(sig: DataFrame, nBands: Int): DataFrame = {
+    val rows = MinhashFuncs / nBands
+    val bandCols = (0 until nBands).map { bi =>
+      val parts = (bi * rows until (bi + 1) * rows).map(i => col(s"mh$i"))
+      struct(lit(bi).as("band_idx"), xxhash64(parts: _*).as("band_hash"))
+    }
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bd"))
+      .select(col("doc_id"), col("bd.band_idx").as("band_idx"),
+        col("bd.band_hash").as("band_hash"))
+  }
+
   /** Banded candidate pairs (a_id < b_id, distinct) from a signature
     * frame — the equi-join candidate generation both verify flavors
     * share. */
@@ -522,6 +594,10 @@ object Dedup {
     // oracled: xxhash64-banded candidates + EXACT Jaccard verify must
     // reproduce the full exact pair set (candidate coverage gate)
     "dd_minhash_lsh_fast" -> minhashLshFast _,
+    // incremental (new-batch vs persisted history store): candidates from
+    // the band-store equi join, exact-verified — oracled vs the exact
+    // cross-batch Jaccard pair set (a store miss fails the gate)
+    "dd_incremental" -> ((s: SparkSession, d: String) => incrementalPairs(s, d)),
     "dd_simhash" -> simhash _,
     "dd_simhash_pairs" -> simhashPairs _,
     // the 64-bit production family: engine-internal xxhash64 (no DuckDB
@@ -602,6 +678,22 @@ object Dedup {
         |WHERE c*1.0/(sa.n+sb.n-c) >= 0.5 ORDER BY a_id, b_id""").stripMargin.replaceAll("\n", " "),
     "dd_minhash_sig" ->
       (sigCte + " SELECT * FROM sig ORDER BY doc_id").replaceAll("\n", " "),
+    // the incremental path is exact-verified, so its oracle is the exact
+    // Jaccard pair set RESTRICTED to (new batch × history) — the same
+    // md5-prefix split both engines derive independently
+    "dd_incremental" -> (shingleCte + """,
+        |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) c
+        |FROM sh a JOIN sh b ON a.s=b.s AND a.doc_id<b.doc_id GROUP BY 1,2),
+        |jp AS (SELECT a_id, b_id, c*1.0/(sa.n+sb.n-c) AS j FROM inter
+        |JOIN sizes sa ON sa.doc_id=a_id JOIN sizes sb ON sb.doc_id=b_id
+        |WHERE c*1.0/(sa.n+sb.n-c) >= 0.5),
+        |fl AS (SELECT a_id, b_id, j,
+        |substr(md5(CAST(a_id AS VARCHAR)),1,1)='0' AS a_new,
+        |substr(md5(CAST(b_id AS VARCHAR)),1,1)='0' AS b_new FROM jp)
+        |SELECT CASE WHEN a_new THEN a_id ELSE b_id END AS new_id,
+        |CASE WHEN a_new THEN b_id ELSE a_id END AS hist_id, ROUND(j,4) AS j
+        |FROM fl WHERE a_new <> b_new ORDER BY new_id, hist_id""").stripMargin.replaceAll("\n", " "),
     "dd_minhash_lsh" ->
       (sigCte + """
         |SELECT a.doc_id AS a_id, b.doc_id AS b_id, ROUND((""" +

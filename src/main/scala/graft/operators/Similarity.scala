@@ -568,6 +568,120 @@ object Similarity {
   }
 
   // ---------------------------------------------------------------------
+  // PCA dim-reduction shortlist (the FAISS "PCAR,..." pre-transform
+  // pattern from the public index-factory vocabulary): project the
+  // corpus onto the top-PcaDims eigenvectors of its second moment,
+  // shortlist by reduced-space inner product (PcaDims/Dim of the scan
+  // bandwidth), then re-rank the shortlist exactly on full vectors.
+  // Orthonormal rows ⇒ the reduced dot is the true dot restricted to
+  // the kept eigenspace; the error is exactly the discarded eigenmass,
+  // which the exact re-rank absorbs. Composes with IVF (reduce, then
+  // cluster) — standalone here to carry its own equality-oracle slice.
+  // ---------------------------------------------------------------------
+
+  /** Kept dimensions: half the space. On this corpus's fairly flat
+    * spectrum that is ~0.65 of the eigenmass — the honest operating
+    * point for a bandwidth-halving transform (a spikier real-embedding
+    * spectrum keeps more at the same dims). */
+  val PcaDims = 32
+
+  private val pcaCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String, Int), Array[Array[Double]]]
+
+  /** Top-`dims` eigenvectors (rows, unit) of the sampled second moment.
+    * Same fit discipline as OPQ: the driver sees one d×d matrix from a
+    * treeAggregate over a bounded sample — never rows. Second moment,
+    * not centered covariance: the served score is a raw inner product
+    * and x' = R(x−μ) would not preserve it. Per-eigenvector sign and
+    * degenerate-subspace basis are not pinned — reduced inner products
+    * are invariant to both, so the shortlist is stable. */
+  private[operators] def pcaRotation(spark: SparkSession, dir: String, dims: Int): Array[Array[Double]] =
+    pcaCache.getOrElseUpdate((spark.sparkContext.applicationId, dir, dims), {
+      val e = emb(spark, dir)
+      val n = e.count()
+      val frac = math.min(1.0, 8192.0 / math.max(1L, n).toDouble)
+      val fitOn = if (frac >= 1.0) e else e.sample(frac, 42L)
+      val d = Dim
+      val sm = fitOn.select("v").rdd.map(_.getSeq[Double](0).toArray).treeAggregate(
+        Array.ofDim[Double](d, d))(
+        (acc, v) => {
+          var i = 0
+          while (i < d) {
+            val vi = v(i); val row = acc(i); var j = 0
+            while (j < d) { row(j) += vi * v(j); j += 1 }
+            i += 1
+          }
+          acc
+        },
+        (a, b) => {
+          var i = 0
+          while (i < d) {
+            var j = 0
+            while (j < d) { a(i)(j) += b(i)(j); j += 1 }
+            i += 1
+          }
+          a
+        })
+      val (evals, evecs) = graft.functions.JacobiEig.decompose(sm)
+      evals.indices.sortBy(i => -evals(i)).take(dims).map(evecs).toArray
+    })
+
+  /** Projection v ↦ Rv as a broadcast tight loop. */
+  private def projectUdf(spark: SparkSession,
+      r: Array[Array[Double]]): Column => Column = {
+    val rb = spark.sparkContext.broadcast(r)
+    val u = org.apache.spark.sql.functions.udf { (v: Seq[Double]) =>
+      val rr = rb.value
+      val out = new Array[Double](rr.length)
+      var i = 0
+      while (i < rr.length) {
+        val row = rr(i); var s = 0.0; var j = 0
+        while (j < row.length) { s += row(j) * v(j); j += 1 }
+        out(i) = s; i += 1
+      }
+      out
+    }
+    u.apply(_)
+  }
+
+  /** ANN via PCA shortlist + exact re-rank. The projected corpus is the
+    * persisted artifact (PcaDims doubles per vector — at 10¹⁰ vectors
+    * the reduced scan reads half the bytes of the full one; production
+    * stacks this UNDER the IVF/PQ families rather than serving alone).
+    * deepShortlist widens the re-rank window 48 → 192 — the probe-enough
+    * operating point whose top-1 slice carries a full equality oracle
+    * (mirrors ann_ivf_top1: discarding 0.35 of the eigenmass must not
+    * lose the true nearest neighbor behind a 192-deep reduced rank). */
+  def pcaTopK(spark: SparkSession, dir: String, dims: Int = PcaDims,
+      deepShortlist: Boolean = false): DataFrame = {
+    val proj = projectUdf(spark, pcaRotation(spark, dir, dims))
+    val e = emb(spark, dir)
+    val p = PersistSlots.cached(spark, s"pca-proj:$dir:$dims")(
+      e.select(col("vec_id"), proj(col("v")).as("p")))
+    val shortlist = if (deepShortlist) 192 else 48
+    val q = p.filter(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("q_id"), col("p").as("pq"))
+    val wRed = Window.partitionBy("q_id").orderBy(col("red").desc, col("nbr_id"))
+    val cand = broadcast(q)
+      .join(p.select(col("vec_id").as("nbr_id"), col("p").as("pn")),
+        col("q_id") =!= col("nbr_id"))
+      .withColumn("red", dot(col("pq"), col("pn")))
+      .withColumn("srank", row_number().over(wRed))
+      .filter(col("srank") <= shortlist)
+      .select("q_id", "nbr_id")
+    val vecs = e.select(col("vec_id"), col("v"))
+    val w = Window.partitionBy("q_id").orderBy(round(col("cs"), 6).desc, col("nbr_id"))
+    cand
+      .join(vecs.select(col("vec_id").as("q_id"), col("v").as("vq")), Seq("q_id"))
+      .join(vecs.select(col("vec_id").as("nbr_id"), col("v").as("vn")), Seq("nbr_id"))
+      .withColumn("cs", dot(col("vq"), col("vn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("nbr_id"), col("rank"), round(col("cs"), 4).as("cs"))
+      .orderBy("q_id", "rank")
+  }
+
+  // ---------------------------------------------------------------------
   // Product quantization (IVF-PQ): the 100 TB memory/shuffle story.
   //
   // The 64-dim space is split into PqM orthogonal 8-dim subspaces, each
@@ -1123,6 +1237,12 @@ object Similarity {
     // lose the true nearest neighbor
     "ann_opq_top1" -> ((s: SparkSession, d: String) =>
       ivfPqTopK(s, d, deepProbes = true, opq = true).filter(col("rank") === 1)),
+    "ann_pca_topk" -> ((s: SparkSession, d: String) => pcaTopK(s, d)), // recall spec'd
+    // PCA shortlist, probe-enough slice: the 192-deep reduced-space rank
+    // must recover the true nearest neighbor for every query — full
+    // equality oracle (mirrors ann_ivf_top1)
+    "ann_pca_top1" -> ((s: SparkSession, d: String) =>
+      pcaTopK(s, d, deepShortlist = true).filter(col("rank") === 1)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1199,6 +1319,18 @@ object Similarity {
         |SELECT q_id, nbr_id, rank, ROUND(cs,4) AS cs FROM ranked
         |WHERE rank = 1 ORDER BY q_id""".stripMargin.replaceAll("\n", " "),
     "ann_opq_top1" ->
+      """WITH scored AS (
+        |SELECT a.vec_id AS q_id, b.vec_id AS nbr_id,
+        |list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS cs
+        |FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        |WHERE a.vec_id < 20),
+        |ranked AS (SELECT q_id, nbr_id, cs,
+        |CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ROUND(cs,6) DESC, nbr_id) AS INTEGER) AS rank
+        |FROM scored)
+        |SELECT q_id, nbr_id, rank, ROUND(cs,4) AS cs FROM ranked
+        |WHERE rank = 1 ORDER BY q_id""".stripMargin.replaceAll("\n", " "),
+    "ann_pca_top1" ->
       """WITH scored AS (
         |SELECT a.vec_id AS q_id, b.vec_id AS nbr_id,
         |list_sum(list_transform(list_zip(a.embedding, b.embedding),
