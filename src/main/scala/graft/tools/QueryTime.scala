@@ -28,6 +28,10 @@ object QueryTime {
     val extras: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
       "dd_substring_spans_fast" ->
         ((s, d) => graft.operators.SubstringDedup.duplicatedSpans(s, d, fastHash = true)),
+      // the fitted end-to-end SemDeDup (the driver query reads a fixed
+      // sf0.01 cell export, so scale evidence must refit per corpus)
+      "dd_semdedup_full" ->
+        ((s, d) => graft.operators.SemDedup.semDedup(s, d)),
     )
     names.foreach { n =>
       val fn = (SparkEntry.queries ++ extras).getOrElse(n,
