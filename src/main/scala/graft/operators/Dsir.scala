@@ -75,7 +75,7 @@ object Dsir {
     // corpus totals ride a 1-row broadcast (never a driver collect)
     val tot = gb.agg(count(lit(1)).as("nr"),
       count(when(target, 1)).as("nt"))
-    val lr = raw.join(tgt, Seq("b"), "left").crossJoin(broadcast(tot))
+    val lr = raw.join(broadcast(tgt), Seq("b"), "left").crossJoin(broadcast(tot))
       .select(col("b"),
         (log((coalesce(col("ct"), lit(0L)) + lit(1.0)) / (col("nt") + lit(Buckets))) -
           log((col("cr") + lit(1.0)) / (col("nr") + lit(Buckets)))).as("lr"))
@@ -83,6 +83,35 @@ object Dsir {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"), round(avg(col("lr")), 6).as("w"))
       .orderBy("doc_id")
+  }
+
+  /** Score a STREAM of documents against the FROZEN bucket distributions
+    * fitted on `dir` — ingest-time DSIR (fit the target/raw multinomials
+    * once on the reference corpus, weight every arriving crawl doc).
+    * Stream-static: the ≤B-row log-ratio table joins each micro-batch's
+    * grams (broadcast-sized by construction); the per-doc agg runs in
+    * update mode (docs arrive whole in a batch). A stream gram can land
+    * in a bucket the frozen RAW table never populated — the left join +
+    * ln((nr+B)/(nt+B)) floor covers it (ct = cr = 0 smoothing mass),
+    * which self-scoring never hits but fresh crawl data can. */
+  def scoreStream(spark: SparkSession, dir: String, docs: DataFrame,
+      target: Column = col("lang") === "en"): DataFrame = {
+    val gb = gramBuckets(spark, dir)
+    val raw = gb.groupBy("b").agg(count(lit(1)).as("cr"))
+    val tgt = gb.filter(target).groupBy("b").agg(count(lit(1)).as("ct"))
+    val Seq(nr, nt) = gb.agg(count(lit(1)), count(when(target, 1)))
+      .collect().head.toSeq.map(_.asInstanceOf[Long].toDouble)
+    val lr = raw.join(broadcast(tgt), Seq("b"), "left")
+      .select(col("b"),
+        (log((coalesce(col("ct"), lit(0L)) + lit(1.0)) / lit(nt + Buckets)) -
+          log((col("cr") + lit(1.0)) / lit(nr + Buckets))).as("lr"))
+    val floor = math.log((nr + Buckets) / (nt + Buckets))
+    docs.select(col("doc_id"), explode(grams).as("g"))
+      .withColumn("b", substring(md5(col("g")), 1, 3))
+      .join(lr, Seq("b"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        round(avg(coalesce(col("lr"), lit(floor))), 6).as("w"))
   }
 
   /** Top-K selection by rounded weight (doc_id tiebreak). */

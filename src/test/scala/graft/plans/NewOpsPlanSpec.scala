@@ -74,4 +74,50 @@ class NewOpsPlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"),
       s"occurrence stream shuffled for a join:\n${plan.take(900)}")
   }
+
+  test("ds_dsir: log-ratio table broadcast; the gram stream is never sort-merge joined") {
+    val plan = planOf(graft.operators.Dsir.weights(spark, sf))
+    // the only nested loop allowed is the 1-row totals cross join riding
+    // a broadcast (BuildRight, Cross) — it touches ≤4096 lr rows, never
+    // the gram stream
+    assert(!plan.contains("CartesianProduct"))
+    assert(!"NestedLoop".r.findAllIn(plan.replace(
+      "BroadcastNestedLoopJoin BuildRight, Cross", "")).hasNext,
+      s"unexpected nested loop:\n${plan.take(900)}")
+    // the ≤4096-row lr table must ride a broadcast back onto the gram
+    // fan-out — a shuffle of the gram stream for this join would move
+    // corpus-scale rows for a constant-size table
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n${plan.take(900)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"gram stream shuffled for the lr join:\n${plan.take(900)}")
+  }
+
+  test("dd_semdedup: within-cell pruning is an equi join on cell — never quadratic") {
+    val n = graft.sources.Tables.embeddings(spark, sf).count()
+    val idx = graft.operators.Similarity.buildIvfIndex(spark, sf,
+      nClusters = graft.operators.SemDedup.semClusters(n))
+    val plan = planOf(graft.operators.SemDedup.pruneCells(spark, sf,
+      idx.assignments.select("vec_id", "cell")))
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"semdedup prune went quadratic:\n${plan.take(900)}")
+  }
+
+  test("dd_incremental: store lookup is an equi band join — never quadratic") {
+    val plan = planOf(graft.operators.Dedup.incrementalPairs(spark, sf))
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"incremental dedup went quadratic:\n${plan.take(900)}")
+  }
+
+  test("ann_pca: the reduced-space scan is the broadcast-query shape, shortlist is id-only") {
+    val df = graft.operators.Similarity.pcaTopK(spark, sf)
+    val plan = planOf(df)
+    // the ≤20-query side is broadcast over the projected corpus (the
+    // deliberate reduced-bandwidth scan); a CartesianProduct would mean
+    // the broadcast hint was lost
+    assert(!plan.contains("CartesianProduct"), s"lost the broadcast:\n${plan.take(900)}")
+    // full-width vectors appear only in the re-rank joins ABOVE the
+    // shortlist window: the window operates on (q_id, nbr_id, red) rows
+    val wIdx = plan.indexOf("Window")
+    assert(wIdx >= 0, "shortlist window missing")
+  }
 }
