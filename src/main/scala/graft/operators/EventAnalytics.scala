@@ -85,10 +85,50 @@ object EventAnalytics {
       .orderBy("event_id")
   }
 
+  /** Gap-based sessionization: per user, a new session starts after
+    * `gapMinutes` of silence; one row per session with count/bounds/
+    * duration/value totals. The classic lag → break-flag → running-sum
+    * pattern: ONE shuffle on user_id, then both windows and the final
+    * aggregate run inside the same partitioning (no second Exchange —
+    * asserted in NewOpsPlanSpec).
+    *
+    * Scale note: the window partitions by user, so state is bounded by
+    * the busiest user's history, not the stream. A pathological bot user
+    * is the skew case — at 100 TB that user belongs in the STREAMING
+    * form (EventStreams' session_window keeps only the open session in
+    * state and evicts on watermark), which is why both forms exist. */
+  def sessionize(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapped = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("prev", lag("ts", 1).over(w))
+      // µs arithmetic on both engines (unix_micros / epoch_us): Spark's
+      // unix_timestamp truncates to seconds and would split a 1800.4 s
+      // gap differently than the oracle
+      .withColumn("brk",
+        when(col("prev").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev")) > gapMinutes * 60L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx",
+        sum("brk").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    gapped.groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts").as("start_ts"), max("ts").as("end_ts"),
+        round(sum("value"), 2).as("total_value"))
+      .withColumn("duration_s",
+        ((unix_micros(col("end_ts")) - unix_micros(col("start_ts"))) / lit(1000000L))
+          .cast("long"))
+      .select("user_id", "session_idx", "n_events", "start_ts", "end_ts",
+        "duration_s", "total_value")
+      .orderBy("user_id", "session_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_funnel" -> ((s: SparkSession, d: String) => funnel(s, d)),
     "q27_retention" -> ((s: SparkSession, d: String) => retention(s, d)),
     "q28_interval_join" -> intervalJoin _,
+    "q29_sessionize" -> ((s: SparkSession, d: String) => sessionize(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -115,6 +155,19 @@ object EventAnalytics {
         |FROM active a JOIN cohort c ON a.user_id = c.user_id
         |WHERE date_diff('day', c.d0, a.day) BETWEEN 0 AND 7
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replaceAll("\n", " "),
+    "q29_sessionize" ->
+      """WITH g AS (SELECT user_id, ts, event_id, value,
+        |CASE WHEN lag(ts) OVER w IS NULL
+        |OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS brk
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |ROWS UNBOUNDED PRECEDING) AS session_idx FROM g)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |CAST(COUNT(*) AS BIGINT) AS n_events,
+        |MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+        |CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS BIGINT) AS duration_s,
+        |ROUND(SUM(value), 2) AS total_value
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replaceAll("\n", " "),
     "q28_interval_join" ->
       """SELECT e.event_id, COUNT(*) AS clicks
         |FROM events e JOIN events c

@@ -57,6 +57,38 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("sessionize ≡ brute force gap splitting; sessions partition each user's events") {
+    val gapUs = 30L * 60L * 1000000L
+    // brute force: per user, sort by (ts, event_id), split on >30min gaps
+    val expected = events.groupBy(_._2).flatMap { case (uid, evs) =>
+      val sorted = evs.sortBy(e => (e._4, e._1))
+      val sessions = sorted.foldLeft(List.empty[List[(Long, Long, String, Long)]]) {
+        case (acc, e) => acc match {
+          case cur :: rest if e._4 - cur.head._4 <= gapUs => (e :: cur) :: rest
+          case _ => List(e) :: acc
+        }
+      }.reverse.map(_.reverse)
+      sessions.zipWithIndex.map { case (s, i) =>
+        (uid, i + 1L) -> (s.size.toLong, s.head._4, s.last._4)
+      }
+    }
+    val got = EventAnalytics.sessionize(spark, sf)
+      .selectExpr("user_id", "session_idx", "n_events",
+        "unix_micros(start_ts)", "unix_micros(end_ts)", "duration_s")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(got.size == expected.size)
+    expected.foreach { case (k, (n, s, e)) =>
+      val (gn, gs, ge, gd) = got(k)
+      assert((gn, gs, ge) == ((n, s, e)), s"session $k")
+      assert(gd == (e - s) / 1000000L, s"duration $k")
+    }
+    // sessions partition the user's events exactly
+    val totalEvents = got.values.map(_._1).sum
+    assert(totalEvents == events.size.toLong)
+  }
+
   test("interval join ≡ brute force clicks-after-error") {
     val errors = events.filter(_._3 == "error")
     val clicks = events.filter(_._3 == "click").map(_._4)

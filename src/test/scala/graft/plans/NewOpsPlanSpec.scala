@@ -22,7 +22,11 @@ class NewOpsPlanSpec extends AnyFunSuite {
 
   private def planOf(df: org.apache.spark.sql.DataFrame): String = {
     df.collect() // finalize the adaptive plan
-    df.queryExecution.executedPlan.toString
+    // keep only the final adaptive plan: the trailing "== Initial Plan =="
+    // section repeats every operator and would double exchange counts
+    val s = df.queryExecution.executedPlan.toString
+    val cut = s.indexOf("== Initial Plan ==")
+    if (cut >= 0) s.substring(0, cut) else s
   }
 
   /** Exchanges other than the single rangepartitioning of the final
@@ -106,6 +110,14 @@ class NewOpsPlanSpec extends AnyFunSuite {
     val plan = planOf(graft.operators.Dedup.incrementalPairs(spark, sf))
     assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
       s"incremental dedup went quadratic:\n${plan.take(900)}")
+  }
+
+  test("q29_sessionize: one shuffle — window and session aggregate share the user partitioning") {
+    val plan = planOf(graft.operators.EventAnalytics.sessionize(spark, sf))
+    // lag window, running-sum window, and the per-session aggregate must
+    // all reuse the single hashpartitioning(user_id) Exchange; a second
+    // hash Exchange would re-shuffle the event log for no reason
+    assert(nonSortExchanges(plan) == 1, s"expected exactly 1 hash exchange:\n${plan.take(1200)}")
   }
 
   test("ann_pca: the reduced-space scan is the broadcast-query shape, shortlist is id-only") {
