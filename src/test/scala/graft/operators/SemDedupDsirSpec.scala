@@ -100,6 +100,29 @@ class SemDedupDsirSpec extends SparkSpec {
     assert(ws.zip(ws.tail).forall { case (a, b) => a >= b }, "selection sorted by weight desc")
   }
 
+  test("dsir: per-source KL is non-negative-ish and flags an injected drifted source") {
+    // real sources come from one generator — their drift must be small
+    val real = Dsir.sourceKl(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(real.nonEmpty)
+    real.foreach { case (s, kl) =>
+      assert(kl > -1e-6 && kl < 0.5, s"source $s kl $kl out of sane band")
+    }
+    // synthetic drift: the corpus is DOMINATED by the uniform source (so
+    // q ≈ uniform) and Z dumps every gram into one bucket — Z's KL must
+    // dwarf A's (and every real source's). A 50/50 mix would put BOTH
+    // sources equidistant from the blended q and detect nothing.
+    val a = (0 until 4096).flatMap(i => Seq.fill(20)(("srcA", f"$i%03x")))
+    val z = Seq.fill(512)(("srcZ", "0aa"))
+    val gb = spark.createDataFrame(a ++ z).toDF("source", "b")
+    val drift = Dsir.sourceKlOf(gb).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(drift("srcZ") > drift("srcA") * 10,
+      s"concentrated source not flagged: $drift")
+    assert(drift("srcZ") > real.values.max,
+      "injected drift must exceed every real source")
+  }
+
   test("incremental: new-vs-store pairs equal the cross-batch slice of the full pair set") {
     val full = Dedup.minhashLshFast(spark, sf)
       .select(col("a_id"), col("b_id"), col("j")).collect()
