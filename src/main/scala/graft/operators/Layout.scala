@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -37,4 +37,55 @@ object Layout {
     * test in LayoutSpec). */
   def eventsForDay(spark: SparkSession, out: String, day: String): DataFrame =
     spark.read.parquet(out).filter(col("event_date") === lit(day).cast("date"))
+
+  /** Bits per dimension for the Z-curve (8 → 256 buckets/dim, 16-bit
+    * interleaved key — plenty to separate file-count granularity). */
+  val ZBits = 8
+
+  /** Morton/Z-order key over two rank-normalized dimensions: interleave
+    * the top ZBits of each dimension's ntile bucket. Rank normalization
+    * (ntile over a window) makes the curve distribution-agnostic —
+    * raw-value bit interleaving degenerates when one dimension's range
+    * dwarfs the other's. At 100 TB the ntile window is replaced by
+    * approxQuantile boundaries computed on a sample (one pass, no global
+    * sort); the curve math is identical. */
+  private def zKey(a: Column, b: Column): Column =
+    (0 until ZBits).map { i =>
+      (shiftleft(shiftright(a, i).bitwiseAND(1), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(1), 2 * i + 1))
+    }.reduce(_.bitwiseOR(_))
+
+  /** Write `events` Z-ordered on (event_id, value) into `nFiles` files:
+    * range-partition + sort by the interleaved key, so each file covers
+    * a compact box in BOTH dimensions — per-file min/max stats then
+    * prune selective predicates on EITHER dimension (the Delta/Iceberg
+    * OPTIMIZE ZORDER layout, built from Spark primitives: ntile +
+    * bit-interleave + repartitionByRange). A single-column sort layout
+    * prunes only its leading column; Z-order trades a little of that
+    * leading-column locality for usable min/max bounds on every curve
+    * dimension — LayoutSpec measures exactly that tradeoff from the
+    * written files' own stats. */
+  def zorderEvents(spark: SparkSession, dir: String, out: String, nFiles: Int = 16): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+    val buckets = 1 << ZBits
+    val ranked = ev
+      .withColumn("ra", ntile(buckets).over(Window.orderBy("event_id")) - 1)
+      .withColumn("rb", ntile(buckets).over(Window.orderBy("value")) - 1)
+      .withColumn("z", zKey(col("ra"), col("rb")))
+    ranked
+      .repartitionByRange(nFiles, col("z"))
+      .sortWithinPartitions("z")
+      .drop("ra", "rb", "z")
+      .write.mode("overwrite").parquet(out)
+  }
+
+  /** The single-dimension baseline: same file count, sorted by event_id
+    * only (the natural append/ingest order — what a table looks like
+    * when nobody re-clusters it). */
+  def linearEvents(spark: SparkSession, dir: String, out: String, nFiles: Int = 16): Unit =
+    Tables.events(spark, dir)
+      .repartitionByRange(nFiles, col("event_id"))
+      .sortWithinPartitions("event_id")
+      .write.mode("overwrite").parquet(out)
 }
