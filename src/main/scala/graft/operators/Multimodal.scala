@@ -734,8 +734,121 @@ object Multimodal {
         ascii(substring(col("content").cast("string"), 1, 1)).cast("long").as("first_byte"))
       .orderBy("doc_id")
 
+  // -------------------------------------------------------------------
+  // Byte-level CDC dedup for binary assets: the storage-dedup half of
+  // the multimodal story. Text near-dup operators tokenize; an opaque
+  // image/audio/video blob has no tokens, so chunk boundaries come from
+  // a ROLLING BYTE HASH (LBFS/rsync; same family as CdcChunking's token
+  // form) and near-duplicate assets are pairs sharing chunk
+  // fingerprints. A re-encoded header, appended EXIF block, or spliced
+  // segment shifts offsets — content-defined boundaries realign after
+  // the edit, so the untouched chunks still match (fixed-width blocks
+  // lose everything behind one inserted byte; the spec measures both).
+  //
+  // Bytes are opaque to Column math, so this is the one dedup operator
+  // built on mapPartitions (the brief's (d) path) — justified exactly
+  // here: a per-byte sequential rolling hash with min/max clamps has no
+  // declarative form. The emitted fingerprint frame is small (one row
+  // per ~64-byte chunk) and everything downstream (pairing, resemblance)
+  // is ordinary equi-join Column work.
+  // -------------------------------------------------------------------
+
+  /** Rolling window (bytes), boundary mask (mean chunk = 64 B), clamps. */
+  val CdcWindow = 16
+  val CdcMask = 0x3fL
+  val CdcMinChunk = 16
+  val CdcMaxChunk = 512
+
+  case class ChunkFp(doc_id: Long, chunk_idx: Int, offset: Int, len: Int, fp: Long)
+
+  /** FNV-1a 64-bit over a byte slice — the chunk fingerprint. */
+  private[operators] def fnv64(b: Array[Byte], from: Int, until: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = from
+    while (i < until) { h ^= (b(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** Content-defined chunk boundaries over raw bytes: polynomial rolling
+    * hash of the last CdcWindow bytes; a boundary fires when the hash
+    * lands in the mask's fraction of the space, clamped to
+    * [CdcMinChunk, CdcMaxChunk]. Deterministic per content — identical
+    * blobs chunk identically on any partitioning. */
+  private[operators] def cdcChunks(doc: Long, b: Array[Byte]): Seq[ChunkFp] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[ChunkFp]
+    val base = 257L
+    // base^(CdcWindow-1), for removing the oldest byte
+    var basePow = 1L
+    var k = 1
+    while (k < CdcWindow) { basePow *= base; k += 1 }
+    var h = 0L
+    var start = 0
+    var i = 0
+    while (i < b.length) {
+      h = if (i < CdcWindow) h * base + (b(i) & 0xffL)
+      else (h - (b(i - CdcWindow) & 0xffL) * basePow) * base + (b(i) & 0xffL)
+      val len = i - start + 1
+      val boundary = (i >= CdcWindow - 1 && (h & CdcMask) == 0L && len >= CdcMinChunk) ||
+        len >= CdcMaxChunk
+      if (boundary) {
+        out += ChunkFp(doc, out.size, start, len, fnv64(b, start, i + 1))
+        start = i + 1
+      }
+      i += 1
+    }
+    if (start < b.length)
+      out += ChunkFp(doc, out.size, start, b.length - start, fnv64(b, start, b.length))
+    out.toSeq
+  }
+
+  /** Chunk-fingerprint frame for the binary corpus (the persistable
+    * artifact: one small row per chunk, content never leaves the scan). */
+  def cdcFingerprints(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    binaryAssets(spark, dir)
+      .mapPartitions(_.flatMap(a => cdcChunks(a.doc_id, a.content)))
+      .toDF()
+  }
+
+  /** Near-duplicate asset pairs by chunk resemblance: |shared distinct
+    * fps| / |union| ≥ tau. Equi join on fp — candidate work ∝ shared
+    * fingerprints, never assets². */
+  def assetNearDup(spark: SparkSession, dir: String, tau: Double = 0.5): DataFrame =
+    assetNearDupOf(PersistSlots.cached(spark, s"mm-cdc-fp:$dir")(
+      cdcFingerprints(spark, dir).select("doc_id", "fp").distinct()), tau)
+
+  /** The pairing stage over any (doc_id, fp) fingerprint frame (spec
+    * entry point: lets duplicates be injected). */
+  private[operators] def assetNearDupOf(fp0: DataFrame, tau: Double): DataFrame = {
+    val fp = fp0.select("doc_id", "fp").distinct()
+    val sizes = fp.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shared = fp.select(col("doc_id").as("a_id"), col("fp"))
+      .join(fp.select(col("doc_id").as("b_id"), col("fp")), Seq("fp"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("c"))
+    shared
+      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), Seq("a_id"))
+      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), Seq("b_id"))
+      .withColumn("r", col("c") / (col("na") + col("nb") - col("c")))
+      .filter(col("r") >= tau)
+      .select(col("a_id"), col("b_id"), round(col("r"), 4).as("r"))
+      .orderBy("a_id", "b_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta" -> meta _,
+    // spec-gated (rolling byte hash has no DuckDB form): per-asset CDC
+    // chunk summary — the fingerprint artifact's shape. The PAIR surface
+    // (assetNearDup) is exercised in MmCdcSpec with injected duplicates;
+    // this corpus has no byte-identical assets, so the pair set is
+    // legitimately empty and the registered query reports the chunking
+    // instead (500 rows, never a vacuous 0-row artifact)
+    "mm_cdc_chunks" -> ((s: SparkSession, d: String) =>
+      cdcFingerprints(s, d)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"), sum("len").as("n_bytes"),
+          countDistinct("fp").as("n_distinct_fp"))
+        .orderBy("doc_id")),
     // oracled: byte stats are DuckDB-recomputable over the same bytes
     // (corpus is ASCII text so ascii(substr) = byte value); rounding done
     // in Column-land (Spark round == DuckDB ROUND, HALF_UP) not in the
