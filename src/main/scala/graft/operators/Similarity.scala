@@ -586,7 +586,7 @@ object Similarity {
   val PcaDims = 32
 
   private val pcaCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String, Int), Array[Array[Double]]]
+    scala.collection.concurrent.TrieMap.empty[(String, String, Int), (Array[Array[Double]], Long)]
 
   /** Top-`dims` eigenvectors (rows, unit) of the sampled second moment.
     * Same fit discipline as OPQ: the driver sees one d×d matrix from a
@@ -596,6 +596,12 @@ object Similarity {
     * degenerate-subspace basis are not pinned — reduced inner products
     * are invariant to both, so the shortlist is stable. */
   private[operators] def pcaRotation(spark: SparkSession, dir: String, dims: Int): Array[Array[Double]] =
+    pcaFit(spark, dir, dims)._1
+
+  /** (rotation, corpus size) — one fit job per (session, dir, dims); the
+    * count rides along so serving never pays a counting job (the
+    * withBuckets lesson). */
+  private def pcaFit(spark: SparkSession, dir: String, dims: Int): (Array[Array[Double]], Long) =
     pcaCache.getOrElseUpdate((spark.sparkContext.applicationId, dir, dims), {
       val e = emb(spark, dir)
       val n = e.count()
@@ -623,7 +629,7 @@ object Similarity {
           a
         })
       val (evals, evecs) = graft.functions.JacobiEig.decompose(sm)
-      evals.indices.sortBy(i => -evals(i)).take(dims).map(evecs).toArray
+      (evals.indices.sortBy(i => -evals(i)).take(dims).map(evecs).toArray, n)
     })
 
   /** Projection v ↦ Rv as a broadcast tight loop. */
@@ -654,11 +660,20 @@ object Similarity {
     * lose the true nearest neighbor behind a 192-deep reduced rank). */
   def pcaTopK(spark: SparkSession, dir: String, dims: Int = PcaDims,
       deepShortlist: Boolean = false): DataFrame = {
-    val proj = projectUdf(spark, pcaRotation(spark, dir, dims))
+    val (rot, n) = pcaFit(spark, dir, dims)
+    val proj = projectUdf(spark, rot)
     val e = emb(spark, dir)
     val p = PersistSlots.cached(spark, s"pca-proj:$dir:$dims")(
       e.select(col("vec_id"), proj(col("v")).as("p")))
-    val shortlist = if (deepShortlist) 192 else 48
+    // corpus-scaled re-rank window (the lshBitsFor lesson applied before
+    // it bites): rank-by-projection quality is a FRACTION-of-corpus
+    // property — a fixed window silently shrinks to nothing as N grows
+    // (measured at 10×: fixed 48 → recall 0.617; the 1%/4% floors below
+    // restore the operating point while staying ≪ the corpus scan). The
+    // corpus size rides the fit cache — no counting job at serve time.
+    val shortlist =
+      if (deepShortlist) math.max(192L, n / 25).toInt
+      else math.max(48L, n / 100).toInt
     val q = p.filter(col("vec_id") < QuerySetSize)
       .select(col("vec_id").as("q_id"), col("p").as("pq"))
     val wRed = Window.partitionBy("q_id").orderBy(col("red").desc, col("nbr_id"))

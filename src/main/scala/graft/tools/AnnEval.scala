@@ -39,6 +39,10 @@ object AnnEval {
     println(f"[ann] ivf-pq sqrtN recall=${(exact & pq).size.toDouble / exact.size}%.3f time=$tPq%.2fs")
     val (pqd, tPqd) = timed(pairs(Similarity.ivfPqTopK(spark, sfDir, deepProbes = true)))
     println(f"[ann] ivf-pq deep  recall=${(exact & pqd).size.toDouble / exact.size}%.3f time=$tPqd%.2fs")
+    val (pca, tPca) = timed(pairs(Similarity.pcaTopK(spark, sfDir)))
+    println(f"[ann] pca s=48     recall=${(exact & pca).size.toDouble / exact.size}%.3f time=$tPca%.2fs")
+    val (pcad, tPcad) = timed(pairs(Similarity.pcaTopK(spark, sfDir, deepShortlist = true)))
+    println(f"[ann] pca deep     recall=${(exact & pcad).size.toDouble / exact.size}%.3f time=$tPcad%.2fs")
     spark.stop()
   }
 }
