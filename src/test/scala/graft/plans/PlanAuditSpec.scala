@@ -1,0 +1,67 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkEntry
+
+/** Repo-wide physical-plan audit: EVERY registered driver query is
+  * planned (not executed) against the small fixture and checked for
+  * accidental quadratic join shapes. Individual PlanSpec cases gate
+  * specific operators deeply; this sweep guarantees no FUTURE query
+  * ships a CartesianProduct, and that nested-loop joins only appear
+  * where they are the documented design (brute-force oracle forms and
+  * broadcast-tiny-side scans). */
+class PlanAuditSpec extends AnyFunSuite {
+
+  val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
+    * either the exact quadratic ORACLE role (the scale path is a sibling
+    * query), or a deliberately-broadcast ≤20-row query side / 1-row
+    * totals frame driving a scan. */
+  private val nlAllowed: Set[String] = Set(
+    // exact/brute-force oracle forms — the quadratic shape IS the spec
+    "dd_embed_cos", "dd_ngram_jaccard", "ann_topk",
+    // broadcast query-set (≤20 rows) over the corpus scan
+    "ann_pca_topk", "ann_pca_top1",
+    // 1-row broadcast totals cross joins
+    "ds_dsir", "ds_dsir_select", "ds_source_kl", "tx_bm25",
+    // non-equi range predicate with a broadcast-small side (G6 is the
+    // declared nested-loop capability row)
+    "q6_range_join",
+  )
+
+  test("every registered query plans without a CartesianProduct; nested loops only where designed") {
+    var audited = 0
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val planned =
+        try Some(fn(spark, sf).queryExecution.executedPlan.toString)
+        catch { case _: Throwable => None } // fixture-export inputs absent in a bare test run
+      planned.foreach { plan =>
+        audited += 1
+        if (plan.contains("CartesianProduct"))
+          offenders += s"$name: CartesianProduct"
+        if (plan.contains("BroadcastNestedLoopJoin") && !nlAllowed(name))
+          offenders += s"$name: unexpected BroadcastNestedLoopJoin"
+      }
+    }
+    assert(offenders.isEmpty, s"plan audit failures:\n${offenders.mkString("\n")}")
+    // the sweep must actually cover the surface — a broken fixture path
+    // would otherwise pass vacuously (a few queries read Verify-written
+    // exports and may be absent in a bare test environment)
+    assert(audited >= SparkEntry.queries.size - 8,
+      s"only $audited of ${SparkEntry.queries.size} queries auditable")
+    // and the allow-list must not rot: every entry still names a query
+    val unknown = nlAllowed -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty, s"allow-list entries for unregistered queries: $unknown")
+  }
+}
