@@ -54,6 +54,11 @@ class PlanAuditSpec extends AnyFunSuite {
           offenders += s"$name: unexpected BroadcastNestedLoopJoin"
       }
     }
+    // planning the sweep registered persisted slots / fitted indexes in
+    // the SHARED suite session — drop them so later plan-shape suites
+    // (PlanSpec) see scans, not InMemoryRelations
+    graft.operators.ArtifactCaches.clear()
+    spark.catalog.clearCache()
     assert(offenders.isEmpty, s"plan audit failures:\n${offenders.mkString("\n")}")
     // the sweep must actually cover the surface — a broken fixture path
     // would otherwise pass vacuously (a few queries read Verify-written
