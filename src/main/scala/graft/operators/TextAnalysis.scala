@@ -264,7 +264,35 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Adaptive per-domain quality gating: instead of one global threshold
+    * (the [[quality]] signals compared against fixed cutoffs), calibrate
+    * the cutoff PER LANGUAGE as that language's q-quantile of the score —
+    * the CCNet-style recalibration that keeps a fixed-threshold filter
+    * from silently over-dropping a whole low-resource language whose
+    * score distribution sits lower. Score here = alphabetic-character
+    * ratio (the cheapest [[quality]] signal); the machinery generalizes
+    * to any scalar.
+    *
+    * Scale shape: thresholds collapse to one row per language (exact
+    * interpolated percentile, the report_corpus convention) and ride a
+    * broadcast back onto the scan — the corpus is read once, the gate is
+    * a scan-fused comparison. Scores are rounded (6 dp) BEFORE the
+    * percentile so both engines interpolate identical inputs. */
+  def adaptiveQuality(spark: SparkSession, dir: String, q: Double = 0.10): DataFrame = {
+    val alpha = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+      .cast("double") / length(col("text"))
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), round(alpha, 6).as("score"))
+    val thr = scored.groupBy("lang")
+      .agg(round(expr(s"percentile(score, $q)"), 6).as("thr"))
+    scored.join(broadcast(thr), Seq("lang"))
+      .withColumn("keep", col("score") >= col("thr"))
+      .select("doc_id", "lang", "score", "thr", "keep")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_quality_adaptive" -> ((s: SparkSession, d: String) => adaptiveQuality(s, d)),
     "tx_pii" -> piiScrub _,
     "tx_lang_stats" -> langStats _,
     "tx_tokens" -> tokenCounts _,
@@ -280,6 +308,13 @@ object TextAnalysis {
   private def inList(xs: Seq[String]) = xs.map(s => s"'$s'").mkString("(", ",", ")")
 
   val oracleSql: Map[String, String] = Map(
+    "tx_quality_adaptive" ->
+      """WITH s AS (SELECT doc_id, lang,
+        |ROUND(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+        |/ length(text), 6) AS score FROM documents),
+        |t AS (SELECT lang, ROUND(quantile_cont(score, 0.1), 6) AS thr FROM s GROUP BY 1)
+        |SELECT doc_id, s.lang, score, thr, score >= thr AS keep
+        |FROM s JOIN t USING (lang) ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     "tx_pii" -> {
       // enrichment + patterns generated from PiiPatterns so the two
       // engines cannot drift

@@ -40,6 +40,25 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("adaptive quality: every language keeps ~90% regardless of its score distribution") {
+    val rows = TextAnalysis.adaptiveQuality(spark, sf).collect()
+      .map(r => (r.getString(1), r.getBoolean(4)))
+    val byLang = rows.groupBy(_._1).map { case (l, xs) =>
+      l -> xs.count(_._2).toDouble / xs.size
+    }
+    assert(byLang.size >= 3)
+    byLang.foreach { case (l, rate) =>
+      // per-lang calibration: the keep rate tracks 1-q for EVERY language
+      // (a fixed global threshold would instead crater whichever language
+      // scores lowest); band is wide for small-n quantile discreteness
+      assert(rate >= 0.85 && rate <= 0.97, s"lang $l keep rate $rate")
+    }
+    // and the thresholds genuinely differ across languages (they adapt)
+    val thrs = TextAnalysis.adaptiveQuality(spark, sf).select("lang", "thr")
+      .distinct().collect().map(_.getDouble(1)).toSet
+    assert(thrs.size > 1, "all languages got one threshold — nothing adaptive")
+  }
+
   test("bm25: the rare term dominates the ranking (idf discrimination)") {
     val rare = "dup"
     val topIds = Retrieval.bm25(spark, sf).limit(5).collect().map(_.getLong(0)).toSet
