@@ -5,6 +5,11 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 import graft.sources.Tables
 
+/** Row shape for merge-spec changesets (top-level: Spark encoders
+  * cannot reach a suite-inner case class). */
+case class EvRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double, props: String)
+
 /** Partitioned layout: planning-time pruning and content equality. */
 class LayoutSpec extends SparkSpec {
 
@@ -35,6 +40,70 @@ class LayoutSpec extends SparkSpec {
         .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
       val got = pruned.select("event_id").collect().map(_.getLong(0)).sorted.toSeq
       assert(got == expect && got.nonEmpty)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(out)).iterator().asScala
+        .toSeq.reverse.foreach(java.nio.file.Files.delete)
+    }
+  }
+
+  test("merge: copy-on-write rewrites only affected partitions, upserts exactly, idempotent") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_events_merge").toString
+    def partFiles(): Map[String, Set[String]] =
+      new java.io.File(out).listFiles().filter(_.getName.startsWith("event_date="))
+        .map(d => d.getName -> d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet)
+        .toMap
+    try {
+      Layout.partitionEvents(spark, sf, out)
+      val before = partFiles()
+      val base = spark.read.parquet(out)
+      // materialize everything taken from `base` BEFORE the merge — the
+      // rewrite deletes the files this lazy frame scans
+      val baseCount = base.count()
+      val picks = base.orderBy("event_id").limit(3).collect()
+      def ev(r: org.apache.spark.sql.Row) = EvRow(r.getAs[Long]("event_id"),
+        r.getAs[java.sql.Timestamp]("ts"), r.getAs[Long]("user_id"),
+        r.getAs[String]("event_type"), r.getAs[Double]("value"), r.getAs[String]("props"))
+      val maxId = base.agg(max("event_id")).collect().head.getLong(0)
+      val upd = ev(picks(0)).copy(value = 12345.5) // in-place update
+      val movedTs = new java.sql.Timestamp(
+        ev(picks(1)).ts.getTime + 3L * 24 * 3600 * 1000) // partition move
+      val mov = ev(picks(1)).copy(ts = movedTs)
+      val ins = ev(picks(2)).copy(event_id = maxId + 1) // brand-new row
+      val changes = Seq(upd, mov, ins).toDF()
+
+      Layout.mergeEvents(spark, out, changes)
+
+      val after = spark.read.parquet(out)
+      assert(after.count() == baseCount + 1)
+      val got = after.select("event_id", "ts", "value").collect()
+        .map(r => r.getLong(0) -> (r.getTimestamp(1), r.getDouble(2))).toMap
+      assert(got(upd.event_id) == ((upd.ts, 12345.5)))
+      assert(got(mov.event_id) == ((movedTs, mov.value)))
+      assert(got(ins.event_id) == ((ins.ts, ins.value)))
+      // a moved key leaves no ghost behind: exactly one row per id
+      assert(after.groupBy("event_id").count().filter(col("count") > 1).count() == 0)
+
+      // only the affected date partitions were rewritten
+      val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd")
+      fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+      val touched = Set(upd.ts, mov.ts, movedTs, ins.ts)
+        .map(t => s"event_date=${fmt.format(t)}")
+      val filesNow = partFiles()
+      before.foreach { case (dir, files) =>
+        if (!touched(dir))
+          assert(filesNow(dir) == files, s"untouched partition $dir was rewritten")
+      }
+      touched.filter(before.contains).foreach { dir =>
+        assert(filesNow(dir) != before(dir), s"affected partition $dir not rewritten")
+      }
+
+      // idempotent: re-applying the same changeset changes nothing
+      Layout.mergeEvents(spark, out, changes)
+      val again = spark.read.parquet(out).select("event_id", "ts", "value").collect()
+        .map(r => r.getLong(0) -> (r.getTimestamp(1), r.getDouble(2))).toMap
+      assert(again == got)
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(java.nio.file.Paths.get(out)).iterator().asScala
