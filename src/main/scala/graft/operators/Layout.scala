@@ -142,4 +142,20 @@ object Layout {
       spark.catalog.refreshByPath(table)
     }
   }
+
+  /** Streaming CDC apply: a stream of change rows merged into the
+    * partitioned table per micro-batch — `MERGE INTO` as the sink of a
+    * Structured Streaming job (the Debezium-to-lakehouse shape).
+    * foreachBatch gives batch-scoped semantics, and crash recovery is
+    * exactly [[mergeEvents]]'s changeset idempotence: a replayed
+    * micro-batch re-rewrites the same partitions to the same bytes, so
+    * no per-batch ledger is needed (contrast ExactlyOnceSink, which
+    * needs one because plain appends are NOT self-idempotent). */
+  def mergeStream(spark: SparkSession, table: String,
+      changes: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) mergeEvents(spark, table, batch.toDF())
+      }
+      .start()
 }
