@@ -10,10 +10,15 @@ import graft.sources.Tables
   * (SURVEY §2.G relational surface, G8/G14 composition).
   *
   * Both are expressed as per-user aggregates joined back against the
-  * event scan: the per-user frames are user-cardinality (tiny next to
-  * the event log), so Catalyst broadcasts them and the 100 TB event scan
-  * is only ever filtered + hash-aggregated — no self-join of the raw log
-  * on itself, no window over the full stream.
+  * event scan. The per-user frames are deliberately NOT broadcast-hinted:
+  * user cardinality is unbounded (10⁸–10⁹ users at corpus scale puts a
+  * (key, timestamp) frame past Spark's 8 GB broadcast limit and any
+  * driver heap), and an explicit hint would override the size-based
+  * planner that exists to prevent exactly that. Un-hinted, AQE picks a
+  * broadcast join when the frame is genuinely small and a shuffled
+  * hash/sort-merge join when it isn't — and because every stage (tv, tc,
+  * tp, cohort) hash-partitions on user_id, the consecutive joins and
+  * aggregates reuse one Exchange instead of re-shuffling the event scan.
   */
 object EventAnalytics {
 
@@ -27,11 +32,11 @@ object EventAnalytics {
     val tv = ev.filter(col("event_type") === "view")
       .groupBy("user_id").agg(min("ts").as("tv"))
     val tc = ev.filter(col("event_type") === "click")
-      .join(broadcast(tv), Seq("user_id"))
+      .join(tv, Seq("user_id"))
       .filter(col("ts") > col("tv") && col("ts") <= col("tv") + horizon)
       .groupBy("user_id").agg(min("ts").as("tc"), min("tv").as("tv"))
     val tp = ev.filter(col("event_type") === "purchase")
-      .join(broadcast(tc), Seq("user_id"))
+      .join(tc, Seq("user_id"))
       .filter(col("ts") > col("tc") && col("ts") <= col("tv") + horizon)
       .groupBy("user_id").agg(min("ts").as("tp"))
     def step(n: Int, name: String, d: DataFrame): DataFrame =
@@ -50,7 +55,7 @@ object EventAnalytics {
     val ev = Tables.events(spark, dir)
     val active = ev.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
     val cohort = active.groupBy("user_id").agg(min("day").as("d0"))
-    active.join(broadcast(cohort), Seq("user_id"))
+    active.join(cohort, Seq("user_id"))
       .withColumn("k", datediff(col("day"), col("d0")))
       .filter(col("k") >= 0 && col("k") <= maxDays)
       .groupBy(col("d0"), col("k"))

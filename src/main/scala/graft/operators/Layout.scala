@@ -89,36 +89,77 @@ object Layout {
       .sortWithinPartitions("event_id")
       .write.mode("overwrite").parquet(out)
 
+  /** Build the event_id→event_date secondary index alongside a
+    * partitioned table: the same date partitioning, but only the two key
+    * columns. The MERGE's read-side "which partitions hold these ids?"
+    * lookup then scans index bytes (two narrow columns, ~0.1% of table
+    * bytes at events-table widths) instead of the full base table, and
+    * because the index mirrors the table's partitioning, [[mergeEvents]]
+    * maintains it with the SAME dynamic-overwrite commit + emptied-
+    * partition delete it applies to the table — no separate consistency
+    * protocol. */
+  def buildKeyIndex(spark: SparkSession, table: String, out: String): Unit =
+    spark.read.parquet(table)
+      .select(col("event_id"), col("event_date"))
+      .repartition(col("event_date"))
+      .sortWithinPartitions("event_id")
+      .write.mode("overwrite").partitionBy("event_date").parquet(out)
+
   /** Copy-on-write MERGE (upsert by event_id) into the date-partitioned
     * layout — the Delta/Iceberg `MERGE INTO` shape from Spark
     * primitives. Only the partitions a change row lands in are
     * rewritten: dynamic partition-overwrite scopes the commit to the
     * partitions present in the written frame, and the written frame is
     * the base READ PRUNED to those dates (anti-joined against the
-    * changeset) unioned with the changes. At 100 TB a day's changeset
-    * touches a handful of date partitions — the other ~36,500 are never
-    * read, never written, never listed by the job.
+    * changeset) unioned with the changes. Write-side cost is therefore
+    * ∝ touched partitions. Read-side: deriving the affected dates needs
+    * the current date of every changed id — with `keyIndex` set (built
+    * by [[buildKeyIndex]]) that lookup scans the narrow index instead of
+    * the base table; without it, the id probe scans the base (parquet
+    * min/max on event_id prunes only if ids cluster). At 100 TB run the
+    * index — a day's changeset then reads index bytes + a handful of
+    * date partitions, and the other ~36,500 are never read or written.
     *
     * Semantics: a change row REPLACES any base row with its event_id
-    * (matched ⇒ update, unmatched ⇒ insert). A changed row may move
-    * partitions (its ts day differs from the base row's): the base row's
-    * OLD partition is in the rewrite set too because affected dates are
-    * derived from base rows holding changed ids, not just from the
-    * changes' own dates — a key-move deletes cleanly instead of leaving
-    * a duplicate behind. Re-applying the same changeset is a no-op
-    * rewrite of the same partitions (idempotent under driver retries). */
-  def mergeEvents(spark: SparkSession, table: String, changes: DataFrame): Unit = {
+    * (matched ⇒ update, unmatched ⇒ insert). Changesets with several
+    * rows per key (Debezium-style insert-then-update in one batch)
+    * collapse to per-key LAST-WINS by ts before applying. A changed row
+    * may move partitions (its ts day differs from the base row's): the
+    * base row's OLD partition is in the rewrite set too because affected
+    * dates are derived from rows holding changed ids, not just from the
+    * changes' own dates — and when a key-move drains a partition of its
+    * last row, dynamic overwrite alone would skip it (it only rewrites
+    * partitions PRESENT in the written frame), so affected dates absent
+    * from the merged output are deleted explicitly. Deletion runs after
+    * the commit: a crash between the two leaves ghosts that the replayed
+    * merge re-detects (their ids are still in the changeset) and deletes
+    * — re-applying a changeset is a no-op rewrite (idempotent under
+    * driver retries and foreachBatch replays). */
+  def mergeEvents(spark: SparkSession, table: String, changes: DataFrame,
+      keyIndex: Option[String] = None): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    // per-key last-wins (latest ts; event_id itself breaks exact-ts ties
+    // deterministically via the window's partition — one row survives)
+    val deduped = changes
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy("event_id").orderBy(col("ts").desc)))
+      .filter(col("__rn") === 1).drop("__rn")
     val base = spark.read.parquet(table)
-    val ids = changes.select("event_id").distinct()
+    val ids = deduped.select("event_id").distinct()
     // affected dates: where changes WILL live + where changed ids DO live
-    val affected = changes.select(to_date(col("ts")).as("event_date"))
-      .union(base.join(ids, Seq("event_id")).select(col("event_date")))
+    val oldDates = keyIndex match {
+      case Some(ix) => spark.read.parquet(ix)
+        .join(ids, Seq("event_id")).select(col("event_date"))
+      case None => base.join(ids, Seq("event_id")).select(col("event_date"))
+    }
+    val affected = deduped.select(to_date(col("ts")).as("event_date"))
+      .union(oldDates)
       .distinct()
     val cols = base.columns.map(col).toIndexedSeq
     val survivors = base
       .join(broadcast(affected), Seq("event_date"), "left_semi")
       .join(ids, Seq("event_id"), "left_anti")
-    val incoming = changes.withColumn("event_date", to_date(col("ts")))
+    val incoming = deduped.withColumn("event_date", to_date(col("ts")))
     // the write overwrites the path the plan reads — cut lineage first
     // (Spark rejects read-overwrite in one plan). localCheckpoint holds
     // the touched partitions' rows; at cluster scale this becomes a
@@ -128,10 +169,25 @@ object Layout {
       .repartition(col("event_date"))
       .sortWithinPartitions("ts")
       .localCheckpoint()
+    // partitions every one of whose rows moved away produce NO output
+    // rows — dynamic overwrite won't touch them, so find and delete them
+    // explicitly (both sets are bounded by the touched-partition count)
+    val affectedDates = affected.collect().map(_.getDate(0).toString).toSet
+    val presentDates = merged.select("event_date").distinct()
+      .collect().map(_.getDate(0).toString).toSet
+    val emptied = affectedDates -- presentDates
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try merged.write.mode("overwrite").partitionBy("event_date").parquet(table)
-    finally {
+    try {
+      merged.write.mode("overwrite").partitionBy("event_date").parquet(table)
+      deletePartitions(spark, table, emptied)
+      keyIndex.foreach { ix =>
+        merged.select(col("event_id"), col("event_date"))
+          .write.mode("overwrite").partitionBy("event_date").parquet(ix)
+        deletePartitions(spark, ix, emptied)
+        spark.catalog.refreshByPath(ix)
+      }
+    } finally {
       prev match {
         case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
         case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
@@ -142,6 +198,14 @@ object Layout {
       spark.catalog.refreshByPath(table)
     }
   }
+
+  private def deletePartitions(spark: SparkSession, table: String,
+      dates: Set[String]): Unit =
+    dates.foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(table, s"event_date=$d")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+    }
 
   /** Streaming CDC apply: a stream of change rows merged into the
     * partitioned table per micro-batch — `MERGE INTO` as the sink of a

@@ -57,8 +57,16 @@ object Quantize {
       .orderBy("vec_id")
   }
 
+  /** Harness-facing shape of [[int8Encode]]: the correctness driver sorts
+    * result cells, and array cells aren't sortable/hashable there — so the
+    * oracled query serializes codes to a CSV string. Same math, scalar
+    * columns only. */
+  def int8EncodeFlat(spark: SparkSession, dir: String): DataFrame =
+    int8Encode(spark, dir)
+      .withColumn("codes", concat_ws(",", col("codes")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sq_int8" -> ((s: SparkSession, d: String) => int8Encode(s, d)),
+    "sq_int8" -> ((s: SparkSession, d: String) => int8EncodeFlat(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -74,7 +82,7 @@ object Quantize {
         |    CAST(greatest(-127, least(127, floor(x * 127.0 / amax + 0.5))) AS INTEGER) AS code
         |  FROM lat JOIN am ON lat.i = am.i
         |)
-        |SELECT vec_id, list(code ORDER BY i) AS codes,
+        |SELECT vec_id, string_agg(CAST(code AS VARCHAR), ',' ORDER BY i) AS codes,
         |  round(sqrt(list_sum(list((x - code * amax / 127.0) * (x - code * amax / 127.0) ORDER BY i))), 6) AS err
         |FROM cj GROUP BY vec_id ORDER BY vec_id""".stripMargin.replaceAll("\n", " "),
   )

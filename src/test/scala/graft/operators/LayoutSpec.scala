@@ -111,6 +111,110 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("merge: draining a partition of its last row deletes it (no ghost rows)") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_merge_drain").toString
+    try {
+      // base: two partitions, one of them single-row
+      val fmt = "yyyy-MM-dd HH:mm:ss"
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      val rows = Seq(
+        EvRow(1L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0, "{}"),
+        EvRow(2L, ts("2024-01-02 10:00:00"), 1L, "view", 2.0, "{}"),
+        EvRow(3L, ts("2024-01-02 11:00:00"), 2L, "view", 3.0, "{}"))
+      rows.toDF().withColumn("event_date", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("event_date").parquet(out)
+      // move the SOLE row of 2024-01-01 to 2024-01-03
+      val changes = Seq(EvRow(1L, ts("2024-01-03 10:00:00"), 1L, "view", 1.5, "{}")).toDF()
+      Layout.mergeEvents(spark, out, changes)
+
+      val dirs = new java.io.File(out).listFiles()
+        .filter(_.getName.startsWith("event_date=")).map(_.getName).toSet
+      assert(!dirs.contains("event_date=2024-01-01"),
+        s"drained partition survived: $dirs")
+      val after = spark.read.parquet(out)
+      assert(after.count() == 3, "ghost row duplicated the moved key")
+      assert(after.groupBy("event_id").count().filter(col("count") > 1).count() == 0)
+      val moved = after.filter(col("event_id") === 1L).collect().head
+      assert(moved.getAs[java.sql.Timestamp]("ts") == ts("2024-01-03 10:00:00"))
+
+      // replaying the drain-changeset is still a no-op
+      Layout.mergeEvents(spark, out, changes)
+      assert(spark.read.parquet(out).count() == 3)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(out)).iterator().asScala
+        .toSeq.reverse.foreach(java.nio.file.Files.delete)
+    }
+  }
+
+  test("merge: two change rows for one key in a batch collapse to last-wins") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_merge_lastwins").toString
+    try {
+      Layout.partitionEvents(spark, sf, out)
+      val base = spark.read.parquet(out)
+      val baseCount = base.count()
+      val maxId = base.agg(max("event_id")).collect().head.getLong(0)
+      val t0 = base.agg(min("ts")).collect().head.getTimestamp(0)
+      // Debezium-style: insert then update of ONE new key in one batch
+      val insertTs = new java.sql.Timestamp(t0.getTime + 1000)
+      val updateTs = new java.sql.Timestamp(t0.getTime + 2000)
+      val changes = Seq(
+        EvRow(maxId + 1, insertTs, 7L, "view", 1.0, "{}"),
+        EvRow(maxId + 1, updateTs, 7L, "view", 42.0, "{}")).toDF()
+      Layout.mergeEvents(spark, out, changes)
+
+      val after = spark.read.parquet(out)
+      assert(after.count() == baseCount + 1, "duplicate rows for one upserted key")
+      val got = after.filter(col("event_id") === maxId + 1).collect()
+      assert(got.length == 1 && got.head.getAs[Double]("value") == 42.0,
+        "last-wins did not keep the latest change row")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(out)).iterator().asScala
+        .toSeq.reverse.foreach(java.nio.file.Files.delete)
+    }
+  }
+
+  test("merge with key index: index-backed lookup, index stays consistent") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_merge_ix").toString
+    val ix = java.nio.file.Files.createTempDirectory("graft_merge_ix_idx").toString
+    def rmrf(p: String): Unit = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(p)).iterator().asScala
+        .toSeq.reverse.foreach(java.nio.file.Files.delete)
+    }
+    try {
+      Layout.partitionEvents(spark, sf, out)
+      Layout.buildKeyIndex(spark, out, ix)
+      val base = spark.read.parquet(out)
+      val baseCount = base.count()
+      val pick = base.orderBy("event_id").limit(1).collect().head
+      val maxId = base.agg(max("event_id")).collect().head.getLong(0)
+      val movedTs = new java.sql.Timestamp(
+        pick.getAs[java.sql.Timestamp]("ts").getTime + 5L * 24 * 3600 * 1000)
+      val changes = Seq(
+        EvRow(pick.getAs[Long]("event_id"), movedTs, pick.getAs[Long]("user_id"),
+          pick.getAs[String]("event_type"), 55.5, pick.getAs[String]("props")),
+        EvRow(maxId + 1, movedTs, 9L, "view", 66.6, "{}")).toDF()
+      Layout.mergeEvents(spark, out, changes, keyIndex = Some(ix))
+
+      val after = spark.read.parquet(out)
+      assert(after.count() == baseCount + 1)
+      assert(after.groupBy("event_id").count().filter(col("count") > 1).count() == 0,
+        "index-backed old-date lookup missed the moved key's partition")
+      // the index mirrors the table exactly after the merge
+      val tbl = after.select("event_id", "event_date")
+        .collect().map(r => (r.getLong(0), r.getDate(1).toString)).sorted.toSeq
+      val idx = spark.read.parquet(ix)
+        .collect().map(r => (r.getAs[Long]("event_id"), r.getAs[java.sql.Date]("event_date").toString))
+        .sorted.toSeq
+      assert(idx == tbl, "key index diverged from table after merge")
+    } finally { rmrf(out); rmrf(ix) }
+  }
+
   test("z-order layout: per-file min/max prunes BOTH dimensions; linear sort prunes only its own") {
     val zOut = java.nio.file.Files.createTempDirectory("graft_events_z").toString
     val lOut = java.nio.file.Files.createTempDirectory("graft_events_lin").toString

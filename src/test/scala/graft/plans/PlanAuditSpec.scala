@@ -69,4 +69,18 @@ class PlanAuditSpec extends AnyFunSuite {
     val unknown = nlAllowed -- SparkEntry.queries.keySet
     assert(unknown.isEmpty, s"allow-list entries for unregistered queries: $unknown")
   }
+
+  test("funnel/retention carry no broadcast hints on per-user frames") {
+    // An explicit broadcast() hint on a user-cardinality frame overrides
+    // the size-based planner and kills the job past the 8 GB broadcast
+    // limit at corpus scale. These queries must leave the join-side choice
+    // to statistics/AQE — assert the ANALYZED plan (where hints live
+    // before the planner consumes them) contains none.
+    Seq("q26_funnel", "q27_retention").foreach { name =>
+      val analyzed = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.analyzed.toString
+      assert(!analyzed.contains("UnresolvedHint") && !analyzed.contains("ResolvedHint"),
+        s"$name: forced join hint in logical plan")
+    }
+  }
 }
