@@ -42,7 +42,7 @@ object SparkEntry {
       Dsir.oracleSql ++ SubstringDedup.oracleSql ++ CdcChunking.oracleSql ++
       Similarity.oracleSql ++ TextAnalysis.oracleSql ++ Chunking.oracleSql ++
       NgramLm.oracleSql ++ Retrieval.oracleSql ++ Sampling.oracleSql ++ Sharding.oracleSql ++
-      Packing.oracleSql ++ Quantize.oracleSql ++
+      Packing.oracleSql ++ Quantize.oracleSql ++ Bpe.oracleSql ++ Decontam.oracleSql ++
       Pipeline.oracleSql ++ Multimodal.oracleSql ++ Materials.oracleSql ++
       DielectricModel.oracleSql ++ graft.ml.QualityClassifier.oracleSql
 

@@ -39,6 +39,12 @@ object Verify {
     catch { case e: Throwable =>
       System.err.println(s"[verify] semdedup cell export failed: ${e.getMessage}")
     }
+    // BPE round-state export: tx_bpe_merges (Spark AND its DuckDB oracle)
+    // recomputes each round's winning pair from these states
+    try graft.operators.Bpe.exportStates(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] bpe state export failed: ${e.getMessage}")
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -44,8 +44,14 @@ object Bpe {
   }
 
   /** Train `nMerges` BPE merges over the documents' whitespace words.
-    * Returns the ordered merge table (highest-priority first). */
-  def train(spark: SparkSession, dir: String, nMerges: Int = 40): Seq[(String, String)] = {
+    * Returns the ordered merge table (highest-priority first).
+    * `stateSink`, when set, receives each round's PRE-MERGE vocab state
+    * (only for rounds that produce a merge) — the per-round states are
+    * the oracle surface: round r's winning pair is the argmax of a plain
+    * pair-count aggregation over state r, recomputable in any SQL
+    * engine ([[exportStates]] / tx_bpe_merges). */
+  def train(spark: SparkSession, dir: String, nMerges: Int = 40,
+      stateSink: Option[(Int, DataFrame) => Unit] = None): Seq[(String, String)] = {
     import spark.implicits._
     // localCheckpoint (not persist): each round's vocab derives from the
     // previous one, and an un-truncated logical plan grows by one
@@ -76,6 +82,7 @@ object Bpe {
         .limit(1).collect()
       if (top.isEmpty || top(0).getAs[Long]("n") < 2L) done = true
       else {
+        stateSink.foreach(f => f(round, vocab))
         val (a, b) = (top(0).getString(0), top(0).getString(1))
         merges += ((a, b))
         vocab = vocab.as[(Seq[String], Long)]
@@ -112,8 +119,14 @@ object Bpe {
 
   /** Per-document BPE token counts under a vocabulary trained on the
     * same corpus. Each DISTINCT word is encoded once; the corpus pass is
-    * a broadcast-join + arithmetic. */
-  def tokenize(spark: SparkSession, dir: String, nMerges: Int = 40): DataFrame = {
+    * then a join + arithmetic. The (word → cost) side is vocab-sized —
+    * Heaps-bounded but NOT bounded by a constant (hundreds of MB on a
+    * 100 TB corpus), so the broadcast is SIZE-GATED: the persisted vocab's
+    * own count × average width decides broadcast vs plain equi join
+    * instead of an unconditional hint (the funnel/retention lesson).
+    * `vocabBytesOverride` lets a spec pin either plan shape. */
+  def tokenize(spark: SparkSession, dir: String, nMerges: Int = 40,
+      vocabBytesOverride: Option[Long] = None): DataFrame = {
     import spark.implicits._
     val merges = train(spark, dir, nMerges)
     val bc = spark.sparkContext.broadcast(merges)
@@ -124,22 +137,97 @@ object Bpe {
       .as[String]
       .map(w => (w, encodeWord(w, bc.value).length.toLong))
       .toDF("w", "bpe_len")
+      .persist()
+    val vocabBytes = vocabBytesOverride.getOrElse {
+      val s = wordCost.agg(count(lit(1)), avg(length(col("w")))).collect()(0)
+      val n = s.getLong(0)
+      val avgW = if (s.isNullAt(1)) 8.0 else s.getDouble(1)
+      // string payload + per-row object/hash-relation overhead
+      (n * (avgW + 40.0)).toLong
+    }
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      .stripSuffix("b").stripSuffix("B") match {
+      case t if t.forall(c => c.isDigit || c == '-') => t.toLong
+      case _ => 10L << 20
+    }
+    val costSide = if (threshold > 0 && vocabBytes <= threshold) broadcast(wordCost)
+      else wordCost
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
-    docs.join(broadcast(wordCost), "w")
+    docs.join(costSide, "w")
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("long").as("nt"),
         sum("bpe_len").cast("long").as("bpe_tokens"))
       .orderBy("doc_id")
   }
 
-  /** Registered rows-only query (BPE's iterative merge loop has no SQL
-    * expression — spec-gated instead: BpeSpec checks the learned merges
-    * against a hand-computed fixture and the lossless-decode property). */
+  /** Per-corpus export path for the per-round vocab states (hashed on
+    * the corpus dir — same no-shared-path discipline as SemDedup's cell
+    * export). */
+  def statesExport(dir: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    s"/tmp/graft_bpe_states_$h.parquet"
+  }
+
+  @volatile private var exportedDir: String = "/root/testdata/sf0.01"
+
+  /** Train once and export every round's pre-merge vocab state with its
+    * round number — the shared input both engines of the tx_bpe_merges
+    * oracle aggregate. Written by Verify ahead of the query dump. */
+  def exportStates(spark: SparkSession, dir: String, nMerges: Int = 40): Unit = {
+    exportedDir = dir
+    val states = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    train(spark, dir, nMerges, stateSink = Some((r, df) =>
+      states += df.withColumn("round", lit(r))))
+    if (states.nonEmpty)
+      states.reduce(_.unionByName(_)).coalesce(1)
+        .write.mode("overwrite").parquet(statesExport(dir))
+  }
+
+  /** The BPE recurrence as ONE declarative query over the exported
+    * states: round r's merge = argmax pair count over state r (ties by
+    * lexicographic pair). Equals the sequential trainer's merge table by
+    * construction (BpeSpec asserts it); the DuckDB oracle recomputes the
+    * same aggregation from the same exported bytes — the iterative
+    * trainer's only non-SQL part (the loop) is exactly what the export
+    * unrolls. */
+  def mergesFromStates(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = spark.read.parquet(statesExport(dir))
+      .filter(size(col("syms")) > 1)
+      .select(col("round"), explode(expr(
+        "transform(sequence(1, size(syms) - 1), i -> struct(syms[i-1] AS a, syms[i] AS b))"))
+        .as("p"), col("cnt"))
+      .groupBy(col("round"), col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum("cnt").as("n"))
+    val w = Window.partitionBy("round").orderBy(desc("n"), asc("a"), asc("b"))
+    pairs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1 && col("n") >= 2)
+      .select(col("round"), col("a"), col("b"), col("n"))
+      .orderBy("round")
+  }
+
+  /** tx_bpe stays rows-only (the end-to-end tokenize depends on the
+    * learned vocabulary, whose training loop has no single-SQL form);
+    * tx_bpe_merges is the oracled surface — the merge recurrence itself,
+    * recomputed by both engines from the exported round states. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_bpe" -> ((s: SparkSession, d: String) => tokenize(s, d)),
+    "tx_bpe_merges" -> ((s: SparkSession, d: String) => mergesFromStates(s, d)),
   )
 
-  val oracleSql: Map[String, String] = Map.empty
+  def oracleSql: Map[String, String] = Map(
+    "tx_bpe_merges" ->
+      s"""WITH st AS (SELECT round, syms, cnt FROM '${statesExport(exportedDir)}/*.parquet'),
+        |pr AS (SELECT round, syms[i] AS a, syms[i+1] AS b, cnt
+        |FROM st, LATERAL (SELECT unnest(generate_series(1, len(syms)-1)) i)
+        |WHERE len(syms) > 1),
+        |agg AS (SELECT round, a, b, SUM(cnt) AS n FROM pr GROUP BY 1, 2, 3),
+        |best AS (SELECT round, a, b, n,
+        |row_number() OVER (PARTITION BY round ORDER BY n DESC, a, b) AS rk FROM agg)
+        |SELECT round, a, b, CAST(n AS BIGINT) AS n FROM best
+        |WHERE rk = 1 AND n >= 2 ORDER BY round""".stripMargin.replaceAll("\n", " "),
+  )
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -46,10 +46,16 @@ object Chunking {
     * with every shipped dataset (counts, token volume, language spread,
     * exact length quantiles, exact-dup rate). One aggregation pass; the
     * exact percentiles are a sort-based aggregate per group at this
-    * cardinality (approx_percentile is the 100 TB drop-in, traded here
-    * for cross-engine exactness). */
-  def corpusReport(spark: SparkSession, dir: String): DataFrame = {
+    * cardinality and stay the ORACLE form (cross-engine exactness);
+    * `exactQuantiles = false` swaps in `approx_percentile` — the
+    * bounded-state 100 TB form a dominant language can't blow up
+    * (AdaptiveQuantileSpec pins the two on the fixture). */
+  def corpusReport(spark: SparkSession, dir: String,
+      exactQuantiles: Boolean = true): DataFrame = {
     val nt = size(split(col("text"), " "))
+    def pct(q: Double): Column =
+      if (exactQuantiles) expr(s"percentile(nt, $q)")
+      else expr(s"approx_percentile(nt, $q, 10000)").cast("double")
     Tables.documents(spark, dir)
       .select(col("lang"), col("n_chars"), nt.cast("long").as("nt"),
         md5(col("text")).as("fp"))
@@ -61,15 +67,15 @@ object Chunking {
         // interpolated quantiles: both engines use the (n−1)·q rank with
         // linear interpolation; round(4) absorbs the a·(1−f)+b·f vs
         // a+(b−a)·f last-ulp association difference
-        round(expr("percentile(nt, 0.5)"), 4).as("p50_tokens"),
-        round(expr("percentile(nt, 0.9)"), 4).as("p90_tokens"),
+        round(pct(0.5), 4).as("p50_tokens"),
+        round(pct(0.9), 4).as("p90_tokens"),
         (count(lit(1)) - countDistinct(col("fp"))).as("exact_dups"))
       .orderBy("lang")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_chunks" -> ((s: SparkSession, d: String) => chunks(s, d)),
-    "report_corpus" -> corpusReport _,
+    "report_corpus" -> ((s: SparkSession, d: String) => corpusReport(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(

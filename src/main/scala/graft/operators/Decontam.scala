@@ -52,9 +52,39 @@ object Decontam {
       .orderBy("doc_id")
   }
 
+  /** Contamination-ratio threshold above which a test document is dropped
+    * (sits near the fixture's median ratio so the verdict split is
+    * non-trivial at oracle SF). */
+  val MaxRatio = 0.6
+
+  /** The decontamination VERDICT frame computed by EXACT membership — the
+    * oracled sibling of [[bloomDecontam]] (the bloom's false positives
+    * make its counts sketch-dependent; the verdict contract — which docs
+    * ship — is exact and fully SQL-expressible, reusing the same shingle
+    * family as tx_contamination). DecontamSpec ties the two: the bloom's
+    * one-sided error means every exact-dropped doc is also bloom-dropped. */
+  def decontamVerdicts(spark: SparkSession, dir: String,
+      maxRatio: Double = MaxRatio): DataFrame =
+    TextAnalysis.contamination(spark, dir)
+      .withColumn("keep", col("ratio") <= maxRatio)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_decontam_bloom" -> ((s: SparkSession, d: String) => bloomDecontam(s, d)),
+    "tx_decontam" -> ((s: SparkSession, d: String) => decontamVerdicts(s, d)),
   )
 
-  val oracleSql: Map[String, String] = Map.empty
+  val oracleSql: Map[String, String] = Map(
+    "tx_decontam" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text,' ') t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) i)),
+        |test AS (SELECT * FROM sh WHERE doc_id % 10 = 0),
+        |train AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 <> 0)
+        |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |CAST(SUM(CASE WHEN tr.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+        |CAST(SUM(CASE WHEN tr.s IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS ratio,
+        |(CAST(SUM(CASE WHEN tr.s IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)) <= $MaxRatio AS keep
+        |FROM test t LEFT JOIN train tr ON t.s = tr.s
+        |GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "),
+  )
 }

@@ -837,18 +837,25 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta" -> meta _,
-    // spec-gated (rolling byte hash has no DuckDB form): per-asset CDC
-    // chunk summary — the fingerprint artifact's shape. The PAIR surface
+    // ORACLED: the full chunk table. The window hash is a NON-recursive
+    // polynomial of the last 16 bytes, so DuckDB recomputes the exact
+    // boundaries (candidates via list arithmetic mod 2^64, the
+    // min/max-clamped walk via a recursive CTE) and fingerprints each
+    // chunk with its own blob substr + md5 — full cross-engine
+    // recomputation, no exported intermediate. The engine-internal
+    // fingerprint stays fnv64 (cheaper at scale); the oracle row carries
+    // md5 because both engines have it natively. The PAIR surface
     // (assetNearDup) is exercised in MmCdcSpec with injected duplicates;
     // this corpus has no byte-identical assets, so the pair set is
     // legitimately empty and the registered query reports the chunking
-    // instead (500 rows, never a vacuous 0-row artifact)
+    // instead (never a vacuous 0-row artifact)
     "mm_cdc_chunks" -> ((s: SparkSession, d: String) =>
-      cdcFingerprints(s, d)
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_chunks"), sum("len").as("n_bytes"),
-          countDistinct("fp").as("n_distinct_fp"))
-        .orderBy("doc_id")),
+      cdcFingerprints(s, d).select("doc_id", "chunk_idx", "offset", "len")
+        .join(Tables.documents(s, d)
+          .select(col("doc_id"), col("text").cast("binary").as("content")), "doc_id")
+        .select(col("doc_id"), col("chunk_idx"), col("offset"), col("len"),
+          md5(expr("substring(content, offset + 1, len)")).as("fp_md5"))
+        .orderBy("doc_id", "chunk_idx")),
     // oracled: byte stats are DuckDB-recomputable over the same bytes
     // (corpus is ASCII text so ascii(substr) = byte value); rounding done
     // in Column-land (Spark round == DuckDB ROUND, HALF_UP) not in the
@@ -863,6 +870,36 @@ object Multimodal {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Full CDC recomputation: per-position window hash = polynomial of
+    // the last CdcWindow bytes mod 2^64 (list_reduce with a HUGEINT
+    // accumulator reproduces Scala's wrapping Long arithmetic exactly);
+    // the clamped boundary walk is the recursive CTE; fingerprints are
+    // md5 over each engine's own byte slice.
+    "mm_cdc_chunks" ->
+      """WITH RECURSIVE
+        |b AS (SELECT doc_id, CAST(i AS BIGINT) AS i, ascii(substr(text, CAST(i AS INTEGER), 1)) AS bv
+        |FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text))) AS i)),
+        |arr AS (SELECT doc_id, list(bv ORDER BY i) AS ba, CAST(count(*) AS BIGINT) AS L FROM b GROUP BY 1),
+        |cand AS (SELECT a.doc_id, CAST(p.p AS BIGINT) AS p
+        |FROM arr a, LATERAL (SELECT unnest(generate_series(16, a.L)) AS p) p
+        |WHERE list_reduce(list_prepend(CAST(0 AS HUGEINT), a.ba[CAST(p.p AS INTEGER)-15:CAST(p.p AS INTEGER)]),
+        |(h, x) -> (h * 257 + x) % CAST('18446744073709551616' AS HUGEINT)) % 64 = 0),
+        |ck AS (
+        |SELECT a.doc_id, 0 AS idx, CAST(1 AS BIGINT) AS s,
+        |COALESCE((SELECT MIN(c.p) FROM cand c WHERE c.doc_id = a.doc_id
+        |AND c.p >= 16 AND c.p <= LEAST(512, a.L)), LEAST(512, a.L)) AS e
+        |FROM arr a WHERE a.L > 0
+        |UNION ALL
+        |SELECT ck.doc_id, ck.idx + 1, ck.e + 1,
+        |COALESCE((SELECT MIN(c.p) FROM cand c WHERE c.doc_id = ck.doc_id
+        |AND c.p >= GREATEST(ck.e + 16, 16) AND c.p <= LEAST(ck.e + 512, a.L)),
+        |LEAST(ck.e + 512, a.L)) AS e
+        |FROM ck JOIN arr a USING (doc_id) WHERE ck.e < a.L)
+        |SELECT ck.doc_id, CAST(ck.idx AS INTEGER) AS chunk_idx,
+        |CAST(ck.s - 1 AS INTEGER) AS "offset", CAST(ck.e - ck.s + 1 AS INTEGER) AS len,
+        |md5(substr(d.text, CAST(ck.s AS INTEGER), CAST(ck.e - ck.s + 1 AS INTEGER))) AS fp_md5
+        |FROM ck JOIN documents d USING (doc_id)
+        |ORDER BY doc_id, chunk_idx""".stripMargin.replaceAll("\n", " "),
     "mm_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |CAST(ascii(substr(text,1,1)) AS BIGINT) AS first_byte

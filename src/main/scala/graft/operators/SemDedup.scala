@@ -57,9 +57,21 @@ object SemDedup {
     * ≤ CellTarget, making total prune cost linear in N. */
   val CellTarget = 256
 
-  /** Fixed-path export consumed by BOTH engines of the dd_semdedup
-    * oracle (and written by Verify ahead of the query dump). */
-  val CellsExport = "/tmp/graft_semdedup_cells.parquet"
+  /** Export path consumed by BOTH engines of the dd_semdedup oracle
+    * (written by Verify ahead of the query dump). Derived from the corpus
+    * dir — a fixed shared path would let concurrent runs (or a stale
+    * export from a different SF) clobber each other, and the query would
+    * silently score whatever corpus last wrote the file. */
+  def cellsExport(dir: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    s"/tmp/graft_semdedup_cells_$h.parquet"
+  }
+
+  /** The corpus dir of the most recent [[exportCells]] — selects which
+    * per-dir export the dumped oracle SQL references (Verify exports,
+    * runs queries, then dumps oracleSql, all single-threaded). */
+  @volatile private var exportedDir: String = "/root/testdata/sf0.01"
 
   /** Constant-occupancy cluster count (contrast
     * [[Similarity.defaultNClusters]]'s √N: ANN probe cost balances at √N
@@ -71,8 +83,9 @@ object SemDedup {
   def exportCells(spark: SparkSession, dir: String): Unit = {
     val n = Tables.embeddings(spark, dir).count()
     val idx = Similarity.buildIvfIndex(spark, dir, nClusters = semClusters(n))
+    exportedDir = dir
     idx.assignments.select(col("vec_id"), col("cell"))
-      .coalesce(1).write.mode("overwrite").parquet(CellsExport)
+      .coalesce(1).write.mode("overwrite").parquet(cellsExport(dir))
   }
 
   /** The prune stage over a fixed (vec_id, cell) assignment — the oracled
@@ -116,12 +129,12 @@ object SemDedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_semdedup" -> ((s: SparkSession, d: String) =>
-      pruneCells(s, d, s.read.parquet(CellsExport))),
+      pruneCells(s, d, s.read.parquet(cellsExport(d)))),
   )
 
-  val oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = Map(
     "dd_semdedup" ->
-      s"""WITH cells AS (SELECT vec_id, cell FROM '$CellsExport/*.parquet'),
+      s"""WITH cells AS (SELECT vec_id, cell FROM '${cellsExport(exportedDir)}/*.parquet'),
         |v AS (SELECT c.vec_id, c.cell, e.embedding FROM cells c JOIN embeddings e USING (vec_id)),
         |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
         |FROM v a JOIN v b ON a.cell = b.cell AND a.vec_id < b.vec_id

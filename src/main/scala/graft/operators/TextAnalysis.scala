@@ -277,14 +277,25 @@ object TextAnalysis {
     * interpolated percentile, the report_corpus convention) and ride a
     * broadcast back onto the scan — the corpus is read once, the gate is
     * a scan-fused comparison. Scores are rounded (6 dp) BEFORE the
-    * percentile so both engines interpolate identical inputs. */
-  def adaptiveQuality(spark: SparkSession, dir: String, q: Double = 0.10): DataFrame = {
+    * percentile so both engines interpolate identical inputs.
+    *
+    * Quantile path: EXACT `percentile` buffers every score of a group in
+    * one aggregation buffer — fine at oracle SF (hash-match with DuckDB),
+    * a giant-state agg for a dominant language at corpus scale. The
+    * `exactQuantiles = false` path swaps in `approx_percentile`
+    * (GK sketch, bounded state, map-side mergeable) — the 100 TB form;
+    * AdaptiveQuantileSpec pins the two within the sketch's rank error on
+    * the fixture. */
+  def adaptiveQuality(spark: SparkSession, dir: String, q: Double = 0.10,
+      exactQuantiles: Boolean = true): DataFrame = {
     val alpha = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
       .cast("double") / length(col("text"))
     val scored = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), round(alpha, 6).as("score"))
+    val thrExpr = if (exactQuantiles) s"percentile(score, $q)"
+      else s"approx_percentile(score, $q, 10000)"
     val thr = scored.groupBy("lang")
-      .agg(round(expr(s"percentile(score, $q)"), 6).as("thr"))
+      .agg(round(expr(thrExpr), 6).as("thr"))
     scored.join(broadcast(thr), Seq("lang"))
       .withColumn("keep", col("score") >= col("thr"))
       .select("doc_id", "lang", "score", "thr", "keep")

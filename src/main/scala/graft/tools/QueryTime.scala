@@ -32,6 +32,12 @@ object QueryTime {
       // sf0.01 cell export, so scale evidence must refit per corpus)
       "dd_semdedup_full" ->
         ((s, d) => graft.operators.SemDedup.semDedup(s, d)),
+      // bounded-state quantile forms (the oracle rows keep exact
+      // percentile; these are the 100 TB plans under timing)
+      "tx_quality_adaptive_approx" ->
+        ((s, d) => graft.operators.TextAnalysis.adaptiveQuality(s, d, exactQuantiles = false)),
+      "report_corpus_approx" ->
+        ((s, d) => graft.operators.Chunking.corpusReport(s, d, exactQuantiles = false)),
     )
     names.foreach { n =>
       val fn = (SparkEntry.queries ++ extras).getOrElse(n,

@@ -42,6 +42,6 @@ class ScalerDriftSpec extends SparkSpec {
         r.getDouble(r.fieldIndex("mean_drift_rel")) <= 0.05 &&
         r.getDouble(r.fieldIndex("scale_drift_rel")) <= 0.05
     }
-    assert(tight5 >= 143, s"only $tight5/150 scaler components within 5%")
+    assert(tight5 >= 144, s"only $tight5/150 scaler components within 5%")
   }
 }

@@ -50,6 +50,31 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("exported round states: declarative per-round argmax equals the sequential trainer") {
+    val n = 15
+    val merges = Bpe.train(spark, sf, nMerges = n)
+    Bpe.exportStates(spark, sf, nMerges = n)
+    val fromStates = Bpe.mergesFromStates(spark, sf).collect()
+      .map(r => (r.getAs[Int]("round"), r.getAs[String]("a"), r.getAs[String]("b")))
+    assert(fromStates.length == merges.length)
+    fromStates.foreach { case (r, a, b) =>
+      assert(merges(r) == ((a, b)),
+        s"round $r: states argmax ($a,$b) != trainer ${merges(r)}")
+    }
+  }
+
+  test("encode-join broadcast is size-gated: big vocab estimate falls back to a non-broadcast join") {
+    def hasBroadcastHint(est: Long): Boolean =
+      Bpe.tokenize(spark, sf, nMerges = 3, vocabBytesOverride = Some(est))
+        .queryExecution.analyzed.toString.contains("ResolvedHint")
+    assert(hasBroadcastHint(1024L), "small vocab should broadcast")
+    assert(!hasBroadcastHint(16L << 30), "huge vocab must not be broadcast-hinted")
+    // both shapes produce the same result
+    val small = Bpe.tokenize(spark, sf, nMerges = 3, vocabBytesOverride = Some(1024L)).collect().toSeq
+    val big = Bpe.tokenize(spark, sf, nMerges = 3, vocabBytesOverride = Some(16L << 30)).collect().toSeq
+    assert(small == big)
+  }
+
   test("tokenize: bpe_tokens <= whitespace token char total, >= token count, deterministic") {
     val a = Bpe.tokenize(spark, sf, nMerges = 20).collect()
     val b = Bpe.tokenize(spark, sf, nMerges = 20).collect()

@@ -29,6 +29,19 @@ class DecontamSpec extends SparkSpec {
       s"false-positive rate ${fp.toDouble / negatives}")
   }
 
+  test("exact verdict frame: every exact-dropped doc is also bloom-dropped (one-sided)") {
+    val exact = Decontam.decontamVerdicts(spark, sf)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    val bloomDrop = Decontam.bloomDecontam(spark, sf)
+      .filter(col("ratio") > Decontam.MaxRatio)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(exact.nonEmpty && exact.values.exists(_ == true) && exact.values.exists(_ == false),
+      "threshold split is trivial on the fixture")
+    val exactDrop = exact.collect { case (id, false) => id }.toSet
+    assert(exactDrop.subsetOf(bloomDrop),
+      s"bloom missed exact-dropped docs: ${exactDrop -- bloomDrop}")
+  }
+
   test("deterministic across invocations (fixed murmur3 seed)") {
     val a = Decontam.bloomDecontam(spark, sf).collect().toSeq
     val b = Decontam.bloomDecontam(spark, sf).collect().toSeq
