@@ -81,10 +81,71 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** Deterministic global training shuffle: every epoch-0 data loader
+    * wants the corpus in a "random" order that is (a) reproducible, (b)
+    * stable under task retries, and (c) computable without a global
+    * sort. Order key = md5(seed:doc_id); shard = first hex nibble (the
+    * [[Sharding]] ranges); position = rank of the hash WITHIN the shard.
+    * Readers stream shards round-robin for a fully shuffled epoch.
+    *
+    * Plan shape: ONE shuffle on the shard key, then a per-shard window —
+    * state bounded by shard size, no single-partition global sort. At
+    * 100 TB the nibble widens (2-3 hex chars → 256-4096 shards) so each
+    * shard fits an executor; the operator is otherwise unchanged. */
+  def globalShuffle(spark: SparkSession, dir: String, seed: String = "ep0"): DataFrame = {
+    val h = md5(concat(lit(seed), lit(":"), col("doc_id").cast("string")))
+    val w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), h.as("h"))
+      .withColumn("shard", conv(substring(col("h"), 1, 1), 16, 10).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .select("shard", "pos", "doc_id")
+      .orderBy("shard", "pos")
+  }
+
+  /** Greedy selection under a token budget: keep the highest-quality
+    * documents whose cumulative token count fits `budget` — the data-
+    * selection step between scoring and training ("spend my 10B-token
+    * budget on the best docs").
+    *
+    * The naive form is a cumulative sum over ONE global score order — a
+    * single-partition window (the giant-state shape this repo's plan
+    * audits exist to catch). This is the two-level form that scales:
+    * quality scores quantize to 3-dp BUCKETS (≤1001 rows), the bucket
+    * token totals cumulate on that tiny frame to find the cutoff bucket,
+    * whole buckets above the cutoff keep everything, and only INSIDE the
+    * cutoff bucket does a per-bucket window (state ∝ one bucket) order
+    * docs by hash to spend the residual budget. Fully deterministic:
+    * integer token sums, hash tie-break — DuckDB equality oracle. */
+  def tokenBudgetSelect(spark: SparkSession, dir: String,
+      budget: Long = 10000L): DataFrame = {
+    val alpha = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+      .cast("double") / length(col("text"))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("nt"),
+        round(round(alpha, 6), 3).as("bucket"))
+    val cum = docs.groupBy("bucket").agg(sum("nt").as("btok"))
+      .withColumn("cumtok", sum("btok").over(
+        Window.orderBy(col("bucket").desc).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("prevtok", col("cumtok") - col("btok"))
+      .filter(col("prevtok") < budget) // buckets entirely past the budget drop here
+      .select("bucket", "cumtok", "prevtok")
+    val wb = Window.partitionBy("bucket").orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs.join(broadcast(cum), Seq("bucket"))
+      .withColumn("bcum", sum("nt").over(wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // whole bucket fits, or this doc still fits the residual budget
+      .filter(col("cumtok") <= budget || col("prevtok") + col("bcum") <= budget)
+      .select(col("doc_id"), col("bucket"), col("nt"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ds_sample" -> ((s: SparkSession, d: String) => bernoulliSample(s, d)),
     "ds_stratified" -> ((s: SparkSession, d: String) => stratifiedSample(s, d)),
     "ds_mixture" -> ((s: SparkSession, d: String) => mixtureSample(s, d)),
+    "ds_shuffle" -> ((s: SparkSession, d: String) => globalShuffle(s, d)),
+    "ds_token_budget" -> ((s: SparkSession, d: String) => tokenBudgetSelect(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -105,5 +166,24 @@ object Sampling {
         |WHERE p >= 1.0 OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
         |  < lpad(lower(hex(CAST(floor(p * 4294967296.0) AS BIGINT))), 8, '0')
         |ORDER BY d.doc_id""".stripMargin.replaceAll("\n", " "),
+    "ds_shuffle" ->
+      """WITH h AS (SELECT doc_id, md5('ep0:' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |s AS (SELECT doc_id, h, CAST(strpos('0123456789abcdef', substr(h, 1, 1)) - 1 AS INTEGER) AS shard FROM h)
+        |SELECT shard, CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) AS INTEGER) AS pos, doc_id
+        |FROM s ORDER BY shard, pos""".stripMargin.replaceAll("\n", " "),
+    "ds_token_budget" ->
+      """WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+        |round(round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text), 6), 3) AS bucket
+        |FROM documents),
+        |c AS (SELECT bucket, SUM(nt) AS btok FROM d GROUP BY bucket),
+        |cc AS (SELECT bucket, SUM(btok) OVER (ORDER BY bucket DESC ROWS UNBOUNDED PRECEDING) AS cumtok,
+        |SUM(btok) OVER (ORDER BY bucket DESC ROWS UNBOUNDED PRECEDING) - btok AS prevtok FROM c),
+        |j AS (SELECT d.doc_id, d.bucket, d.nt, cc.cumtok, cc.prevtok,
+        |SUM(d.nt) OVER (PARTITION BY d.bucket ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+        |ROWS UNBOUNDED PRECEDING) AS bcum
+        |FROM d JOIN cc ON d.bucket = cc.bucket WHERE cc.prevtok < 10000)
+        |SELECT doc_id, bucket, nt FROM j
+        |WHERE cumtok <= 10000 OR prevtok + bcum <= 10000
+        |ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
   )
 }

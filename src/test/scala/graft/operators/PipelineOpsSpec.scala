@@ -69,6 +69,50 @@ class PipelineOpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("ds_shuffle: a permutation of the corpus, balanced shards, seed changes the order") {
+    val n = Tables.documents(spark, sf).count()
+    val a = Sampling.globalShuffle(spark, sf).collect()
+    assert(a.length.toLong == n, "shuffle dropped or duplicated rows")
+    assert(a.map(_.getAs[Long]("doc_id")).distinct.length.toLong == n)
+    // per-shard positions are 1..size(shard), gap-free
+    a.groupBy(_.getAs[Int]("shard")).foreach { case (s, rows) =>
+      val ps = rows.map(_.getAs[Int]("pos")).sorted.toSeq
+      assert(ps == (1 to rows.length), s"shard $s positions not contiguous")
+    }
+    // md5 nibble shards are balanced within 3x of uniform
+    val sizes = a.groupBy(_.getAs[Int]("shard")).values.map(_.length)
+    assert(sizes.max <= 3 * math.max(1, (n / 16).toInt), s"skewed shards: $sizes")
+    // a different seed produces a different order (not the identity map)
+    val b = Sampling.globalShuffle(spark, sf, seed = "ep1").collect()
+    val ka = a.map(r => (r.getAs[Int]("shard"), r.getAs[Int]("pos"), r.getAs[Long]("doc_id"))).toSet
+    val kb = b.map(r => (r.getAs[Int]("shard"), r.getAs[Int]("pos"), r.getAs[Long]("doc_id"))).toSet
+    assert(ka != kb, "seed does not change the shuffle")
+  }
+
+  test("ds_token_budget: fits the budget, greedy by quality, deterministic") {
+    val budget = 10000L
+    val kept = Sampling.tokenBudgetSelect(spark, sf, budget).collect()
+    assert(kept.nonEmpty)
+    val total = kept.map(_.getAs[Long]("nt")).sum
+    assert(total <= budget, s"selection overspends: $total > $budget")
+    // greedy: every kept doc's bucket >= every dropped doc's bucket,
+    // except inside the single cutoff bucket
+    val keptIds = kept.map(_.getAs[Long]("doc_id")).toSet
+    val minKeptBucket = kept.map(_.getAs[Double]("bucket")).min
+    val alpha = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+      .cast("double") / length(col("text"))
+    val dropped = Tables.documents(spark, sf)
+      .select(col("doc_id"), round(round(alpha, 6), 3).as("bucket"))
+      .collect().filterNot(r => keptIds(r.getAs[Long]("doc_id")))
+    assert(dropped.forall(_.getAs[Double]("bucket") <= minKeptBucket),
+      "a dropped doc outranks a kept one outside the cutoff bucket")
+    // the budget is actually binding (next-cheapest dropped doc wouldn't fit
+    // inside its bucket's residual) and the result is deterministic
+    assert(dropped.nonEmpty, "budget not binding on the fixture")
+    val again = Sampling.tokenBudgetSelect(spark, sf, budget).collect()
+    assert(kept.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
+  }
+
   test("sq_int8: codes bounded, decode within half-step, error bound holds") {
     val amax = Quantize.absMax(spark, sf)
     assert(amax.forall(_ > 0.0))
