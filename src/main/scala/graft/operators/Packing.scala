@@ -36,9 +36,13 @@ import graft.sources.Tables
   * not an optimization — recomputation could move a row across a
   * partition edge and double-count it).
   */
-object Packing {
+/** Row shape for the per-partition running sum (top-level and public:
+  * a `private` nested case class makes the encoder's generated
+  * constructor call unresolvable to Janino — every task then silently
+  * falls back to INTERPRETED projection, a per-row cost at scale). */
+case class TokRow(doc_id: Long, nt: Long, local_cum: Long)
 
-  private case class TokRow(doc_id: Long, nt: Long, local_cum: Long)
+object Packing {
 
   /** Per-document packed-layout coordinates for EOD-separated fixed-length
     * blocks. Each document costs `nt + 1` tokens (its tokens plus one EOD
