@@ -53,9 +53,12 @@ object Chunking {
   def corpusReport(spark: SparkSession, dir: String,
       exactQuantiles: Boolean = true): DataFrame = {
     val nt = size(split(col("text"), " "))
+    // approx path: ONE sketch for both quantiles (identical aggregate
+    // expressions are computed once), accuracy 1000 — see adaptiveQuality
     def pct(q: Double): Column =
       if (exactQuantiles) expr(s"percentile(nt, $q)")
-      else expr(s"approx_percentile(nt, $q, 10000)").cast("double")
+      else element_at(expr(s"approx_percentile(nt, array(0.5D, 0.9D), 1000)"),
+        if (q == 0.5) 1 else 2).cast("double")
     Tables.documents(spark, dir)
       .select(col("lang"), col("n_chars"), nt.cast("long").as("nt"),
         md5(col("text")).as("fp"))

@@ -293,7 +293,11 @@ object TextAnalysis {
     val scored = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), round(alpha, 6).as("score"))
     val thrExpr = if (exactQuantiles) s"percentile(score, $q)"
-      else s"approx_percentile(score, $q, 10000)"
+      // accuracy 1000 (rank error ≤ n/1000): sketch compression cost grows
+      // with accuracy — 10000 measured 20× slower than the exact sort at
+      // 10× while 1000 is faster than it; the fixture-adjacency guarantee
+      // (rank error < 1) holds for groups under 1000 rows either way
+      else s"approx_percentile(score, $q, 1000)"
     val thr = scored.groupBy("lang")
       .agg(round(expr(thrExpr), 6).as("thr"))
     scored.join(broadcast(thr), Seq("lang"))
