@@ -50,10 +50,11 @@ object LayoutTime {
 
     // 2. MERGE: changesets touching 1 day vs 5 days — rewrite cost must
     // track the touched-partition count, not the table size
-    val base = spark.read.parquet(table)
-    val days = base.select(col("event_date")).distinct()
+    val days = spark.read.parquet(table).select(col("event_date")).distinct()
       .orderBy("event_date").collect().map(_.getDate(0).toString)
     def changesFor(nDays: Int): DataFrame = {
+      // re-read per call: each merge rewrites files under a stale listing
+      val base = spark.read.parquet(table)
       val picked = days.take(nDays)
       base.filter(col("event_date").isin(picked.map(lit(_)): _*))
         .groupBy("event_date").agg(min("event_id").as("event_id"))
