@@ -120,16 +120,26 @@ object Similarity {
         (if (nBits > 0) nBits else lshBitsFor(n),
           if (nTables > 0) nTables else lshTablesFor(n))
       }
-    val bucketCols = (0 until tables0).map { t =>
-      val bits = (0 until bits0).map { p =>
-        val plane = hyperplane(t, p)
-        val planeCol = array(plane.toIndexedSeq.map(lit): _*)
-        when(dot(col("v"), planeCol) > 0, lit("1")).otherwise(lit("0"))
-      }
-      struct(lit(t).as("tbl"), concat(bits: _*).as("bucket"))
-    }
-    df.withColumn("bd", explode(array(bucketCols: _*)))
-      .select(df.columns.toIndexedSeq.map(col) :+ col("bd.tbl").as("tbl") :+ col("bd.bucket").as("bucket"): _*)
+    // The hyperplane family rides in as ONE typedlit constant (a single
+    // Literal node holding the nested ArrayData) and the per-table bit
+    // loop as transform/element_at — codegen then emits LOOPS over the
+    // constant. The previous shape unrolled tables×bits dot expressions
+    // with tables×bits×64 scalar literals into one projection; at the
+    // 100× probe (32 tables × 13 bits = 26,624 literals) the generated
+    // method blew Janino's limits and every task fell back to
+    // INTERPRETED projection. Same dot expression per bit (the plans/
+    // VectorOps codegen Expression), same IEEE accumulation order —
+    // bucket strings, and therefore every persisted artifact and oracle
+    // result, are byte-identical to the unrolled form.
+    val planes: Seq[Seq[Seq[Double]]] =
+      (0 until tables0).map(t => (0 until bits0).map(p => hyperplane(t, p).toSeq))
+    val planesCol = typedLit(planes)
+    val bitsOf = (t: Column) =>
+      array_join(transform(sequence(lit(0), lit(bits0 - 1)), p =>
+        when(dot(col("v"), element_at(element_at(planesCol, t + 1), p + 1)) > 0,
+          lit("1")).otherwise(lit("0"))), "")
+    df.withColumn("tbl", explode(sequence(lit(0), lit(tables0 - 1))))
+      .withColumn("bucket", bitsOf(col("tbl")))
   }
 
   /** Multi-probe bucket list: the bucket itself plus every 1-bit flip —

@@ -50,6 +50,8 @@ object PlanAudit {
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
+      // see QueryTime: shuffle-partition headroom for the scale probes
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", 512)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

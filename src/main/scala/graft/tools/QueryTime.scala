@@ -20,6 +20,11 @@ object QueryTime {
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
+      // scale-probe headroom: big shuffles open at 512 partitions and AQE
+      // coalesces small ones back to ~32 — the local stand-in for sizing
+      // shuffle partitions to the data (the 100× probe's 336M-row pair
+      // dedup sort-spilled to disk exhaustion at a fixed 32)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", 512)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

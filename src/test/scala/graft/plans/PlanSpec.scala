@@ -79,6 +79,12 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("dedup repartition is conditional: pre-split input takes no Exchange") {
+    // another suite in the same JVM may have left this frame in a
+    // PersistSlots slot — a cached InMemoryRelation would hide the
+    // repartition this test inspects; drop caches for an order-
+    // independent plan check
+    graft.operators.ArtifactCaches.clear()
+    spark.catalog.clearCache()
     // single-file fixture: the fan-in scan must be spread for parallelism
     val single = graft.operators.Dedup.simhash64(spark, sf)
     assert(single.queryExecution.optimizedPlan.toString.contains("RepartitionByExpression"),
