@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -584,9 +585,39 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Cluster canonicalization — the survivor-selection step after
+    * [[cluster]]: within each near-dup cluster keep the BEST document
+    * (longest by n_chars, doc_id tiebreak), not the arbitrary min-id.
+    * This is the policy real corpus builds want (the near-dup family of
+    * a page usually spans truncated copies; min-id keeps whichever
+    * crawled first, best-quality keeps the fullest), and it composes:
+    * any scoring column ([[graft.ml.QualityClassifier]]'s score, a
+    * model-based signal) drops in for n_chars unchanged.
+    *
+    * Scale shape: the label frame (doc_id, cluster) joins a two-column
+    * slice of documents, then one window + one argmax-join keyed by
+    * cluster — text never enters a shuffle, and cluster keys are as
+    * uniform as [[cluster]]'s labels (no giant-component gather: the
+    * window ranks only the cluster's members, which are near-clique
+    * duplicate sets, not the corpus). */
+  def canonical(spark: SparkSession, dir: String): DataFrame = {
+    val labels = cluster(spark, dir).select("doc_id", "cluster")
+    val withQ = labels.join(
+      Tables.documents(spark, dir).select("doc_id", "n_chars"), Seq("doc_id"))
+    val w = Window.partitionBy("cluster").orderBy(col("n_chars").desc, col("doc_id"))
+    val canon = withQ.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("doc_id").as("canonical"))
+    withQ.join(canon, Seq("cluster"))
+      .select(col("doc_id"), col("cluster"), col("n_chars"), col("canonical"),
+        (col("doc_id") === col("canonical")).as("keep"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> exact _,
     "dd_cluster" -> cluster _,
+    "dd_canonical" -> canonical _,
     "dd_span_exact" -> spanDedup _,
     "dd_ngram_jaccard" -> ngramJaccard _,
     "dd_minhash_sig" -> minhashSignatures _,
@@ -658,6 +689,27 @@ object Dedup {
         |SELECT l.doc_id, l.cluster, CAST(cs.n AS BIGINT) AS cluster_size,
         |l.doc_id = l.cluster AS keep
         |FROM lbl l JOIN (SELECT cluster, COUNT(*) n FROM lbl GROUP BY 1) cs USING (cluster)
+        |ORDER BY doc_id""").stripMargin.replaceAll("\n", " "),
+    // same transitive closure, then survivor = argmax(n_chars, min doc_id)
+    // per cluster — the quality-based canonicalization policy
+    "dd_canonical" ->
+      (shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") + """,
+        |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) c
+        |FROM sh a JOIN sh b ON a.s=b.s AND a.doc_id<b.doc_id GROUP BY 1,2),
+        |pairs AS (SELECT a_id, b_id FROM inter
+        |JOIN sizes sa ON sa.doc_id=a_id JOIN sizes sb ON sb.doc_id=b_id
+        |WHERE c*1.0/(sa.n+sb.n-c) >= 0.5),
+        |edges AS (SELECT a_id u, b_id v FROM pairs UNION ALL SELECT b_id AS u, a_id AS v FROM pairs),
+        |reach(u, v) AS (SELECT u, v FROM edges
+        |UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        |lbl AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster FROM reach GROUP BY u),
+        |canon AS (SELECT cluster, doc_id AS canonical FROM (
+        |SELECT l.cluster, l.doc_id,
+        |row_number() OVER (PARTITION BY l.cluster ORDER BY d.n_chars DESC, l.doc_id) AS rn
+        |FROM lbl l JOIN documents d USING (doc_id)) WHERE rn = 1)
+        |SELECT l.doc_id, l.cluster, d.n_chars, c.canonical, l.doc_id = c.canonical AS keep
+        |FROM lbl l JOIN documents d USING (doc_id) JOIN canon c USING (cluster)
         |ORDER BY doc_id""").stripMargin.replaceAll("\n", " "),
     "dd_ngram_jaccard" ->
       (shingleCte + """,

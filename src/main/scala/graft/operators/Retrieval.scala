@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -58,8 +59,58 @@ object Retrieval {
       .limit(TopN)
   }
 
+  /** Query vector for the dense half of [[hybridRrf]]: corpus vector 7
+    * stands in for an encoded query (vec_id ↔ doc_id is the fixture
+    * contract — documents and embeddings are parallel tables). */
+  val QueryVecId = 7L
+  /** Cormack/Clarke/Buettcher reciprocal-rank-fusion constant. */
+  val RrfK = 60
+  val FusedTopN = 10
+
+  /** Hybrid retrieval: fuse the BM25 keyword ranking with a dense
+    * cosine ranking by Reciprocal Rank Fusion — score(d) = Σ_lists
+    * 1/(k + rank_list(d)) over the lists that retrieved d (Cormack et
+    * al. SIGIR 2009; the fusion used by most production hybrid-search
+    * stacks because it needs no score calibration between BM25 and
+    * cosine scales).
+    *
+    * Scale shape: each leg is its own top-N — BM25 as in [[bm25]]
+    * (postings ∝ query terms), dense as a scan + TakeOrdered global
+    * top-N (per-partition heads merge on the driver, no global sort,
+    * no window over the corpus). The rank stamps and the fusion then
+    * run on two ≤TopN-row frames — driver-scale by construction, like
+    * the re-rank tails of the ANN family. */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.VectorOps.dot
+    val wTop = Window.orderBy(col("score").desc, col("id"))
+    // sparse leg: bm25's top-20, rank-stamped (20 rows — the
+    // single-partition window is a constant-size tail, not a corpus sort)
+    val bmRank = bm25(spark, dir)
+      .select(col("doc_id").as("id"), col("score"))
+      .withColumn("r_bm", row_number().over(wTop))
+      .select("id", "r_bm")
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val qv = e.filter(col("vec_id") === QueryVecId).select(col("v").as("vq"))
+    val dense = e.filter(col("vec_id") =!= QueryVecId)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id").as("id"), round(dot(col("v"), col("vq")), 6).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(TopN)
+    val denseRank = dense.withColumn("r_vec", row_number().over(wTop)).select("id", "r_vec")
+    val rrf = coalesce(lit(1.0) / (lit(RrfK) + col("r_bm")), lit(0.0)) +
+      coalesce(lit(1.0) / (lit(RrfK) + col("r_vec")), lit(0.0))
+    bmRank.join(denseRank, Seq("id"), "full_outer")
+      .withColumn("rrf", round(rrf, 6))
+      .orderBy(col("rrf").desc, col("id"))
+      .limit(FusedTopN)
+      .select("id", "r_bm", "r_vec", "rrf")
+      .orderBy(col("rrf").desc, col("id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_bm25" -> ((s: SparkSession, d: String) => bm25(s, d)),
+    "tx_hybrid_rrf" -> hybridRrf _,
   )
 
   private val termList = QueryTerms.map(t => s"'$t'").mkString("(", ", ", ")")
@@ -78,6 +129,32 @@ object Retrieval {
         |FROM tf JOIN dfreq USING (w) JOIN lens USING (doc_id) CROSS JOIN stats)
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms, ROUND(SUM(s), 4) AS score
         |FROM scored GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT $TopN"""
+        .stripMargin.replaceAll("\n", " "),
+    "tx_hybrid_rrf" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+        |lens AS (SELECT doc_id, COUNT(*) AS len FROM toks GROUP BY 1),
+        |stats AS (SELECT COUNT(*) AS n_docs, AVG(len) AS avglen FROM lens),
+        |hits AS (SELECT doc_id, w FROM toks WHERE w IN $termList),
+        |dfreq AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM hits GROUP BY 1),
+        |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM hits GROUP BY 1, 2),
+        |scored AS (SELECT tf.doc_id,
+        |ln(1.0 + (stats.n_docs - dfreq.df + 0.5)/(dfreq.df + 0.5)) * tf.tf * ($K1 + 1.0) /
+        |(tf.tf + $K1 * (1.0 - $B + $B * lens.len / stats.avglen)) AS s
+        |FROM tf JOIN dfreq USING (w) JOIN lens USING (doc_id) CROSS JOIN stats),
+        |bmtop AS (SELECT doc_id AS id, ROUND(SUM(s), 4) AS score
+        |FROM scored GROUP BY doc_id ORDER BY score DESC, id LIMIT $TopN),
+        |bmrank AS (SELECT id, row_number() OVER (ORDER BY score DESC, id) AS r_bm FROM bmtop),
+        |qv AS (SELECT embedding AS vq FROM embeddings WHERE vec_id = $QueryVecId),
+        |dtop AS (SELECT e.vec_id AS id,
+        |ROUND(list_sum(list_transform(list_zip(e.embedding, qv.vq),
+        |p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), 6) AS score
+        |FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> $QueryVecId
+        |ORDER BY score DESC, id LIMIT $TopN),
+        |drank AS (SELECT id, row_number() OVER (ORDER BY score DESC, id) AS r_vec FROM dtop)
+        |SELECT id, r_bm, r_vec,
+        |ROUND(COALESCE(1.0/($RrfK + r_bm), 0) + COALESCE(1.0/($RrfK + r_vec), 0), 6) AS rrf
+        |FROM bmrank FULL OUTER JOIN drank USING (id)
+        |ORDER BY rrf DESC, id LIMIT $FusedTopN"""
         .stripMargin.replaceAll("\n", " "),
   )
 }

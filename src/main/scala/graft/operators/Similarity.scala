@@ -1226,8 +1226,87 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** Filtered (predicate-constrained) nearest-neighbor search: each
+    * query's top-1 among ONLY the corpus vectors sharing its `label` —
+    * the category-scoped / multi-tenant search every vector store ships
+    * as "filtered search".
+    *
+    * The branch rule is the cardinality-based planner production systems
+    * use (FAISS's IDSelector guidance and the Qdrant/Milvus filtered-
+    * search planners make the same split): a SELECTIVE predicate
+    * pre-filters and scans the filtered slice exactly — cost ∝ sel·N,
+    * the filter arrives as an equi-join key (a label-partitioned corpus
+    * turns it into partition pruning), and the result is exact by
+    * construction; a BROAD predicate rides the IVF probe stream with the
+    * filter applied post-probe, keeping index speed at the index's
+    * recall (spec-gated, like every other ANN operating point).
+    * Post-filtering a selective predicate is the classic failure mode —
+    * k survivors after a sel-fraction filter need k/sel candidates
+    * before it, so the index fan-out grows as 1/sel just to break even
+    * with the exact slice scan.
+    *
+    * The selectivity estimate is a bounded agg (labels are categories,
+    * not rows; at 100 TB this is a stats lookup, not a job) — one scalar
+    * on the driver, same contract as the centroid tables. */
+  def filteredSearch(spark: SparkSession, dir: String,
+      selThreshold: Double = 0.3): DataFrame = {
+    val raw = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"),
+        col("label"))
+    val q = raw.filter(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("q_id"), col("v").as("vq"), col("label"))
+    val maxShare = raw.groupBy("label").agg(count(lit(1)).as("n"))
+      .agg((max("n") / sum("n")).as("share")).head().getDouble(0)
+    val w = Window.partitionBy("q_id").orderBy(round(col("cs"), 6).desc, col("nbr_id"))
+    if (maxShare <= selThreshold) {
+      // pre-filter exact: the label keys the candidate join, so each
+      // query scores only its slice — no index, no recall loss
+      broadcast(q)
+        .join(raw.select(col("vec_id").as("nbr_id"), col("v").as("vn"), col("label")),
+          Seq("label"))
+        .filter(col("q_id") =!= col("nbr_id"))
+        .withColumn("cs", dot(col("vq"), col("vn")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") === 1)
+        .select(col("q_id"), col("label"), col("nbr_id"), round(col("cs"), 4).as("cs"))
+        .orderBy("q_id")
+    } else {
+      // post-filter over the deep-probe IVF candidate stream: candidates
+      // stay id-only through the fan-out; the label stamp joins on after
+      // dedup, before the vectors
+      val idx = ivfCache.getOrElseUpdate(
+        (spark.sparkContext.applicationId, dir, 0), buildIvfIndex(spark, dir, 0))
+      val nProbeEff = math.max(1, math.ceil(idx.centroids.length * 12.0 / 16).toInt)
+      val assigned = idx.assignments
+      val probeUdf = cellProbeUdf(spark, idx.centroids, nProbeEff)
+      val qp = assigned.filter(col("vec_id") < QuerySetSize)
+        .select(col("vec_id").as("q_id"), explode(probeUdf(col("v"))).as("cell"))
+      val cand = qp.join(assigned.select(col("vec_id").as("nbr_id"), col("cell")), Seq("cell"))
+        .filter(col("q_id") =!= col("nbr_id"))
+        .select("q_id", "nbr_id")
+        .dropDuplicates("q_id", "nbr_id")
+      val labels = raw.select(col("vec_id"), col("label"))
+      val vecs = assigned.select(col("vec_id"), col("v"))
+      cand
+        .join(labels.select(col("vec_id").as("q_id"), col("label").as("q_label")), Seq("q_id"))
+        .join(labels.select(col("vec_id").as("nbr_id"), col("label")), Seq("nbr_id"))
+        .filter(col("label") === col("q_label"))
+        .join(vecs.select(col("vec_id").as("q_id"), col("v").as("vq")), Seq("q_id"))
+        .join(vecs.select(col("vec_id").as("nbr_id"), col("v").as("vn")), Seq("nbr_id"))
+        .withColumn("cs", dot(col("vq"), col("vn")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") === 1)
+        .select(col("q_id"), col("label"), col("nbr_id"), round(col("cs"), 4).as("cs"))
+        .orderBy("q_id")
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk" -> bruteForceTopK _,
+    // the fixture labels are ~10% selective, so the registered query runs
+    // the pre-filter exact branch — full equality oracle; the post-filter
+    // index branch is recall-spec'd in ExtensionsSpec
+    "ann_filtered_top1" -> ((s: SparkSession, d: String) => filteredSearch(s, d)),
     "ann_lsh_topk" -> ((s: SparkSession, d: String) => lshTopK(s, d)), // top-K is spec-gated (recall < 1 by design)...
     // ...but the HIGH-CONFIDENCE slice carries a full equality oracle:
     // multi-probe LSH must return the true nearest neighbor for every
@@ -1271,6 +1350,20 @@ object Similarity {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // exact-by-construction (pre-filter branch at the fixture's ~10%
+    // label selectivity): brute force within each query's label slice
+    "ann_filtered_top1" ->
+      """WITH scored AS (
+        |SELECT a.vec_id AS q_id, a.label, b.vec_id AS nbr_id,
+        |list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS cs
+        |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id
+        |WHERE a.vec_id < 20),
+        |ranked AS (SELECT q_id, label, nbr_id, cs,
+        |ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ROUND(cs,6) DESC, nbr_id) AS rn
+        |FROM scored)
+        |SELECT q_id, label, nbr_id, ROUND(cs,4) AS cs FROM ranked
+        |WHERE rn = 1 ORDER BY q_id""".stripMargin.replaceAll("\n", " "),
     "ann_topk" ->
       """WITH scored AS (
         |SELECT a.vec_id AS q_id, b.vec_id AS nbr_id,

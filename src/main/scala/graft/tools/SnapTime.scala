@@ -1,0 +1,57 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Snapshots
+import graft.sources.Tables
+
+/** Scale evidence for the snapshot/transaction-log family: commit cost
+  * must track the CHANGED bytes (batch + one manifest write), never the
+  * table size — the property that makes a 100 TB table maintainable.
+  * Point it at the ScaleUp output for the 10× rows.
+  *
+  * Usage: runMain graft.tools.SnapTime <dir> [workDir]
+  */
+object SnapTime {
+
+  private def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val work = args.drop(1).headOption.getOrElse("/tmp/graft_snap_time")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val fs = new org.apache.hadoop.fs.Path(work)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(work), true)
+
+    val ev = Tables.events(spark, dir)
+    val n = ev.count()
+    // day-sized changeset: ~1/30 of the table (one day of a month)
+    val small = ev.filter(to_date(col("ts")) === ev.select(min(to_date(col("ts")))).head().getDate(0))
+    val nSmall = small.count()
+
+    val (_, tBase) = time(Snapshots.commit(ev, work))
+    val (_, tAppend) = time(Snapshots.commit(small, work))
+    val (_, tOverwrite) = time(Snapshots.commit(ev, work, overwrite = true))
+    println(f"[st] base_commit $tBase%.2f s ($n rows)")
+    println(f"[st] day_append $tAppend%.2f s ($nSmall rows, ${100.0 * nSmall / n}%.1f%% of table)")
+    println(f"[st] full_overwrite $tOverwrite%.2f s (the rewrite a log-table never needs)")
+    val (c1, tRead1) = time(Snapshots.read(spark, work, Some(1)).count())
+    val (c3, tRead3) = time(Snapshots.read(spark, work).count())
+    println(f"[st] time_travel_v1 $tRead1%.2f s ($c1 rows)  latest $tRead3%.2f s ($c3 rows)")
+    val (_, tVac) = time(Snapshots.vacuum(spark, work, keep = 1))
+    println(f"[st] vacuum $tVac%.2f s")
+    spark.stop()
+  }
+}

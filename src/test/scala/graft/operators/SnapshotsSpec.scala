@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+
+import graft.SparkSpec
+
+/** Transaction-log semantics of [[Snapshots]]: append/overwrite
+  * visibility, time-travel stability under later commits, reference-
+  * counted vacuum (shared batches survive as long as any kept manifest
+  * cites them), and crash recovery (an unpublished batch is invisible
+  * and reclaimable). */
+class SnapshotsSpec extends SparkSpec {
+
+  private def freshDir(tag: String): String = {
+    val d = s"/tmp/graft_snapspec_$tag"
+    val fs = new Path(d).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(d), true)
+    d
+  }
+
+  import spark.implicits._
+
+  test("append commits accumulate; time travel re-reads any version unchanged") {
+    val d = freshDir("append")
+    val v1 = Snapshots.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), d)
+    val v2 = Snapshots.commit(Seq((3L, "c")).toDF("id", "s"), d)
+    assert((v1, v2) == (1, 2))
+    assert(Snapshots.read(spark, d).count() == 3)
+    val v1rows = Snapshots.read(spark, d, Some(1)).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(v1rows == Set((1L, "a"), (2L, "b")))
+    // a third commit cannot disturb the pinned-version view
+    Snapshots.commit(Seq((4L, "d")).toDF("id", "s"), d)
+    assert(Snapshots.read(spark, d, Some(1)).count() == 2)
+    assert(Snapshots.read(spark, d, Some(2)).count() == 3)
+    assert(Snapshots.read(spark, d).count() == 4)
+  }
+
+  test("overwrite replaces the live view but leaves history readable") {
+    val d = freshDir("overwrite")
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "s"), d)
+    Snapshots.commit(Seq((9L, "z")).toDF("id", "s"), d, overwrite = true)
+    assert(Snapshots.read(spark, d).collect().map(_.getLong(0)).toSeq == Seq(9L))
+    assert(Snapshots.read(spark, d, Some(1)).collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("vacuum is reference-counted: shared batches survive, orphans die") {
+    val d = freshDir("vacuum")
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "s"), d) // b1
+    Snapshots.commit(Seq((2L, "b")).toDF("id", "s"), d) // b2; manifest v2 = b1+b2
+    val fs = new Path(d).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash simulation: a batch written but never published
+    fs.mkdirs(new Path(s"$d/data/b99"))
+    assert(Snapshots.read(spark, d).count() == 2, "orphan batch must be invisible")
+    Snapshots.vacuum(spark, d, keep = 1)
+    // v1's manifest is gone, but batch b1 is cited by the kept v2 manifest
+    assert(Snapshots.versions(spark, d) == Seq(2))
+    assert(Snapshots.read(spark, d).count() == 2)
+    assert(fs.exists(new Path(s"$d/data/b1")), "shared batch vacuumed away")
+    assert(!fs.exists(new Path(s"$d/data/b99")), "orphan batch survived vacuum")
+    intercept[IllegalArgumentException](Snapshots.read(spark, d, Some(1)))
+  }
+
+  test("vacuum after overwrite reclaims the replaced batches") {
+    val d = freshDir("vacover")
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "s"), d)           // b1
+    Snapshots.commit(Seq((9L, "z")).toDF("id", "s"), d, overwrite = true) // b2 only
+    Snapshots.vacuum(spark, d, keep = 1)
+    val fs = new Path(d).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(s"$d/data/b1")), "unreferenced batch kept")
+    assert(Snapshots.read(spark, d).collect().map(_.getLong(0)).toSeq == Seq(9L))
+  }
+
+  test("ly_snapshot demo: v1 slice + v2 append == full events") {
+    val df = Snapshots.snapshotDemo(spark, sf)
+    val n1 = df.count()
+    val table = s"/tmp/graft_snap_${Integer.toHexString(sf.hashCode)}"
+    val total = Snapshots.read(spark, table).count()
+    val events = graft.sources.Tables.events(spark, sf).count()
+    assert(n1 > 0 && n1 < total && total == events)
+  }
+}

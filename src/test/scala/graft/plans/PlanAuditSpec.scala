@@ -34,6 +34,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "ann_pca_topk", "ann_pca_top1",
     // 1-row broadcast totals cross joins
     "ds_dsir", "ds_dsir_select", "ds_source_kl", "tx_bm25",
+    // 1-row broadcast query-vector cross join driving the dense leg
+    "tx_hybrid_rrf",
     // non-equi range predicate with a broadcast-small side (G6 is the
     // declared nested-loop capability row)
     "q6_range_join",
