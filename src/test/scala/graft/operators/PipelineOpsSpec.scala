@@ -137,4 +137,40 @@ class PipelineOpsSpec extends SparkSpec {
       assert(math.abs(first(i) - dec) <= amax(i) / 127.0 / 2.0 + 1e-12)
     }
   }
+
+  test("sq_binary: every packed bit is the dimension's sign") {
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getAs[collection.Seq[Float]](1)).toMap
+    val rows = Quantize.binaryEncode(spark, sf).collect()
+    assert(rows.length == vecs.size)
+    rows.foreach { r =>
+      val v = vecs(r.getAs[Long]("vec_id"))
+      val lo = r.getAs[Long]("bits_lo"); val hi = r.getAs[Long]("bits_hi")
+      (0 until 32).foreach { i =>
+        assert(((lo >> i) & 1L) == (if (v(i) > 0f) 1L else 0L))
+        assert(((hi >> i) & 1L) == (if (v(i + 32) > 0f) 1L else 0L))
+      }
+    }
+  }
+
+  test("ann_binary_top1: asymmetric 8-byte serve tier recovers the exact top-1") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.plans.VectorOps.dot
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val q = e.filter(col("vec_id") < Similarity.QuerySetSize)
+      .select(col("vec_id").as("q_id"), col("v").as("vq"))
+    val w = Window.partitionBy("q_id").orderBy(round(col("cs"), 6).desc, col("nbr_id"))
+    val exact = broadcast(q)
+      .join(e.select(col("vec_id").as("nbr_id"), col("v").as("vn")),
+        col("q_id") =!= col("nbr_id"))
+      .withColumn("cs", dot(col("vq"), col("vn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") === 1)
+      .select("q_id", "nbr_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Quantize.binaryTop1(spark, sf).collect()
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("nbr_id")).toMap
+    assert(got == exact)
+  }
 }

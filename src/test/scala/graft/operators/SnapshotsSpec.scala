@@ -71,6 +71,45 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.read(spark, d).collect().map(_.getLong(0)).toSeq == Seq(9L))
   }
 
+  test("appendedBetween reads exactly the delta batch; compact preserves content") {
+    val d = freshDir("delta")
+    Snapshots.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), d)
+    Snapshots.commit(Seq((3L, "c"), (4L, "d")).toDF("id", "s"), d)
+    val delta = Snapshots.appendedBetween(spark, d, 1, 2).collect()
+      .map(_.getLong(0)).toSet
+    assert(delta == Set(3L, 4L))
+    // compaction: one new version, same content, bounded file count
+    val v3 = Snapshots.compact(spark, d, nFiles = 1)
+    assert(v3 == 3)
+    assert(Snapshots.read(spark, d).collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 3L, 4L))
+    val fs = new Path(d).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(new Path(s"$d/data/b3")).count(_.getPath.getName.endsWith(".parquet")) == 1)
+    // pre-compaction history still time-travels
+    assert(Snapshots.read(spark, d, Some(1)).count() == 2)
+  }
+
+  test("schema evolution: a commit with an added column merges on read") {
+    val d = freshDir("schema")
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "s"), d)
+    Snapshots.commit(Seq((2L, "b", 7.5)).toDF("id", "s", "score"), d)
+    val latest = spark.read.option("mergeSchema", "true")
+      .parquet(s"$d/data/b1", s"$d/data/b2")
+    assert(latest.columns.toSet == Set("id", "s", "score"))
+  }
+
+  test("ly_incr_matview: incremental refresh equals full recompute") {
+    val refreshed = Snapshots.incrMatviewDemo(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val table = s"/tmp/graft_snap_${Integer.toHexString(sf.hashCode)}"
+    import org.apache.spark.sql.functions._
+    val full = Snapshots.read(spark, table)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(refreshed == full)
+  }
+
   test("ly_snapshot demo: v1 slice + v2 append == full events") {
     val df = Snapshots.snapshotDemo(spark, sf)
     val n1 = df.count()

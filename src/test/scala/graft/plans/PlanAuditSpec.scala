@@ -32,6 +32,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "dd_embed_cos", "dd_ngram_jaccard", "ann_topk",
     // broadcast query-set (≤20 rows) over the corpus scan
     "ann_pca_topk", "ann_pca_top1",
+    // broadcast query-set over the 8-byte binary-code scan
+    "ann_binary_top1",
     // 1-row broadcast totals cross joins
     "ds_dsir", "ds_dsir_select", "ds_source_kl", "tx_bm25",
     // 1-row broadcast query-vector cross join driving the dense leg
