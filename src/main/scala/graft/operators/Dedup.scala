@@ -585,6 +585,33 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Containment near-dup (directed inclusion): cont = |A∩B| /
+    * min(|A|,|B|) over shingle sets — the signal Jaccard structurally
+    * misses. A short document quoted whole inside a long one has
+    * j = |A|/|B| ≈ 0 but containment ≈ 1; Broder's original resemblance
+    * paper defines both measures for exactly this reason, and corpus
+    * builds use containment to catch quote-inclusion and boilerplate-
+    * wrapped copies. Same inverted-index join and memoized shingle frame
+    * as [[ngramJaccardImpl]] — only the final ratio differs, so the
+    * scale shape is identical (one shingle-keyed shuffle, pair work ∝
+    * co-occurrences). */
+  def containment(spark: SparkSession, dir: String,
+      threshold: Double = 0.8): DataFrame = {
+    val sh = PersistSlots.cached(spark, s"ngram-shingles:$dir")(shingles(spark, dir))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("a_id"), col("s"))
+    val b = sh.select(col("doc_id").as("b_id"), col("s"))
+    val inter = a.join(b, Seq("s")).filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), Seq("a_id"))
+      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), Seq("b_id"))
+      .withColumn("cont", col("c") / least(col("na"), col("nb")))
+      .filter(col("cont") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("cont"), 4).as("cont"))
+      .orderBy("a_id", "b_id")
+  }
+
   /** Cluster canonicalization — the survivor-selection step after
     * [[cluster]]: within each near-dup cluster keep the BEST document
     * (longest by n_chars, doc_id tiebreak), not the arbitrary min-id.
@@ -618,6 +645,7 @@ object Dedup {
     "dd_exact" -> exact _,
     "dd_cluster" -> cluster _,
     "dd_canonical" -> canonical _,
+    "dd_containment" -> ((s: SparkSession, d: String) => containment(s, d)),
     "dd_span_exact" -> spanDedup _,
     "dd_ngram_jaccard" -> ngramJaccard _,
     "dd_minhash_sig" -> minhashSignatures _,
@@ -711,6 +739,15 @@ object Dedup {
         |SELECT l.doc_id, l.cluster, d.n_chars, c.canonical, l.doc_id = c.canonical AS keep
         |FROM lbl l JOIN documents d USING (doc_id) JOIN canon c USING (cluster)
         |ORDER BY doc_id""").stripMargin.replaceAll("\n", " "),
+    "dd_containment" ->
+      (shingleCte + """,
+        |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) c
+        |FROM sh a JOIN sh b ON a.s=b.s AND a.doc_id<b.doc_id GROUP BY 1,2)
+        |SELECT a_id, b_id, ROUND(c*1.0/LEAST(sa.n, sb.n), 4) AS cont FROM inter
+        |JOIN sizes sa ON sa.doc_id=a_id JOIN sizes sb ON sb.doc_id=b_id
+        |WHERE c*1.0/LEAST(sa.n, sb.n) >= 0.8
+        |ORDER BY a_id, b_id""").stripMargin.replaceAll("\n", " "),
     "dd_ngram_jaccard" ->
       (shingleCte + """,
         |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),

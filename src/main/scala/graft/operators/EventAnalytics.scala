@@ -129,7 +129,27 @@ object EventAnalytics {
       .orderBy("user_id", "session_idx")
   }
 
+  /** Event-flow transitions (the "user paths" product-analytics view):
+    * per user, order events by time and count each (event_type →
+    * next_event_type) step, with '∅' closing every user's sequence.
+    * One lead() window over the SAME user_id partitioning sessionize
+    * uses (one shuffle), then a hash agg on a key whose cardinality is
+    * event-type² — the output is planner-table-sized no matter how many
+    * events feed it, which is what makes the flow view cheap to keep
+    * fresh at 100 TB. */
+  def pathTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next", coalesce(lead("event_type", 1).over(w), lit("∅")))
+      .groupBy(col("event_type").as("step"), col("next"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy("step", "next")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_paths" -> pathTransitions _,
     "q26_funnel" -> ((s: SparkSession, d: String) => funnel(s, d)),
     "q27_retention" -> ((s: SparkSession, d: String) => retention(s, d)),
     "q28_interval_join" -> intervalJoin _,
@@ -137,6 +157,12 @@ object EventAnalytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q30_paths" ->
+      """WITH t AS (SELECT event_type AS step,
+        |COALESCE(lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id), '∅') AS next
+        |FROM events)
+        |SELECT step, next, CAST(COUNT(*) AS BIGINT) AS c
+        |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replaceAll("\n", " "),
     "q26_funnel" ->
       """WITH tv AS (SELECT user_id, MIN(ts) AS tv FROM events
         |WHERE event_type = 'view' GROUP BY 1),

@@ -59,29 +59,91 @@ object Snapshots {
     finally in.close()
   }
 
+  /** A manifest line: a batch-relative path plus optional per-file
+    * min/max stats for one numeric column (`path⇥col⇥min⇥max`). Stats
+    * ride the LOG, not the files — a pruned read decides from the
+    * manifest alone which files to open (the Delta/Iceberg data-skipping
+    * contract: planning cost ∝ log size, zero footer reads). */
+  private[operators] final case class ManifestEntry(
+      path: String, stats: Option[(String, Double, Double)]) {
+    def line: String = stats match {
+      case Some((c, lo, hi)) => s"$path\t$c\t$lo\t$hi"
+      case None => path
+    }
+  }
+  private def parseEntry(line: String): ManifestEntry = line.split('\t') match {
+    case Array(p, c, lo, hi) => ManifestEntry(p, Some((c, lo.toDouble, hi.toDouble)))
+    case Array(p) => ManifestEntry(p, None)
+    case other => ManifestEntry(other.head, None)
+  }
+
   /** Commit `df` as version N+1. `overwrite=false` appends (new manifest
     * = parent files + the new batch), `overwrite=true` replaces (new
-    * manifest = the new batch alone). Returns the committed version. */
-  def commit(df: DataFrame, dir: String, overwrite: Boolean = false): Int = {
+    * manifest = the new batch alone). `statsCol` records per-file min/max
+    * of that column into the manifest — one extra pass over the JUST-
+    * WRITTEN batch (cost ∝ changed bytes, like the commit itself), which
+    * [[readPruned]] then uses to skip files without opening them.
+    * Returns the committed version. */
+  def commit(df: DataFrame, dir: String, overwrite: Boolean = false,
+      statsCol: Option[String] = None, batchTag: Option[String] = None): Int = {
     val spark = df.sparkSession
     val fs = fsFor(spark, dir)
     val prior = versions(spark, dir)
     val v = prior.lastOption.getOrElse(0) + 1
-    val batch = s"$dir/data/b$v"
+    val dirName = batchTag.getOrElse(s"b$v")
+    val batch = s"$dir/data/$dirName"
     df.write.mode("overwrite").parquet(batch)
     val batchFiles = fs.listStatus(new Path(batch)).toSeq.map(_.getPath.getName)
       .filter(_.endsWith(".parquet"))
-      .map(n => s"data/b$v/$n")
-    val parentFiles =
+      .map(n => s"data/$dirName/$n")
+    val entries = statsCol match {
+      case None => batchFiles.map(ManifestEntry(_, None))
+      case Some(c) =>
+        // keyed by bare file name (input_file_name returns a URI) so the
+        // manifest assembly stays O(files), not O(files²)
+        val byName = spark.read.parquet(batch)
+          .groupBy(input_file_name().as("f"))
+          .agg(min(col(c).cast("double")).as("lo"), max(col(c).cast("double")).as("hi"))
+          .collect()
+          .map { r =>
+            val uri = r.getString(0)
+            uri.substring(uri.lastIndexOf('/') + 1) -> (r.getDouble(1), r.getDouble(2))
+          }.toMap
+        batchFiles.map { rel =>
+          val name = rel.substring(rel.lastIndexOf('/') + 1)
+          byName.get(name)
+            .map { case (lo, hi) => ManifestEntry(rel, Some((c, lo, hi))) }
+            .getOrElse(ManifestEntry(rel, None))
+        }
+    }
+    val parentLines =
       if (overwrite) Seq.empty
       else prior.lastOption.map(readManifest(spark, dir, _)).getOrElse(Seq.empty)
     val tmp = new Path(s"$dir/_log/$v.tmp")
     fs.mkdirs(new Path(s"$dir/_log"))
     val out = fs.create(tmp, true)
-    try out.write((parentFiles ++ batchFiles).mkString("\n").getBytes("UTF-8"))
+    try out.write((parentLines ++ entries.map(_.line)).mkString("\n").getBytes("UTF-8"))
     finally out.close()
     fs.rename(tmp, manifestPath(dir, v)) // atomic publish
     v
+  }
+
+  /** Idempotent tagged commit — the exactly-once primitive for streaming
+    * ingest: if ANY published manifest already references batch dir
+    * `data/<tag>/`, the commit is a no-op (the tag was delivered; a
+    * foreachBatch replay after a crash must not append twice). Otherwise
+    * the data write lands in the tag-named dir (Overwrite — a replay of
+    * a HALF-written crash rewrites in place) and the manifest publish is
+    * the atomic commit point. Single-writer semantics, like the rest of
+    * the log. Returns the version committed, or None if already done. */
+  def commitIfAbsent(df: DataFrame, dir: String, tag: String,
+      statsCol: Option[String] = None): Option[Int] = {
+    val spark = df.sparkSession
+    val done = versions(spark, dir).exists { v =>
+      readManifest(spark, dir, v).exists(l => parseEntry(l).path.split("/")(1) == tag)
+    }
+    if (done) None
+    else Some(commit(df, dir, overwrite = false, statsCol = statsCol, batchTag = Some(tag)))
   }
 
   /** Read a pinned version (time travel) or the latest. The file list is
@@ -91,8 +153,26 @@ object Snapshots {
     require(vs.nonEmpty, s"no published snapshot under $dir")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"version $v not published (have ${vs.mkString(",")})")
-    val files = readManifest(spark, dir, v).map(f => s"$dir/$f")
+    val files = readManifest(spark, dir, v).map(parseEntry).map(e => s"$dir/${e.path}")
     spark.read.parquet(files: _*)
+  }
+
+  /** Range-pruned read: open ONLY the files whose recorded [min,max] for
+    * `statsCol` overlaps [lo, hi] (files without stats are always read —
+    * correctness never depends on stats presence). Returns the pruned
+    * frame and the (opened, total) file counts; the caller still applies
+    * its row-level predicate — stats only bound what gets opened. */
+  def readPruned(spark: SparkSession, dir: String, statsCol: String,
+      lo: Double, hi: Double, version: Option[Int] = None): (DataFrame, Int, Int) = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no published snapshot under $dir")
+    val v = version.getOrElse(vs.last)
+    val entries = readManifest(spark, dir, v).map(parseEntry)
+    val kept = entries.filter {
+      case ManifestEntry(_, Some((c, fLo, fHi))) if c == statsCol => fHi >= lo && fLo <= hi
+      case _ => true
+    }
+    (spark.read.parquet(kept.map(e => s"$dir/${e.path}"): _*), kept.size, entries.size)
   }
 
   /** The rows APPENDED between two published versions: the manifest diff
@@ -105,8 +185,8 @@ object Snapshots {
     val vs = versions(spark, dir)
     require(vs.contains(fromV) && vs.contains(toV) && fromV < toV,
       s"need published fromV < toV, have ${vs.mkString(",")}")
-    val before = readManifest(spark, dir, fromV).toSet
-    val added = readManifest(spark, dir, toV).filterNot(before)
+    val before = readManifest(spark, dir, fromV).map(parseEntry(_).path).toSet
+    val added = readManifest(spark, dir, toV).map(parseEntry(_).path).filterNot(before)
     require(added.nonEmpty, s"no files appended between v$fromV and v$toV")
     spark.read.parquet(added.map(f => s"$dir/$f"): _*)
   }
@@ -126,7 +206,7 @@ object Snapshots {
     val vs = versions(spark, dir)
     val (drop, stay) = vs.splitAt(math.max(0, vs.length - keep))
     val live = stay.flatMap(readManifest(spark, dir, _))
-      .map(_.split("/")(1)).toSet // batch dir names, e.g. b3
+      .map(parseEntry(_).path.split("/")(1)).toSet // batch dir names, e.g. b3
     drop.foreach(v => fs.delete(manifestPath(dir, v), false))
     val dataRoot = new Path(s"$dir/data")
     if (fs.exists(dataRoot))

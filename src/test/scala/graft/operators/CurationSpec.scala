@@ -117,6 +117,29 @@ class CurationSpec extends SparkSpec {
     assert(got == exact)
   }
 
+  test("dd_containment catches quote-inclusion that Jaccard structurally misses") {
+    import spark.implicits._
+    // construct the asymmetric case absent from the driver fixtures: a
+    // short doc quoted whole inside a much longer one
+    val small = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val large = small + " " + (100 to 300).map(i => s"pad$i").mkString(" ")
+    val dir = "/tmp/graft_containment_fixture"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    Seq((1L, small, "en", "src0", small.length.toLong),
+        (2L, large, "en", "src0", large.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    PersistSlots.clear()
+    val cont = Dedup.containment(spark, dir).collect()
+    assert(cont.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    assert(cont.head.getAs[Double]("cont") == 1.0)
+    // the symmetric measure misses it: j = |A|/|B| ≈ 0.12 < 0.5
+    assert(Dedup.ngramJaccard(spark, dir).count() == 0)
+    PersistSlots.clear() // don't leak the fixture's shingle slot to other suites
+  }
+
   test("ann_filtered_top1 post-filter branch: label-correct with high recall") {
     val labels = Tables.embeddings(spark, sf).select("vec_id", "label").collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
