@@ -72,17 +72,32 @@ object Quality {
     * — the stats join never sees raw events. */
   val AnomalyZ = 3.0
 
-  def eventAnomalies(spark: SparkSession, dir: String): DataFrame = {
-    val hourly = Tables.events(spark, dir)
+  /** Per-type hourly counts — the frame both the batch detector and the
+    * streaming sibling ([[graft.streaming.AnomalyStream]]) score. */
+  def hourlyCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
       .agg(count(lit(1)).as("c"))
-    val stats = hourly.groupBy("event_type")
+
+  /** Baseline per-type (mu, sd) — in production this is TRAINED on
+    * history and broadcast to the scorer; the batch demo derives it from
+    * the same corpus it scores. */
+  def hourlyStats(hourly: DataFrame): DataFrame =
+    hourly.groupBy("event_type")
       .agg(avg("c").as("mu"), stddev_pop("c").as("sd"))
+
+  /** The shared scorer: one stream-or-batch hourly frame against one
+    * broadcast stats frame — batch q31 and the streaming form flag the
+    * SAME rows because this is literally the same code. */
+  def scoreHourly(hourly: DataFrame, stats: DataFrame, z: Double = AnomalyZ): DataFrame =
     hourly.join(broadcast(stats), Seq("event_type"))
       .withColumn("z", (col("c") - col("mu")) / col("sd"))
-      .filter(col("z") > AnomalyZ)
+      .filter(col("z") > z)
       .select(col("event_type"), col("h"), col("c"), round(col("z"), 4).as("z"))
-      .orderBy("event_type", "h")
+
+  def eventAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = hourlyCounts(spark, dir)
+    scoreHourly(hourly, hourlyStats(hourly)).orderBy("event_type", "h")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
+
+import graft.operators.Quality
+
+/** Streaming spike detection: the watermarked hourly window aggregation
+  * runs in the stream, and each micro-batch's (type, hour) counts are
+  * scored in foreachBatch against a TRAINED per-type baseline with the
+  * SAME [[Quality.scoreHourly]] the batch detector uses — batch ≡ stream
+  * by construction (one scorer, two drivers), asserted in
+  * AnomalyStreamSpec.
+  *
+  * The baseline comes from history, not the live stream — the production
+  * contract (a self-derived live baseline would chase its own spikes),
+  * and also what keeps the plan legal: Structured Streaming forbids a
+  * second aggregation downstream of the windowed count, while a
+  * broadcast stats join inside foreachBatch is plain batch code.
+  * Scale: streaming state is the watermark-bounded window store
+  * (types × open hours); the stats frame is types-sized and broadcast.
+  */
+object AnomalyStream {
+
+  /** Watermarked per-type hourly counts, stream form. */
+  def hourlyCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("event_type"), col("w.start").as("h"), col("c"))
+
+  /** Start the detector: score each batch of window counts against the
+    * trained `stats` frame, handing flagged rows to `onFlagged`. Complete
+    * mode re-emits the full window table per batch, so the callback's
+    * latest frame IS the current flag set (Update mode + an idempotent
+    * sink is the high-volume variant; the scorer is shared either way). */
+  def start(events: DataFrame, stats: DataFrame, queryName: String,
+      onFlagged: DataFrame => Unit, z: Double = Quality.AnomalyZ,
+      watermark: String = "10 minutes"): StreamingQuery =
+    hourlyCounts(events, watermark).writeStream
+      .outputMode(OutputMode.Complete())
+      .queryName(queryName)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        onFlagged(Quality.scoreHourly(df, stats, z))
+      }
+      .start()
+}

@@ -1,0 +1,46 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Quality
+import graft.sources.Tables
+
+/** Streaming anomaly detection ≡ the batch q31 detector on the same
+  * events and the same trained baseline (one shared scorer drives both). */
+class AnomalyStreamSpec extends SparkSpec {
+
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+  test("streamed spike flags equal batch q31 given the same baseline") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stats = Quality.hourlyStats(Quality.hourlyCounts(spark, sf)).cache()
+    val batch = Quality.eventAnomalies(spark, sf).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3))).toSet
+
+    val evs = Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value").collect()
+      .map(r => Ev(r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+      .toSeq
+    val input = MemoryStream[Ev]
+    @volatile var latest: Array[org.apache.spark.sql.Row] = Array.empty
+    val q = AnomalyStream.start(input.toDF(), stats, "anomaly_stream",
+      flagged => latest = flagged.collect())
+    try {
+      // three chunks exercise incremental window state
+      evs.grouped(math.max(1, evs.size / 3)).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val streamed = latest
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed == batch, s"stream flagged ${streamed.size}, batch ${batch.size}")
+    assert(streamed.nonEmpty)
+  }
+}
