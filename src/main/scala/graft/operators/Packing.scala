@@ -92,8 +92,86 @@ object Packing {
       .orderBy("doc_id")
   }
 
+  /** Best-fit-decreasing bin packing: assign whole documents to
+    * fixed-capacity bins so no document is split across contexts — the
+    * padding-minimizing alternative to [[packSequences]]' concatenate-
+    * and-chunk layout (whole-doc packing avoids cross-document attention
+    * at the price of padding; BFD bounds that price: ≤ 11/9·OPT + 1 bins
+    * per shard, the classical Johnson bound shared by FFD/BFD).
+    *
+    * Scale shape: documents hash to [[PackShards]] independent shards
+    * (pmod doc_id — deterministic, append-stable), each shard packs
+    * sequentially inside ONE task over its (nt desc, doc_id) sorted
+    * slice. Packing is inherently order-dependent, so the sequential
+    * unit must be chosen — per-shard keeps it a partition-local
+    * mapPartitions (no driver state, no global sort) while the
+    * 11/9 bound still holds per shard and shard counts scale with the
+    * cluster. Bin state in the task is a remainder→bins TreeMap: one
+    * (long, int) pair per OPEN bin, O(log bins) per placement.
+    *
+    * NOT DuckDB-oracle-able, and unlike tx_bpe_merges there is no
+    * exported-state closed form: each placement depends on the full
+    * bin-remainder multiset built by every prior placement, so SQL
+    * would have to replay the loop row-by-row. The driver records
+    * rows-only; PackBinsSpec carries capacity/coverage/bound/
+    * determinism gates instead. */
+  val PackShards = 32
+
+  def packBins(spark: SparkSession, dir: String, capacity: Int = 512,
+      shards: Int = PackShards): DataFrame = {
+    import spark.implicits._
+    val cap = capacity.toLong
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        // cost = tokens + EOD, clamped to capacity (an over-long doc
+        // occupies one full bin — truncation policy is the caller's)
+        least(size(split(col("text"), " ")).cast("long") + 1L, lit(cap)).as("nt"),
+        pmod(col("doc_id"), lit(shards.toLong)).cast("int").as("shard"))
+    docs
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("nt").desc, col("doc_id"))
+      .as[(Long, Long, Int)]
+      .mapPartitions { it =>
+        // per-shard BFD; partitions carry whole shards (hash(int)=int),
+        // but reset on shard change anyway — correctness never leans on
+        // the partitioner's layout
+        var curShard = Int.MinValue
+        var nextBin = 0
+        // remainder -> bin idxs with exactly that remainder (min idx wins)
+        val byRem = new java.util.TreeMap[Long, java.util.TreeSet[Integer]]()
+        val remOf = scala.collection.mutable.Map.empty[Int, Long]
+        def reset(): Unit = { nextBin = 0; byRem.clear(); remOf.clear() }
+        it.map { case (id, nt, shard) =>
+          if (shard != curShard) { curShard = shard; reset() }
+          val fit = byRem.ceilingEntry(nt)
+          val bin =
+            if (fit == null) { val b = nextBin; nextBin += 1; remOf(b) = cap; b }
+            else fit.getValue.first().intValue()
+          val oldRem = remOf(bin)
+          if (oldRem < cap || byRem.containsKey(oldRem)) {
+            val set = byRem.get(oldRem)
+            if (set != null) {
+              set.remove(Integer.valueOf(bin))
+              if (set.isEmpty) byRem.remove(oldRem)
+            }
+          }
+          val newRem = oldRem - nt
+          remOf(bin) = newRem
+          if (newRem > 0) {
+            var set = byRem.get(newRem)
+            if (set == null) { set = new java.util.TreeSet[Integer](); byRem.put(newRem, set) }
+            set.add(Integer.valueOf(bin))
+          }
+          (id, shard, bin, nt)
+        }
+      }
+      .toDF("doc_id", "shard", "bin", "nt")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pack_sequences" -> ((s: SparkSession, d: String) => packSequences(s, d)),
+    "pack_bins" -> ((s: SparkSession, d: String) => packBins(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(
