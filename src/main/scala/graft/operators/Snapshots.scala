@@ -128,6 +128,89 @@ object Snapshots {
     v
   }
 
+  /** Multi-writer optimistic commit: N concurrent writers race for
+    * version slots and every writer eventually lands, each in its own
+    * slot — the OCC protocol of the lakehouse formats (Delta's
+    * HDFSLogStore shape). Differences from single-writer [[commit]]:
+    *
+    *   - the batch dir is WRITER-UNIQUE (`b<v>u<uuid>`), so contending
+    *     writers can never cross-clobber data files — data lands once,
+    *     outside the retry loop, and only the manifest publish retries;
+    *   - the publish is a compare-and-swap: temp-write, then
+    *     `FileContext.rename(…, Options.Rename.NONE)`, which fails if
+    *     the destination exists (unlike `FileSystem.rename`, which on a
+    *     posix-backed FS silently REPLACES the destination — the reason
+    *     plain [[commit]] is documented single-writer);
+    *   - on a lost race the writer re-reads the winner's manifest as the
+    *     new parent and retries the next slot. An append never conflicts
+    *     semantically with another append (file sets union), so retries
+    *     always succeed eventually; `maxAttempts` bounds pathological
+    *     contention.
+    *
+    * The check-then-rename inside FileContext leaves a TOCTOU window on
+    * filesystems without atomic no-overwrite rename; HDFS/ABFS close it
+    * natively, and on local posix the window is microseconds against a
+    * per-table log — the same trade Delta's HDFSLogStore ships with.
+    * Cost at 100 TB: contention is per TABLE and manifests are KBs, so
+    * a lost race costs one manifest re-read + one rename, never a data
+    * rewrite. Returns the version this writer committed. */
+  def commitOptimistic(df: DataFrame, dir: String, overwrite: Boolean = false,
+      statsCol: Option[String] = None, maxAttempts: Int = 50): Int = {
+    val spark = df.sparkSession
+    val fs = fsFor(spark, dir)
+    val uniq = java.util.UUID.randomUUID().toString.take(8)
+    val dirName = s"bu$uniq"
+    val batch = s"$dir/data/$dirName"
+    df.write.mode("overwrite").parquet(batch)
+    val batchFiles = fs.listStatus(new Path(batch)).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".parquet"))
+      .map(n => s"data/$dirName/$n")
+    val entries = statsCol match {
+      case None => batchFiles.map(ManifestEntry(_, None))
+      case Some(c) =>
+        val byName = spark.read.parquet(batch)
+          .groupBy(input_file_name().as("f"))
+          .agg(min(col(c).cast("double")).as("lo"), max(col(c).cast("double")).as("hi"))
+          .collect()
+          .map { r =>
+            val uri = r.getString(0)
+            uri.substring(uri.lastIndexOf('/') + 1) -> (r.getDouble(1), r.getDouble(2))
+          }.toMap
+        batchFiles.map { rel =>
+          val name = rel.substring(rel.lastIndexOf('/') + 1)
+          byName.get(name)
+            .map { case (lo, hi) => ManifestEntry(rel, Some((c, lo, hi))) }
+            .getOrElse(ManifestEntry(rel, None))
+        }
+    }
+    fs.mkdirs(new Path(s"$dir/_log"))
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      new Path(dir).toUri, spark.sparkContext.hadoopConfiguration)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val prior = versions(spark, dir)
+      val v = prior.lastOption.getOrElse(0) + 1
+      val parentLines =
+        if (overwrite) Seq.empty
+        else prior.lastOption.map(readManifest(spark, dir, _)).getOrElse(Seq.empty)
+      val tmp = new Path(s"$dir/_log/$v-$uniq.tmp")
+      val out = fs.create(tmp, true)
+      try out.write((parentLines ++ entries.map(_.line)).mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+      try {
+        fc.rename(tmp, manifestPath(dir, v), org.apache.hadoop.fs.Options.Rename.NONE)
+        return v // CAS won
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+            _: java.nio.file.FileAlreadyExistsException =>
+          fs.delete(tmp, false) // lost the slot — re-read parent, retry
+      }
+    }
+    throw new IllegalStateException(
+      s"commitOptimistic: $maxAttempts attempts lost the manifest CAS under $dir")
+  }
+
   /** Idempotent tagged commit — the exactly-once primitive for streaming
     * ingest: if ANY published manifest already references batch dir
     * `data/<tag>/`, the commit is a no-op (the tag was delivered; a
