@@ -39,6 +39,27 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** First-K quota used by the streaming admission gate
+    * (graft.streaming.CurationStreams) and its batch twin below: 10
+    * binds on every oracle fixture (25 docs/source), so both verdicts
+    * occur in the oracled row. */
+  val FirstCap = 10
+
+  /** Batch twin of the STREAMING cap policy: first-K by arrival order
+    * (doc_id) rather than best-K by length — the exact per-doc verdicts
+    * CurationStreams.capStream emits, as one window query, so the
+    * streaming policy has a DuckDB-oracle-checkable form (CapStreamSpec
+    * pins stream ≡ this frame). Same single source-keyed shuffle and
+    * skew story as [[domainCap]]. */
+  def domainCapFirst(spark: SparkSession, dir: String, cap: Int = FirstCap): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("admitted", col("rn") <= cap)
+      .orderBy("doc_id")
+  }
+
   /** Blocklist lexicon for [[blocklistGate]]: exact whole-token matching
     * after lowercasing — the word-boundary gate shape used by the C4
     * cleanup's "bad words" filter and Gopher's safe-list rules (toxicity
@@ -70,6 +91,7 @@ object Curation {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ds_domain_cap" -> ((s: SparkSession, d: String) => domainCap(s, d)),
+    "ds_domain_cap_first" -> ((s: SparkSession, d: String) => domainCapFirst(s, d)),
     "tx_blocklist" -> blocklistGate _,
   )
 
@@ -80,6 +102,11 @@ object Curation {
       s"""SELECT doc_id, source, n_chars,
         |CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rn,
         |row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) <= $CapPerSource AS keep
+        |FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "ds_domain_cap_first" ->
+      s"""SELECT doc_id, source,
+        |CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS rn,
+        |row_number() OVER (PARTITION BY source ORDER BY doc_id) <= $FirstCap AS admitted
         |FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     "tx_blocklist" ->
       s"""WITH h AS (SELECT doc_id,

@@ -13,7 +13,7 @@ import graft.sources.Tables
   * × 25 docs at sf0.001), so both verdicts occur. */
 class CapStreamSpec extends SparkSpec {
 
-  private val cap = 10
+  private val cap = graft.operators.Curation.FirstCap
 
   private def feed(chunks: Seq[Seq[CurationStreams.CapDoc]]): Map[Long, (String, Long, Boolean)] = {
     import spark.implicits._
@@ -36,17 +36,12 @@ class CapStreamSpec extends SparkSpec {
       .map(r => CurationStreams.CapDoc(r.getLong(0), r.getString(1)))
       .sortBy(_.doc_id).toSeq
 
-  private def batchExpected(): Map[Long, (String, Long, Boolean)] = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("source").orderBy("doc_id")
-    Tables.documents(spark, sf)
-      .select(col("doc_id"), col("source"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .collect()
+  // the REGISTERED (DuckDB-oracled) batch twin — stream ≡ oracled row
+  private def batchExpected(): Map[Long, (String, Long, Boolean)] =
+    graft.operators.Curation.domainCapFirst(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") ->
-        (r.getAs[String]("source"), r.getAs[Long]("rn"), r.getAs[Long]("rn") <= cap))
+        (r.getAs[String]("source"), r.getAs[Long]("rn"), r.getAs[Boolean]("admitted")))
       .toMap
-  }
 
   test("streaming first-K cap equals the batch row_number gate; cap binds") {
     val all = docs()
