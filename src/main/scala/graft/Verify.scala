@@ -49,6 +49,12 @@ object Verify {
     catch { case e: Throwable =>
       System.err.println(s"[verify] bpe state export failed: ${e.getMessage}")
     }
+    // HLL estimate export: ds_hll_distinct (Spark AND its DuckDB oracle)
+    // gates the same exported sketch estimates against exact distincts
+    try graft.operators.Sketches.exportEstimates(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] hll estimate export failed: ${e.getMessage}")
+    }
     SparkEntry.queries.filter(q => wanted(q._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Sketch-mergeable distinct counts — the incremental-distinct pattern a
+  * 100 TB log needs: exact COUNT(DISTINCT) re-scans history on every
+  * refresh, but a per-partition HLL sketch table (here per (event_type,
+  * day)) is built once per partition, is ORDER-INSENSITIVE and
+  * idempotent under re-merge, and answers "distinct users per type over
+  * any day range" by unioning KB-sized sketches — cost ∝ partitions
+  * touched, never rows. Uses Spark's built-in DataSketches HLL
+  * aggregates (hll_sketch_agg / hll_union_agg, SPARK-16484 family), so
+  * the sketch bytes are the cross-language DataSketches wire format a
+  * warehouse ecosystem already speaks.
+  *
+  * Oracle shape (the ml_golden_gate pattern): DuckDB cannot evaluate
+  * DataSketches, so Verify EXPORTS the per-type merged estimates as
+  * parquet; the registered gate query recomputes the EXACT distinct in
+  * both engines and each side derives the same accuracy boolean from
+  * the same exported estimate bytes — the estimate itself is
+  * deterministic (HLL register state is a per-bucket max, insensitive
+  * to row order and partitioning). SketchSpec carries the merge law
+  * (per-day union ≡ one-shot sketch) and the published-error bound. */
+object Sketches {
+
+  /** lgK = 12 → 4 KB registers, ~0.8% relative standard error. */
+  val LgK = 12
+
+  /** Gate tolerance: 6σ at lgK=12 — a failure means broken plumbing,
+    * not sketch noise. */
+  val GateTol = 0.05
+
+  /** Export path consumed by BOTH engines of the ds_hll_distinct oracle;
+    * corpus-derived (a fixed shared path would let a stale export from a
+    * different SF be scored silently — the SemDedup ADVICE lesson). */
+  def exportPath(dir: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    s"/tmp/graft_hll_$h.parquet"
+  }
+
+  /** The per-partition sketch table: one HLL over user_id per
+    * (event_type, day) — what a production pipeline would persist
+    * alongside each ingested partition (or in a [[Snapshots]] manifest's
+    * batch dir) and never rebuild. */
+  def dailySketches(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id"), LgK).as("sk"))
+
+  /** Merge the per-day sketches per type and estimate — the read path a
+    * dashboard pays: sketch-table rows ∝ types × days, never events. */
+  def mergedEstimates(spark: SparkSession, dir: String): DataFrame =
+    dailySketches(spark, dir)
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+
+  /** Run by Verify ahead of the query dump. */
+  @volatile private var exportedDir: String = "/root/testdata/sf0.01"
+  def exportEstimates(spark: SparkSession, dir: String): Unit = {
+    exportedDir = dir
+    mergedEstimates(spark, dir).coalesce(1).write.mode("overwrite").parquet(exportPath(dir))
+  }
+
+  /** Registered gate: exact per-type distinct users (recomputed
+    * independently by both engines) + the exported merged-sketch
+    * estimate's accuracy boolean from the same bytes. */
+  def sketchDistinctGate(spark: SparkSession, dir: String): DataFrame = {
+    val est = spark.read.parquet(exportPath(dir))
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("exact_users"))
+      .join(est, Seq("event_type"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("est").cast("double") - col("exact_users")) / col("exact_users")
+          < GateTol).as("est_ok"))
+      .orderBy("event_type")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_hll_distinct" -> sketchDistinctGate _,
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "ds_hll_distinct" ->
+      s"""WITH est AS (SELECT event_type, est FROM '${exportPath(exportedDir)}/*.parquet'),
+        |ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+        |FROM events GROUP BY event_type)
+        |SELECT ex.event_type, CAST(ex.exact_users AS BIGINT) AS exact_users,
+        |ABS(CAST(est AS DOUBLE) - ex.exact_users) / ex.exact_users < $GateTol AS est_ok
+        |FROM ex JOIN est USING (event_type) ORDER BY event_type""".stripMargin
+        .replaceAll("\n", " "),
+  )
+}

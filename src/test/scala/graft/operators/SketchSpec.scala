@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** HLL sketch laws for [[Sketches]]: the merge law (union of
+  * per-partition sketches ≡ one sketch over everything — the property
+  * that makes the sketch table incrementally maintainable), accuracy
+  * within the published bound, and the exported gate itself. */
+class SketchSpec extends SparkSpec {
+
+  test("merge law: union of per-day sketches equals the one-shot sketch per type") {
+    val merged = Sketches.mergedEstimates(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val oneShot = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), Sketches.LgK)).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged.nonEmpty && merged == oneShot,
+      s"per-day union drifted from the direct sketch: $merged vs $oneShot")
+  }
+
+  test("estimates within the published error of exact distincts; gate all-green") {
+    val exact = Tables.events(spark, sf)
+      .groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = Sketches.mergedEstimates(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    est.foreach { case (t, e) =>
+      val x = exact(t)
+      assert(math.abs(e.toDouble - x) / x < Sketches.GateTol,
+        s"type $t: estimate $e vs exact $x breaks the ${Sketches.GateTol} bound")
+    }
+    // the registered gate row agrees (export + read-back path included)
+    Sketches.exportEstimates(spark, sf)
+    val gate = Sketches.sketchDistinctGate(spark, sf).collect()
+    assert(gate.nonEmpty && gate.forall(_.getAs[Boolean]("est_ok")))
+    assert(gate.map(r => r.getString(0) -> r.getAs[Long]("exact_users")).toMap == exact)
+  }
+
+  test("incremental append: yesterday's merged sketch + today's delta = full answer") {
+    import spark.implicits._
+    // split the sketch table by day parity — the stand-in for an
+    // already-persisted history plus a newly ingested partition
+    val daily = Sketches.dailySketches(spark, sf)
+      .withColumn("half", (dayofyear(col("day")) % 2 === 0))
+    def unionEst(half: Boolean) = daily.filter(col("half") === half)
+      .groupBy("event_type").agg(hll_union_agg(col("sk")).as("sk"))
+    val full = unionEst(true).unionByName(unionEst(false))
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = Sketches.mergedEstimates(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(full == direct, "re-merging persisted partial unions drifted")
+  }
+}
