@@ -43,6 +43,10 @@ object QueryTime {
         ((s, d) => graft.operators.TextAnalysis.adaptiveQuality(s, d, exactQuantiles = false)),
       "report_corpus_approx" ->
         ((s, d) => graft.operators.Chunking.corpusReport(s, d, exactQuantiles = false)),
+      // the sketch build+merge (the registered gate row reads a Verify
+      // export, so the scale cost lives here)
+      "ds_hll_estimates" ->
+        ((s, d) => graft.operators.Sketches.mergedEstimates(s, d)),
     )
     names.foreach { n =>
       val fn = (SparkEntry.queries ++ extras).getOrElse(n,
