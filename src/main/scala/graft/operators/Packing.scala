@@ -117,6 +117,46 @@ object Packing {
     * determinism gates instead. */
   val PackShards = 32
 
+  /** The per-task BFD kernel over (doc_id, nt, shard) rows sorted by
+    * (shard, nt desc, doc_id): one streaming pass, bin state a
+    * remainder→bins TreeMap (one (long, int) pair per OPEN bin,
+    * O(log bins) per placement). Factored out of the task closure so
+    * PackBinsSpec can property-test it against randomized loads without
+    * a shuffle in the loop. Resets on shard change — correctness never
+    * leans on the partitioner's layout. */
+  private[operators] def bfdPlace(cap: Long,
+      it: Iterator[(Long, Long, Int)]): Iterator[(Long, Int, Int, Long)] = {
+    var curShard = Int.MinValue
+    var nextBin = 0
+    // remainder -> bin idxs with exactly that remainder (min idx wins)
+    val byRem = new java.util.TreeMap[Long, java.util.TreeSet[Integer]]()
+    val remOf = scala.collection.mutable.Map.empty[Int, Long]
+    def reset(): Unit = { nextBin = 0; byRem.clear(); remOf.clear() }
+    it.map { case (id, nt, shard) =>
+      if (shard != curShard) { curShard = shard; reset() }
+      val fit = byRem.ceilingEntry(nt)
+      val bin =
+        if (fit == null) { val b = nextBin; nextBin += 1; remOf(b) = cap; b }
+        else fit.getValue.first().intValue()
+      val oldRem = remOf(bin)
+      if (oldRem < cap || byRem.containsKey(oldRem)) {
+        val set = byRem.get(oldRem)
+        if (set != null) {
+          set.remove(Integer.valueOf(bin))
+          if (set.isEmpty) byRem.remove(oldRem)
+        }
+      }
+      val newRem = oldRem - nt
+      remOf(bin) = newRem
+      if (newRem > 0) {
+        var set = byRem.get(newRem)
+        if (set == null) { set = new java.util.TreeSet[Integer](); byRem.put(newRem, set) }
+        set.add(Integer.valueOf(bin))
+      }
+      (id, shard, bin, nt)
+    }
+  }
+
   def packBins(spark: SparkSession, dir: String, capacity: Int = 512,
       shards: Int = PackShards): DataFrame = {
     import spark.implicits._
@@ -131,40 +171,7 @@ object Packing {
       .repartition(shards, col("shard"))
       .sortWithinPartitions(col("shard"), col("nt").desc, col("doc_id"))
       .as[(Long, Long, Int)]
-      .mapPartitions { it =>
-        // per-shard BFD; partitions carry whole shards (hash(int)=int),
-        // but reset on shard change anyway — correctness never leans on
-        // the partitioner's layout
-        var curShard = Int.MinValue
-        var nextBin = 0
-        // remainder -> bin idxs with exactly that remainder (min idx wins)
-        val byRem = new java.util.TreeMap[Long, java.util.TreeSet[Integer]]()
-        val remOf = scala.collection.mutable.Map.empty[Int, Long]
-        def reset(): Unit = { nextBin = 0; byRem.clear(); remOf.clear() }
-        it.map { case (id, nt, shard) =>
-          if (shard != curShard) { curShard = shard; reset() }
-          val fit = byRem.ceilingEntry(nt)
-          val bin =
-            if (fit == null) { val b = nextBin; nextBin += 1; remOf(b) = cap; b }
-            else fit.getValue.first().intValue()
-          val oldRem = remOf(bin)
-          if (oldRem < cap || byRem.containsKey(oldRem)) {
-            val set = byRem.get(oldRem)
-            if (set != null) {
-              set.remove(Integer.valueOf(bin))
-              if (set.isEmpty) byRem.remove(oldRem)
-            }
-          }
-          val newRem = oldRem - nt
-          remOf(bin) = newRem
-          if (newRem > 0) {
-            var set = byRem.get(newRem)
-            if (set == null) { set = new java.util.TreeSet[Integer](); byRem.put(newRem, set) }
-            set.add(Integer.valueOf(bin))
-          }
-          (id, shard, bin, nt)
-        }
-      }
+      .mapPartitions(it => bfdPlace(cap, it))
       .toDF("doc_id", "shard", "bin", "nt")
       .orderBy("doc_id")
   }
