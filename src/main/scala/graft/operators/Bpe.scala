@@ -130,14 +130,17 @@ object Bpe {
     import spark.implicits._
     val merges = train(spark, dir, nMerges)
     val bc = spark.sparkContext.broadcast(merges)
-    val wordCost = Tables.documents(spark, dir)
-      .select(explode(split(col("text"), " ")).as("w"))
-      .filter(length(col("w")) > 0)
-      .distinct()
-      .as[String]
-      .map(w => (w, encodeWord(w, bc.value).length.toLong))
-      .toDF("w", "bpe_len")
-      .persist()
+    // slot-memoized (NOT a bare .persist(): every tokenize call would
+    // pin a fresh cached copy that nothing ever unpersists)
+    val wordCost = PersistSlots.cached(spark, s"bpe-wordcost:$dir|$nMerges") {
+      Tables.documents(spark, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .distinct()
+        .as[String]
+        .map(w => (w, encodeWord(w, bc.value).length.toLong))
+        .toDF("w", "bpe_len")
+    }
     val vocabBytes = vocabBytesOverride.getOrElse {
       val s = wordCost.agg(count(lit(1)), avg(length(col("w")))).collect()(0)
       val n = s.getLong(0)
@@ -165,11 +168,7 @@ object Bpe {
   /** Per-corpus export path for the per-round vocab states (hashed on
     * the corpus dir — same no-shared-path discipline as SemDedup's cell
     * export). */
-  def statesExport(dir: String): String = {
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    s"/tmp/graft_bpe_states_$h.parquet"
-  }
+  def statesExport(dir: String): String = ExportPaths.forCorpus("bpe_states", dir)
 
   @volatile private var exportedDir: String = "/root/testdata/sf0.01"
 

@@ -138,11 +138,18 @@ object Layout {
   def mergeEvents(spark: SparkSession, table: String, changes: DataFrame,
       keyIndex: Option[String] = None): Unit = {
     import org.apache.spark.sql.expressions.Window
-    // per-key last-wins (latest ts; event_id itself breaks exact-ts ties
-    // deterministically via the window's partition — one row survives)
+    // per-key last-wins (latest ts). Two change rows for one key at the
+    // SAME ts (second-granularity feeds do this) need a tiebreak that
+    // does not depend on partition/arrival order, or a replayed merge
+    // could keep the other row and break idempotence — a content hash
+    // makes the survivor a pure function of the changeset's row set
+    // (feeds carrying a change-sequence column should order by it here
+    // instead)
+    val tiebreak = xxhash64(changes.columns.map(col).toIndexedSeq: _*)
     val deduped = changes
       .withColumn("__rn",
-        row_number().over(Window.partitionBy("event_id").orderBy(col("ts").desc)))
+        row_number().over(
+          Window.partitionBy("event_id").orderBy(col("ts").desc, tiebreak.desc)))
       .filter(col("__rn") === 1).drop("__rn")
     val base = spark.read.parquet(table)
     val ids = deduped.select("event_id").distinct()

@@ -46,7 +46,10 @@ object Quality {
       .join(ord.select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"),
         "left_anti")
       .agg(count(lit(1)).as("violations"))
-    val liTotal = li.count()
+    // the referential row's total rides liAgg's already-computed count —
+    // a separate li.count() would be a THIRD full lineitem scan, against
+    // this operator's own one-agg-pass-per-table design
+    val orphanRow = orphans.crossJoin(liAgg.select(col("total")))
 
     def row(name: String, agg: DataFrame, violCol: String): DataFrame =
       agg.select(lit(name).as("check"), col(violCol).cast("long").as("violations"),
@@ -54,8 +57,8 @@ object Quality {
     val frame = row("lineitem_discount_range", liAgg, "disc_range")
       .unionAll(row("lineitem_quantity_range", liAgg, "qty_range"))
       .unionAll(row("lineitem_shipdate_not_null", liAgg, "ship_null"))
-      .unionAll(orphans.select(lit("lineitem_orderkey_ref").as("check"),
-        col("violations").cast("long"), lit(liTotal).as("total")))
+      .unionAll(orphanRow.select(lit("lineitem_orderkey_ref").as("check"),
+        col("violations").cast("long"), col("total").cast("long")))
       .unionAll(row("orders_orderkey_unique", ordAgg, "pk_dup"))
       .unionAll(row("orders_totalprice_positive", ordAgg, "price_pos"))
       .unionAll(row("customer_acctbal_not_null", custAgg, "bal_null"))

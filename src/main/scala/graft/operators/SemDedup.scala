@@ -62,11 +62,7 @@ object SemDedup {
     * dir — a fixed shared path would let concurrent runs (or a stale
     * export from a different SF) clobber each other, and the query would
     * silently score whatever corpus last wrote the file. */
-  def cellsExport(dir: String): String = {
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    s"/tmp/graft_semdedup_cells_$h.parquet"
-  }
+  def cellsExport(dir: String): String = ExportPaths.forCorpus("semdedup_cells", dir)
 
   /** The corpus dir of the most recent [[exportCells]] — selects which
     * per-dir export the dumped oracle SQL references (Verify exports,

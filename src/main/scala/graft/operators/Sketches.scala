@@ -36,11 +36,7 @@ object Sketches {
   /** Export path consumed by BOTH engines of the ds_hll_distinct oracle;
     * corpus-derived (a fixed shared path would let a stale export from a
     * different SF be scored silently — the SemDedup ADVICE lesson). */
-  def exportPath(dir: String): String = {
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
-    s"/tmp/graft_hll_$h.parquet"
-  }
+  def exportPath(dir: String): String = ExportPaths.forCorpus("hll", dir)
 
   /** The per-partition sketch table: one HLL over user_id per
     * (event_type, day) — what a production pipeline would persist

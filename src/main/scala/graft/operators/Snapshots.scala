@@ -84,19 +84,21 @@ object Snapshots {
     * WRITTEN batch (cost ∝ changed bytes, like the commit itself), which
     * [[readPruned]] then uses to skip files without opening them.
     * Returns the committed version. */
-  def commit(df: DataFrame, dir: String, overwrite: Boolean = false,
-      statsCol: Option[String] = None, batchTag: Option[String] = None): Int = {
+  /** Shared by [[commit]] and [[commitOptimistic]]: write the batch dir,
+    * list its files, and assemble manifest entries (with optional
+    * per-file min/max stats). A file whose stats column is entirely null
+    * gets a stats-free entry — [[readPruned]] always opens those, so a
+    * null-heavy batch degrades to unpruned, never to a failed commit. */
+  private def writeBatch(df: DataFrame, dir: String, dirName: String,
+      statsCol: Option[String]): Seq[ManifestEntry] = {
     val spark = df.sparkSession
     val fs = fsFor(spark, dir)
-    val prior = versions(spark, dir)
-    val v = prior.lastOption.getOrElse(0) + 1
-    val dirName = batchTag.getOrElse(s"b$v")
     val batch = s"$dir/data/$dirName"
     df.write.mode("overwrite").parquet(batch)
     val batchFiles = fs.listStatus(new Path(batch)).toSeq.map(_.getPath.getName)
       .filter(_.endsWith(".parquet"))
       .map(n => s"data/$dirName/$n")
-    val entries = statsCol match {
+    statsCol match {
       case None => batchFiles.map(ManifestEntry(_, None))
       case Some(c) =>
         // keyed by bare file name (input_file_name returns a URI) so the
@@ -105,9 +107,11 @@ object Snapshots {
           .groupBy(input_file_name().as("f"))
           .agg(min(col(c).cast("double")).as("lo"), max(col(c).cast("double")).as("hi"))
           .collect()
-          .map { r =>
+          .flatMap { r =>
             val uri = r.getString(0)
-            uri.substring(uri.lastIndexOf('/') + 1) -> (r.getDouble(1), r.getDouble(2))
+            val name = uri.substring(uri.lastIndexOf('/') + 1)
+            if (r.isNullAt(1) || r.isNullAt(2)) None // all-null file: no stats
+            else Some(name -> (r.getDouble(1), r.getDouble(2)))
           }.toMap
         batchFiles.map { rel =>
           val name = rel.substring(rel.lastIndexOf('/') + 1)
@@ -116,6 +120,16 @@ object Snapshots {
             .getOrElse(ManifestEntry(rel, None))
         }
     }
+  }
+
+  def commit(df: DataFrame, dir: String, overwrite: Boolean = false,
+      statsCol: Option[String] = None, batchTag: Option[String] = None): Int = {
+    val spark = df.sparkSession
+    val fs = fsFor(spark, dir)
+    val prior = versions(spark, dir)
+    val v = prior.lastOption.getOrElse(0) + 1
+    val dirName = batchTag.getOrElse(s"b$v")
+    val entries = writeBatch(df, dir, dirName, statsCol)
     val parentLines =
       if (overwrite) Seq.empty
       else prior.lastOption.map(readManifest(spark, dir, _)).getOrElse(Seq.empty)
@@ -133,7 +147,7 @@ object Snapshots {
     * slot — the OCC protocol of the lakehouse formats (Delta's
     * HDFSLogStore shape). Differences from single-writer [[commit]]:
     *
-    *   - the batch dir is WRITER-UNIQUE (`b<v>u<uuid>`), so contending
+    *   - the batch dir is WRITER-UNIQUE (`bu<uuid>`), so contending
     *     writers can never cross-clobber data files — data lands once,
     *     outside the retry loop, and only the manifest publish retries;
     *   - the publish is a compare-and-swap: temp-write, then
@@ -160,29 +174,7 @@ object Snapshots {
     val fs = fsFor(spark, dir)
     val uniq = java.util.UUID.randomUUID().toString.take(8)
     val dirName = s"bu$uniq"
-    val batch = s"$dir/data/$dirName"
-    df.write.mode("overwrite").parquet(batch)
-    val batchFiles = fs.listStatus(new Path(batch)).toSeq.map(_.getPath.getName)
-      .filter(_.endsWith(".parquet"))
-      .map(n => s"data/$dirName/$n")
-    val entries = statsCol match {
-      case None => batchFiles.map(ManifestEntry(_, None))
-      case Some(c) =>
-        val byName = spark.read.parquet(batch)
-          .groupBy(input_file_name().as("f"))
-          .agg(min(col(c).cast("double")).as("lo"), max(col(c).cast("double")).as("hi"))
-          .collect()
-          .map { r =>
-            val uri = r.getString(0)
-            uri.substring(uri.lastIndexOf('/') + 1) -> (r.getDouble(1), r.getDouble(2))
-          }.toMap
-        batchFiles.map { rel =>
-          val name = rel.substring(rel.lastIndexOf('/') + 1)
-          byName.get(name)
-            .map { case (lo, hi) => ManifestEntry(rel, Some((c, lo, hi))) }
-            .getOrElse(ManifestEntry(rel, None))
-        }
-    }
+    val entries = writeBatch(df, dir, dirName, statsCol)
     fs.mkdirs(new Path(s"$dir/_log"))
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       new Path(dir).toUri, spark.sparkContext.hadoopConfiguration)
@@ -281,21 +273,34 @@ object Snapshots {
   def compact(spark: SparkSession, dir: String, nFiles: Int = 4): Int =
     commit(read(spark, dir).coalesce(nFiles), dir, overwrite = true)
 
+  /** Orphan grace for [[vacuum]]: an unreferenced batch dir younger than
+    * this is left alone — it may belong to a commit that has written its
+    * data but not yet published its manifest (the window every commit
+    * path has between the parquet write and the rename). Without the
+    * guard, a vacuum racing a concurrent writer deletes the writer's
+    * batch and its about-to-publish version is born unreadable — the
+    * same hazard Delta's VACUUM retention threshold exists for. */
+  val OrphanGraceMs: Long = 10 * 60 * 1000L
+
   /** Retain the last `keep` versions: drop older manifests, then delete
-    * every batch dir (and any orphaned, never-published batch) that no
-    * surviving manifest references. */
-  def vacuum(spark: SparkSession, dir: String, keep: Int = 2): Unit = {
+    * every batch dir no surviving manifest references — except
+    * unreferenced dirs modified within `orphanGraceMs` (in-flight
+    * commits; see [[OrphanGraceMs]]). */
+  def vacuum(spark: SparkSession, dir: String, keep: Int = 2,
+      orphanGraceMs: Long = OrphanGraceMs): Unit = {
     val fs = fsFor(spark, dir)
     val vs = versions(spark, dir)
     val (drop, stay) = vs.splitAt(math.max(0, vs.length - keep))
     val live = stay.flatMap(readManifest(spark, dir, _))
       .map(parseEntry(_).path.split("/")(1)).toSet // batch dir names, e.g. b3
     drop.foreach(v => fs.delete(manifestPath(dir, v), false))
+    val cutoff = System.currentTimeMillis() - orphanGraceMs
     val dataRoot = new Path(s"$dir/data")
     if (fs.exists(dataRoot))
-      fs.listStatus(dataRoot).toSeq.map(_.getPath)
-        .filterNot(p => live(p.getName))
-        .foreach(fs.delete(_, true))
+      fs.listStatus(dataRoot).toSeq
+        .filterNot(st => live(st.getPath.getName))
+        .filter(_.getModificationTime <= cutoff)
+        .foreach(st => fs.delete(st.getPath, true))
   }
 
   /** Value split for the oracled demo: commit 1 = high-value events,

@@ -19,7 +19,13 @@ import graft.operators.Quality
   * second aggregation downstream of the windowed count, while a
   * broadcast stats join inside foreachBatch is plain batch code.
   * Scale: streaming state is the watermark-bounded window store
-  * (types × open hours); the stats frame is types-sized and broadcast.
+  * (types × open hours) — which is why the sink runs in UPDATE mode:
+  * Complete mode would have to re-emit every window ever seen each
+  * trigger, so Spark pins all of them in state forever (types × all
+  * hours since start) and the watermark evicts nothing. Update emits
+  * only the windows a batch changed; flags are monotone (counts only
+  * grow and the scorer is high-side-only), so a per-(type, hour)
+  * last-wins sink — or just a keyed upsert — holds the current flag set.
   */
 object AnomalyStream {
 
@@ -31,16 +37,17 @@ object AnomalyStream {
       .agg(count(lit(1)).as("c"))
       .select(col("event_type"), col("w.start").as("h"), col("c"))
 
-  /** Start the detector: score each batch of window counts against the
-    * trained `stats` frame, handing flagged rows to `onFlagged`. Complete
-    * mode re-emits the full window table per batch, so the callback's
-    * latest frame IS the current flag set (Update mode + an idempotent
-    * sink is the high-volume variant; the scorer is shared either way). */
+  /** Start the detector: score each batch's UPDATED window counts
+    * against the trained `stats` frame, handing flagged rows to
+    * `onFlagged`. The callback sees only changed windows; because counts
+    * are monotone and the scorer is high-side-only, a keyed last-wins
+    * upsert downstream reconstructs the exact current flag set
+    * (AnomalyStreamSpec does precisely that and matches batch q31). */
   def start(events: DataFrame, stats: DataFrame, queryName: String,
       onFlagged: DataFrame => Unit, z: Double = Quality.AnomalyZ,
       watermark: String = "10 minutes"): StreamingQuery =
     hourlyCounts(events, watermark).writeStream
-      .outputMode(OutputMode.Complete())
+      .outputMode(OutputMode.Update())
       .queryName(queryName)
       .foreachBatch { (df: DataFrame, _: Long) =>
         onFlagged(Quality.scoreHourly(df, stats, z))

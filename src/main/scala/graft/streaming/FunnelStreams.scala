@@ -23,17 +23,26 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *     constant;
   *   - timeouts fire when the watermark passes the last instant an
   *     admissible event could still arrive (tv+H for the funnel,
-  *     cohort day + maxDays+1 for retention), so state is dropped
-  *     exactly when the answer is final: emission is APPEND-mode and
-  *     each user emits once.
+  *     cohort day + maxDays+1 for retention); emission is APPEND-mode
+  *     and each user emits once;
+  *   - on finalization the state COLLAPSES to a constant-size tombstone
+  *     rather than being removed: a user who returns long after the
+  *     deadline (routine — these are lifetime-keyed reductions) would
+  *     otherwise re-create state and emit a second, wrong-cohort row,
+  *     breaking both the once-per-user contract and batch parity. A
+  *     tombstone per user ever seen is the honest price of exactly-once
+  *     lifetime semantics — the same per-user cardinality any per-user
+  *     aggregate holds, sharded by the same key.
   */
 object FunnelStreams {
 
   case class FunnelEv(user_id: Long, event_type: String, us: Long)
 
   /** minViewUs = Long.MaxValue when no view seen; clicks/purchases hold
-    * the still-admissible candidate timestamps (µs). */
-  case class FunnelState(minViewUs: Long, clicks: Seq[Long], purchases: Seq[Long])
+    * the still-admissible candidate timestamps (µs). done = the user's
+    * row was emitted — later events are ignored (tombstone). */
+  case class FunnelState(minViewUs: Long, clicks: Seq[Long], purchases: Seq[Long],
+      done: Boolean = false)
 
   /** Final per-user funnel row (µs timestamps; None = step not reached).
     * The step counts of the batch form are one aggregation away. */
@@ -67,9 +76,16 @@ object FunnelStreams {
             state: GroupState[FunnelState]) =>
           if (state.hasTimedOut) {
             val s = state.get
-            state.remove()
-            if (s.minViewUs == Long.MaxValue) Iterator.empty
-            else {
+            if (s.minViewUs == Long.MaxValue) {
+              // no view ever arrived: nothing emitted, and a LATER first
+              // view must still open the funnel (batch has no horizon on
+              // tv itself) — so drop, don't tombstone
+              state.remove()
+              Iterator.empty
+            } else {
+              // emit once, then tombstone: a returning user must not
+              // re-open a funnel the batch recurrence closed at tv+H
+              state.update(FunnelState(s.minViewUs, Nil, Nil, done = true))
               val tv = s.minViewUs
               val tc = s.clicks.filter(c => c > tv && c <= tv + horizonUs)
                 .minOption
@@ -77,6 +93,10 @@ object FunnelStreams {
                 .minOption)
               Iterator.single(FunnelResult(user, Some(tv), tc, tp))
             }
+          } else if (state.getOption.exists(_.done)) {
+            // tombstoned: every later event is outside (tv, tv+H] by the
+            // watermark contract — ignore, set no further timeout
+            Iterator.empty
           } else {
             val prev = state.getOption.getOrElse(FunnelState(Long.MaxValue, Nil, Nil))
             var tv = prev.minViewUs
@@ -116,8 +136,10 @@ object FunnelStreams {
   case class RetEv(user_id: Long, day: Int)
 
   /** d0 = epoch day of the user's first activity; mask bit k = active on
-    * d0+k (k ∈ [0, maxDays] — constant-size state). */
-  case class RetState(d0: Int, mask: Long)
+    * d0+k (k ∈ [0, maxDays] — constant-size state). done = the user's
+    * cohort row was emitted — later activity is ignored (tombstone;
+    * batch drops it too, as k > maxDays). */
+  case class RetState(d0: Int, mask: Long, done: Boolean = false)
 
   case class RetResult(user_id: Long, d0_day: Int, ks: Seq[Int])
 
@@ -145,9 +167,14 @@ object FunnelStreams {
             state: GroupState[RetState]) =>
           if (state.hasTimedOut) {
             val s = state.get
-            state.remove()
+            // emit once, then tombstone: a user returning past the
+            // k-window must not found a second cohort (batch assigns
+            // d0 = first activity EVER and filters k > maxDays)
+            state.update(RetState(s.d0, 0L, done = true))
             val ks = (0 to maxDays).filter(k => (s.mask & (1L << k)) != 0L)
             Iterator.single(RetResult(user, s.d0, ks))
+          } else if (state.getOption.exists(_.done)) {
+            Iterator.empty // tombstoned: later activity has k > maxDays
           } else {
             val full = (1L << (maxDays + 1)) - 1L
             var s = state.getOption.getOrElse(RetState(Int.MaxValue, 0L))

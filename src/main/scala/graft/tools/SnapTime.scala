@@ -50,7 +50,7 @@ object SnapTime {
     val (c1, tRead1) = time(Snapshots.read(spark, work, Some(1)).count())
     val (c3, tRead3) = time(Snapshots.read(spark, work).count())
     println(f"[st] time_travel_v1 $tRead1%.2f s ($c1 rows)  latest $tRead3%.2f s ($c3 rows)")
-    val (_, tVac) = time(Snapshots.vacuum(spark, work, keep = 1))
+    val (_, tVac) = time(Snapshots.vacuum(spark, work, keep = 1, orphanGraceMs = 0L))
     println(f"[st] vacuum $tVac%.2f s")
     spark.stop()
   }

@@ -64,7 +64,7 @@ class ConcurrentCommitSpec extends SparkSpec {
     }
 
     // vacuum over writer-unique batch dirs stays reference-counted
-    Snapshots.vacuum(spark, d, keep = 1)
+    Snapshots.vacuum(spark, d, keep = 1, orphanGraceMs = 0L)
     assert(Snapshots.read(spark, d).count() == 2L * perWriter)
   }
 

@@ -177,6 +177,38 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("merge: equal-ts change rows for one key pick a content-deterministic survivor") {
+    import spark.implicits._
+    val outA = java.nio.file.Files.createTempDirectory("graft_merge_tieA").toString
+    val outB = java.nio.file.Files.createTempDirectory("graft_merge_tieB").toString
+    try {
+      Layout.partitionEvents(spark, sf, outA)
+      Layout.partitionEvents(spark, sf, outB)
+      val base = spark.read.parquet(outA)
+      val maxId = base.agg(max("event_id")).collect().head.getLong(0)
+      val ts = base.agg(min("ts")).collect().head.getTimestamp(0)
+      // the same two equal-ts rows, presented in opposite orders — the
+      // survivor must not depend on arrival/partition order
+      val rows = Seq(
+        EvRow(maxId + 1, ts, 7L, "view", 1.0, "{}"),
+        EvRow(maxId + 1, ts, 7L, "view", 42.0, "{}"))
+      Layout.mergeEvents(spark, outA, rows.toDF())
+      Layout.mergeEvents(spark, outB, rows.reverse.toDF())
+      def winner(p: String): Double = {
+        val got = spark.read.parquet(p).filter(col("event_id") === maxId + 1).collect()
+        assert(got.length == 1, "equal-ts tie produced duplicate rows")
+        got.head.getAs[Double]("value")
+      }
+      assert(winner(outA) == winner(outB), "survivor depends on changeset order")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Seq(outA, outB).foreach { out =>
+        java.nio.file.Files.walk(java.nio.file.Paths.get(out)).iterator().asScala
+          .toSeq.reverse.foreach(java.nio.file.Files.delete)
+      }
+    }
+  }
+
   test("merge with key index: index-backed lookup, index stays consistent") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft_merge_ix").toString

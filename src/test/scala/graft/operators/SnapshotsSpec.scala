@@ -52,7 +52,13 @@ class SnapshotsSpec extends SparkSpec {
     // crash simulation: a batch written but never published
     fs.mkdirs(new Path(s"$d/data/b99"))
     assert(Snapshots.read(spark, d).count() == 2, "orphan batch must be invisible")
+    // a FRESH orphan is indistinguishable from an in-flight commit's
+    // batch: the default grace must leave it (and everything else
+    // unreferenced-but-recent) alone
     Snapshots.vacuum(spark, d, keep = 1)
+    assert(fs.exists(new Path(s"$d/data/b99")), "fresh orphan reclaimed inside the grace window")
+    // past the grace window the orphan is reclaimable
+    Snapshots.vacuum(spark, d, keep = 1, orphanGraceMs = 0L)
     // v1's manifest is gone, but batch b1 is cited by the kept v2 manifest
     assert(Snapshots.versions(spark, d) == Seq(2))
     assert(Snapshots.read(spark, d).count() == 2)
@@ -61,11 +67,24 @@ class SnapshotsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Snapshots.read(spark, d, Some(1)))
   }
 
+  test("commit with an all-null stats column records a stats-free entry, not a crash") {
+    val d = freshDir("nullstats")
+    val df = Seq((1L, Option.empty[Double]), (2L, Option.empty[Double]))
+      .toDF("id", "v").coalesce(1)
+    val v = Snapshots.commit(df, d, statsCol = Some("v"))
+    assert(v == 1)
+    // stats-free files are ALWAYS opened by a pruned read (correctness
+    // never depends on stats presence)
+    val (pruned, opened, total) = Snapshots.readPruned(spark, d, "v", 0.0, 1.0)
+    assert(opened == 1 && total == 1)
+    assert(pruned.count() == 2)
+  }
+
   test("vacuum after overwrite reclaims the replaced batches") {
     val d = freshDir("vacover")
     Snapshots.commit(Seq((1L, "a")).toDF("id", "s"), d)           // b1
     Snapshots.commit(Seq((9L, "z")).toDF("id", "s"), d, overwrite = true) // b2 only
-    Snapshots.vacuum(spark, d, keep = 1)
+    Snapshots.vacuum(spark, d, keep = 1, orphanGraceMs = 0L)
     val fs = new Path(d).getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(!fs.exists(new Path(s"$d/data/b1")), "unreferenced batch kept")
     assert(Snapshots.read(spark, d).collect().map(_.getLong(0)).toSeq == Seq(9L))

@@ -27,9 +27,17 @@ class AnomalyStreamSpec extends SparkSpec {
       .map(r => Ev(r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3), r.getDouble(4)))
       .toSeq
     val input = MemoryStream[Ev]
-    @volatile var latest: Array[org.apache.spark.sql.Row] = Array.empty
+    // Update-mode sink contract: keyed last-wins upsert over the
+    // changed-window emissions (flags are monotone, so the accumulated
+    // map converges to the batch flag set)
+    val upserts = scala.collection.concurrent.TrieMap.empty[(String, Timestamp), (Long, Double)]
+    // watermark wider than the corpus span: the un-time-ordered collect
+    // feed must not late-drop (Update mode enforces the drop Complete
+    // mode ignored); pure out-of-order incremental-update stress
     val q = AnomalyStream.start(input.toDF(), stats, "anomaly_stream",
-      flagged => latest = flagged.collect())
+      flagged => flagged.collect().foreach { r =>
+        upserts((r.getString(0), r.getTimestamp(1))) = (r.getLong(2), r.getDouble(3))
+      }, watermark = "40 days")
     try {
       // three chunks exercise incremental window state
       evs.grouped(math.max(1, evs.size / 3)).foreach { chunk =>
@@ -38,8 +46,8 @@ class AnomalyStreamSpec extends SparkSpec {
       }
     } finally q.stop()
 
-    val streamed = latest
-      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3))).toSet
+    val streamed = upserts.toSet[((String, Timestamp), (Long, Double))]
+      .map { case ((t, h), (c, z)) => (t, h, c, z) }
     assert(streamed == batch, s"stream flagged ${streamed.size}, batch ${batch.size}")
     assert(streamed.nonEmpty)
   }

@@ -92,6 +92,43 @@ class FunnelStreamSpec extends SparkSpec {
     }
   }
 
+  test("a user returning after finalization emits no second row (tombstone)") {
+    // tight watermark so user 1 FINALIZES mid-stream, then returns far
+    // beyond the deadline — the regression this guards: state re-creation
+    // after timeout emitted a duplicate (and for retention, wrong-cohort)
+    // row per returning user
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(hours: Long) = new Timestamp(t0.getTime + hours * 3600 * 1000)
+    val early = Seq(
+      Ev(1L, at(0), 1L, "view", 0.0),
+      Ev(2L, at(1), 1L, "click", 0.0))
+    // sentinel-driven watermark far past user 1's funnel deadline (24h)
+    // and retention window (7d), then user 1 comes back
+    val late = Seq(
+      Ev(3L, at(24 * 40), 1L, "view", 0.0),
+      Ev(4L, at(24 * 40 + 1), 1L, "click", 0.0),
+      Ev(5L, at(24 * 40 + 2), 1L, "purchase", 0.0))
+    val sentinel = at(24 * 80)
+
+    val funnelRows = feed(Seq(early, Seq(Ev(9L, at(24 * 30), SentinelUser, "view", 0.0)), late),
+      sentinel)(df => FunnelStreams.funnelStream(spark, df, watermark = "1 hour"))
+      .filter(_.getAs[Long]("user_id") == 1L)
+    assert(funnelRows.length == 1, s"returning user emitted ${funnelRows.length} funnel rows")
+    val r = funnelRows.head
+    // the surviving row is the FIRST funnel: tv at hour 0, tc at hour 1,
+    // no purchase inside (tv, tv+24h]
+    assert(r.getAs[Long]("tv_us") == at(0).getTime * 1000L)
+    assert(r.getAs[Long]("tc_us") == at(1).getTime * 1000L)
+    assert(r.isNullAt(r.fieldIndex("tp_us")))
+
+    val retRows = feed(Seq(early, Seq(Ev(9L, at(24 * 30), SentinelUser, "view", 0.0)), late),
+      sentinel)(df => FunnelStreams.retentionStream(spark, df, watermark = "1 hour"))
+      .filter(_.getAs[Long]("user_id") == 1L)
+    assert(retRows.length == 1, s"returning user founded ${retRows.length} cohorts")
+    assert(retRows.head.getAs[Int]("d0_day") == (t0.getTime / (86400L * 1000)).toInt)
+    assert(retRows.head.getAs[scala.collection.Seq[Int]]("ks").toSeq == Seq(0))
+  }
+
   test("streaming retention (d0, k) pairs equal the batch cohort table") {
     val (chunks, sentinel) = loadEvents()
     val rows = feed(chunks, sentinel)(df =>
