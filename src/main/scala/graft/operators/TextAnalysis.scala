@@ -16,7 +16,7 @@ import graft.sources.Tables
   */
 object TextAnalysis {
 
-  private def toks: Column = split(col("text"), " ")
+  private[graft] def toks: Column = split(col("text"), " ")
 
   /** Small english stopword core used for the quality ratio (documents are
     * space-tokenized in this corpus; the list is a constant, broadcast-free

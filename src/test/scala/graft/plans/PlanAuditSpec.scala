@@ -34,8 +34,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "ann_pca_topk", "ann_pca_top1",
     // broadcast query-set over the 8-byte binary-code scan
     "ann_binary_top1",
-    // 1-row broadcast totals cross joins
-    "ds_dsir", "ds_dsir_select", "ds_source_kl", "tx_bm25",
+    // 1-row broadcast totals cross joins (dq_checks: the referential
+    // row's total riding liAgg's 1-row count instead of a second scan)
+    "ds_dsir", "ds_dsir_select", "ds_source_kl", "tx_bm25", "dq_checks",
     // 1-row broadcast query-vector cross join driving the dense leg
     "tx_hybrid_rrf",
     // non-equi range predicate with a broadcast-small side (G6 is the
