@@ -52,6 +52,28 @@ object SnapTime {
     println(f"[st] time_travel_v1 $tRead1%.2f s ($c1 rows)  latest $tRead3%.2f s ($c3 rows)")
     val (_, tVac) = time(Snapshots.vacuum(spark, work, keep = 1, orphanGraceMs = 0L))
     println(f"[st] vacuum $tVac%.2f s")
+
+    // OCC contention law: W writers racing day-batches into ONE table.
+    // A lost CAS costs a manifest re-read + rename, never a data
+    // rewrite, so contended wall-clock should track the slowest writer's
+    // data writes, not writers × commits × table size.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val batch = small.limit(2000).cache(); batch.count()
+    val perWriter = 3
+    Seq(1, 4).foreach { writers =>
+      val tbl = s"$work-occ$writers"
+      fs.delete(new org.apache.hadoop.fs.Path(tbl), true)
+      val (_, tOcc) = time {
+        Await.result(Future.sequence((1 to writers).map(_ => Future {
+          (1 to perWriter).foreach(_ => Snapshots.commitOptimistic(batch, tbl))
+        })), 10.minutes)
+      }
+      val vs = Snapshots.versions(spark, tbl)
+      println(f"[st] occ_${writers}w ${tOcc}%.2f s (${writers * perWriter} commits, " +
+        f"versions=${vs.size}, linear=${vs == (1 to writers * perWriter)})")
+    }
     spark.stop()
   }
 }
