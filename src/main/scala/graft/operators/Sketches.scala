@@ -54,11 +54,53 @@ object Sketches {
       .groupBy("event_type")
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
 
+  /** First-half-of-span day cutoff as a ONE-ROW frame (derived from the
+    * tiny daily-sketch table, crossJoin-broadcast to consumers — a
+    * global window over raw events would funnel the corpus through one
+    * task). Both engines of the range gate recompute it with the same
+    * integer arithmetic. */
+  private def cutoffFrame(spark: SparkSession, dir: String): DataFrame =
+    dailySketches(spark, dir).agg(
+      date_add(min(col("day")),
+        (datediff(max(col("day")), min(col("day"))) / 2).cast("int")).as("cut"))
+
+  /** Day-RANGE estimates: union only the first half of the span's daily
+    * sketches — the read path behind "distinct over any day range by
+    * merging that range's sketches"; cost ∝ sketch rows in range. */
+  def rangeEstimates(spark: SparkSession, dir: String): DataFrame =
+    dailySketches(spark, dir)
+      .crossJoin(cutoffFrame(spark, dir))
+      .filter(col("day") <= col("cut"))
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+
   /** Run by Verify ahead of the query dump. */
   @volatile private var exportedDir: String = "/root/testdata/sf0.01"
   def exportEstimates(spark: SparkSession, dir: String): Unit = {
     exportedDir = dir
     mergedEstimates(spark, dir).coalesce(1).write.mode("overwrite").parquet(exportPath(dir))
+    rangeEstimates(spark, dir).coalesce(1).write.mode("overwrite")
+      .parquet(rangeExportPath(dir))
+  }
+
+  def rangeExportPath(dir: String): String = ExportPaths.forCorpus("hll_range", dir)
+
+  /** Range gate: exact distinct over the SAME first-half day filter
+    * (both engines recompute cutoff + exact) + the exported range
+    * estimate's accuracy boolean. */
+  def sketchRangeGate(spark: SparkSession, dir: String): DataFrame = {
+    val est = spark.read.parquet(rangeExportPath(dir))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), to_date(col("ts")).as("day"))
+      .crossJoin(cutoffFrame(spark, dir))
+      .filter(col("day") <= col("cut"))
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("exact_users"))
+      .join(est, Seq("event_type"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("est").cast("double") - col("exact_users")) / col("exact_users")
+          < GateTol).as("est_ok"))
+      .orderBy("event_type")
   }
 
   /** Registered gate: exact per-type distinct users (recomputed
@@ -78,6 +120,7 @@ object Sketches {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ds_hll_distinct" -> sketchDistinctGate _,
+    "ds_hll_range" -> sketchRangeGate _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -85,6 +128,17 @@ object Sketches {
       s"""WITH est AS (SELECT event_type, est FROM '${exportPath(exportedDir)}/*.parquet'),
         |ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
         |FROM events GROUP BY event_type)
+        |SELECT ex.event_type, CAST(ex.exact_users AS BIGINT) AS exact_users,
+        |ABS(CAST(est AS DOUBLE) - ex.exact_users) / ex.exact_users < $GateTol AS est_ok
+        |FROM ex JOIN est USING (event_type) ORDER BY event_type""".stripMargin
+        .replaceAll("\n", " "),
+    "ds_hll_range" ->
+      s"""WITH est AS (SELECT event_type, est FROM '${rangeExportPath(exportedDir)}/*.parquet'),
+        |cut AS (SELECT MIN(CAST(ts AS DATE))
+        |+ CAST(FLOOR(DATEDIFF('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE))) / 2) AS INT) AS cut
+        |FROM events),
+        |ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+        |FROM events, cut WHERE CAST(ts AS DATE) <= cut GROUP BY event_type)
         |SELECT ex.event_type, CAST(ex.exact_users AS BIGINT) AS exact_users,
         |ABS(CAST(est AS DOUBLE) - ex.exact_users) / ex.exact_users < $GateTol AS est_ok
         |FROM ex JOIN est USING (event_type) ORDER BY event_type""".stripMargin

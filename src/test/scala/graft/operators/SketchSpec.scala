@@ -41,6 +41,27 @@ class SketchSpec extends SparkSpec {
     assert(gate.map(r => r.getString(0) -> r.getAs[Long]("exact_users")).toMap == exact)
   }
 
+  test("day-range gate: range union equals a direct sketch of the range; gate green") {
+    val ranged = Sketches.rangeEstimates(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // direct one-shot sketch over the SAME first-half slice of raw events
+    val ev = Tables.events(spark, sf).select(col("user_id"), col("event_type"),
+      to_date(col("ts")).as("day"))
+    val cut = ev.agg(date_add(min(col("day")),
+      (datediff(max(col("day")), min(col("day"))) / 2).cast("int"))).collect()(0).getDate(0)
+    val direct = ev.filter(col("day") <= lit(cut))
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), Sketches.LgK)).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ranged.nonEmpty && ranged == direct)
+    // the range genuinely excludes data (fewer EVENTS; distinct-user
+    // sets may saturate inside the half on the small fixture)
+    assert(ev.filter(col("day") <= lit(cut)).count() < ev.count())
+    Sketches.exportEstimates(spark, sf)
+    val gate = Sketches.sketchRangeGate(spark, sf).collect()
+    assert(gate.nonEmpty && gate.forall(_.getAs[Boolean]("est_ok")))
+  }
+
   test("incremental append: yesterday's merged sketch + today's delta = full answer") {
     import spark.implicits._
     // split the sketch table by day parity — the stand-in for an

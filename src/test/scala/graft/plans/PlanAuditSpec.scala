@@ -37,6 +37,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // 1-row broadcast totals cross joins (dq_checks: the referential
     // row's total riding liAgg's 1-row count instead of a second scan)
     "ds_dsir", "ds_dsir_select", "ds_source_kl", "tx_bm25", "dq_checks",
+    "ds_hll_range", // 1-row day-cutoff frame cross joined to the scan
     // 1-row broadcast query-vector cross join driving the dense leg
     "tx_hybrid_rrf",
     // non-equi range predicate with a broadcast-small side (G6 is the
