@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Graph analytics over relational-derived graphs — the web-graph side of
+  * a training-data pipeline (link-based quality signals à la PageRank are
+  * a standard corpus-curation feature: Common Crawl ranks hosts by
+  * harmonic/PageRank centrality, and "page rank of the source domain" is
+  * a classic quality column), plus triangle counting, the standard
+  * cohesion/clustering-coefficient primitive.
+  *
+  * Both operators follow the Hash-Min CC discipline already in
+  * [[Dedup.clusterPairs]]: per-iteration state lives in a node-keyed
+  * DataFrame, every round is one uniform-key shuffle, and nothing graph-
+  * sized ever lands on the driver.
+  */
+object Graphs {
+
+  /** Damping factor (Brin & Page 1998). */
+  val Damping = 0.85
+
+  /** Fixed iteration count — both engines run EXACTLY this many rounds,
+    * making the result a deterministic recurrence rather than a
+    * convergence race. 5 rounds on a diameter-2 co-occurrence graph is
+    * well past the interesting movement. */
+  val PrIters = 5
+
+  /** Supplier co-occurrence edges: s1 ↔ s2 iff both supplied one order.
+    * Symmetric by construction, so every node in the edge list has both
+    * in- and out-edges — no dangling-mass redistribution term needed
+    * (nodes outside the edge list are outside the graph, consistently in
+    * both engines). */
+  private def supplierEdges(spark: SparkSession, dir: String): DataFrame = {
+    val os = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_suppkey").as("s")).distinct()
+    os.select(col("o"), col("s").as("src"))
+      .join(os.select(col("o"), col("s").as("dst")), Seq("o"))
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+  }
+
+  /** PageRank, PrIters rounds of r' = (1−d)/N + d·Σ_in r(u)/outdeg(u).
+    *
+    * Plan shape per round: ranks (node-sized) join edges on src, hash-agg
+    * on dst — one shuffle keyed by node id, state ∝ nodes. The edge +
+    * degree frames are computed once and persisted (at 100 TB they are
+    * the big, reused inputs; ranks stay node-sized). For many-round runs
+    * the Hash-Min lesson applies — localCheckpoint every few rounds to
+    * cut lineage — but 5 rounds stays well inside plan-depth limits.
+    *
+    * Emitted rank is cast to DECIMAL(18,8): the per-node sums are
+    * order-dependent in the last ulp (Spark partial aggs vs DuckDB
+    * sequential sums), and the decimal cast (the q1 rounding discipline)
+    * absorbs that while keeping 8 digits of the actual ranking. */
+  def pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val edges = PersistSlots.cached(spark, s"pr-edges:$dir")(
+      supplierEdges(spark, dir))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val nodes = edges.select(col("src").as("v")).distinct()
+    val n = nodes.count() // scalar: node count (bounded — the one driver value)
+
+    var ranks = nodes.withColumn("r", lit(1.0 / n))
+    for (_ <- 1 to PrIters) {
+      val contrib = edges
+        .join(ranks.withColumnRenamed("v", "src"), Seq("src"))
+        .join(deg, Seq("src"))
+        .groupBy(col("dst").as("v"))
+        .agg(sum(col("r") / col("outdeg")).as("inflow"))
+      ranks = contrib.select(col("v"),
+        (lit((1.0 - Damping) / n) + lit(Damping) * col("inflow")).as("r"))
+    }
+    ranks.select(col("v").as("s_suppkey"), col("r").cast("decimal(18,8)").as("pr"))
+      .orderBy("s_suppkey")
+  }
+
+  /** Part co-purchase edges, undirected unique (a < b): p1–p2 iff both
+    * appear in one order. The part key space is ~20× the supplier space,
+    * so this graph is sparse enough for triangle structure to mean
+    * something. */
+  private def partEdges(spark: SparkSession, dir: String): DataFrame = {
+    val op = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    op.select(col("o"), col("p").as("a"))
+      .join(op.select(col("o"), col("p").as("b")), Seq("o"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** Per-node triangle counts by degree-oriented wedge join (the
+    * compact-forward algorithm, Latapy 2008; also Cohen's MapReduce
+    * triangle enumeration, 2009): orient every undirected edge from its
+    * lower-(degree, id) endpoint to the higher one, join oriented edges
+    * on the wedge apex u — (u→v, u→w), v ≺ w — and close each wedge
+    * against the oriented edge (v→w).
+    *
+    * Why orientation matters at scale: wedge volume under the (deg, id)
+    * orientation is Σ outdeg(u)² with outdeg ≤ O(√m), i.e. O(m^1.5)
+    * total work (the arboricity bound) — a hub of degree 10⁶ in a raw
+    * self-join would alone generate 10¹² wedges, but oriented it fans
+    * out only toward the ≤√(2m) heavier nodes. Every stage is an equi
+    * join on node keys; triangles credit each of their three corners via
+    * an explode + hash agg. */
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    val edges = PersistSlots.cached(spark, s"tri-edges:$dir")(
+      partEdges(spark, dir))
+    // undirected degree per node
+    val deg = edges.select(col("a").as("v")).union(edges.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    // orient by (degree, id): src = smaller endpoint in that total order
+    val withDeg = edges
+      .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
+    // keep the dst endpoint's degree: the wedge pair below must be
+    // ordered by the SAME (degree, id) total order as the orientation,
+    // or the closing edge (always low ≺ high in that order) is missed
+    val oriented = withDeg.select(
+      when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+        struct(col("a").as("src"), col("b").as("dst"), col("db").as("dd")))
+        .otherwise(struct(col("b").as("src"), col("a").as("dst"), col("da").as("dd"))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.dd").as("dd"))
+    // wedges at apex u: out-neighbor pairs with v ≺ w in (degree, id)
+    // order — dedups each wedge AND matches the closing edge's direction
+    val wedges = oriented.select(col("src").as("u"), col("dst").as("v"), col("dd").as("dv"))
+      .join(oriented.select(col("src").as("u"), col("dst").as("w"), col("dd").as("dw")), Seq("u"))
+      .filter(col("dv") < col("dw") || (col("dv") === col("dw") && col("v") < col("w")))
+    val tris = wedges
+      .join(oriented.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+      .select(col("u"), col("v"), col("w"))
+    tris.select(explode(array(col("u"), col("v"), col("w"))).as("p_partkey"))
+      .groupBy("p_partkey").agg(count(lit(1)).as("tri"))
+      .orderBy("p_partkey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q32_pagerank" -> pagerank _,
+    "q33_triangles" -> triangles _,
+  )
+
+  private val edgeCte =
+    """WITH eo AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem),
+      |e AS (SELECT DISTINCT a.s AS src, b.s AS dst FROM eo a JOIN eo b ON a.o = b.o AND a.s <> b.s),
+      |deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+      |nn AS (SELECT CAST(COUNT(DISTINCT src) AS DOUBLE) AS n FROM e)""".stripMargin
+
+  /** One unrolled PageRank round in DuckDB. */
+  private def prRound(prev: String, cur: String): String =
+    s"""$cur AS (SELECT e.dst AS v, 0.15 / nn.n + 0.85 * SUM($prev.r / deg.outdeg) AS r
+       |FROM e JOIN $prev ON e.src = $prev.v JOIN deg ON e.src = deg.src CROSS JOIN nn
+       |GROUP BY e.dst, nn.n)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q32_pagerank" -> (edgeCte + ",\n" +
+      "r0 AS (SELECT DISTINCT src AS v, 1.0 / nn.n AS r FROM e CROSS JOIN nn),\n" +
+      (1 to PrIters).map(i => prRound(s"r${i - 1}", s"r$i")).mkString(",\n") + "\n" +
+      s"SELECT v AS s_suppkey, CAST(r AS DECIMAL(18,8)) AS pr FROM r$PrIters ORDER BY s_suppkey")
+      .replaceAll("\n", " "),
+    "q33_triangles" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (SELECT DISTINCT a.p AS a, b.p AS b FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+        |deg AS (SELECT v, COUNT(*) AS d FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v),
+        |ori AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b) THEN e.a ELSE e.b END AS src,
+        |CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b) THEN e.b ELSE e.a END AS dst,
+        |CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b) THEN db.d ELSE da.d END AS dd
+        |FROM e JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v),
+        |tri AS (SELECT o1.u, o1.v, o2.w FROM
+        |(SELECT src AS u, dst AS v, dd AS dv FROM ori) o1 JOIN (SELECT src AS u, dst AS w, dd AS dw FROM ori) o2
+        |ON o1.u = o2.u AND (o1.dv < o2.dw OR (o1.dv = o2.dw AND o1.v < o2.w))
+        |JOIN ori oc ON oc.src = o1.v AND oc.dst = o2.w)
+        |SELECT p_partkey, COUNT(*) AS tri FROM
+        |(SELECT u AS p_partkey FROM tri UNION ALL SELECT v FROM tri UNION ALL SELECT w FROM tri)
+        |GROUP BY p_partkey ORDER BY p_partkey""".stripMargin.replaceAll("\n", " "),
+  )
+}

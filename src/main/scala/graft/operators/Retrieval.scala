@@ -108,14 +108,53 @@ object Retrieval {
       .orderBy(col("rrf").desc, col("id"))
   }
 
+  /** Fixed demo phrase for [[phraseSearch]] — present at every fixture SF. */
+  val Phrase: Seq[String] = Seq("big", "order", "scan")
+
+  /** Exact phrase search over positional postings — the inverted-index
+    * capability BM25's bag-of-words scoring can't express ("big order
+    * scan" as consecutive tokens, not co-occurrence). Postings are
+    * (term, doc, position); a phrase of length L is an L-way self-join
+    * on (doc, position offset) — the standard positional-index query
+    * plan (Manning/Raghavan/Schütze IR §2.4).
+    *
+    * Scale shape: like [[bm25]], the scan filters to the phrase's terms
+    * BEFORE anything joins — the per-term postings (doc, pos) lists are
+    * the only shuffled data, keyed by doc_id, and the L−1 adjacency
+    * joins all reuse that one doc_id partitioning. An ad-hoc phrase
+    * never pays for a full positional index; a standing service runs
+    * the same joins against a pre-built term-bucketed postings table. */
+  def phraseSearch(spark: SparkSession, dir: String,
+      phrase: Seq[String] = Phrase): DataFrame = {
+    val postings = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .filter(col("w").isin(phrase.map(t => t: Any): _*))
+    val first = postings.filter(col("w") === phrase.head).select(col("doc_id"), col("pos"))
+    phrase.zipWithIndex.tail.foldLeft(first) { case (acc, (term, i)) =>
+      acc.join(
+        postings.filter(col("w") === term)
+          .select(col("doc_id"), (col("pos") - i).as("pos")),
+        Seq("doc_id", "pos"))
+    }
+      .select(col("doc_id"), col("pos").cast("int").as("pos"))
+      .orderBy("doc_id", "pos")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_bm25" -> ((s: SparkSession, d: String) => bm25(s, d)),
     "tx_hybrid_rrf" -> hybridRrf _,
+    "tx_phrase" -> ((s: SparkSession, d: String) => phraseSearch(s, d)),
   )
 
   private val termList = QueryTerms.map(t => s"'$t'").mkString("(", ", ", ")")
 
   val oracleSql: Map[String, String] = Map(
+    "tx_phrase" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents)
+        |SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos
+        |FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) i)
+        |WHERE t[i] = '${Phrase(0)}' AND t[i+1] = '${Phrase(1)}' AND t[i+2] = '${Phrase(2)}'
+        |ORDER BY doc_id, pos""".stripMargin.replaceAll("\n", " "),
     "tx_bm25" ->
       s"""WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
         |lens AS (SELECT doc_id, COUNT(*) AS len FROM toks GROUP BY 1),

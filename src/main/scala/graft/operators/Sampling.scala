@@ -140,8 +140,43 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006):
+    * each row draws key u^(1/w) (u uniform, w the row's weight) and the
+    * top-k keys are the sample — inclusion probability exactly
+    * proportional to weight, sequentially without replacement. For
+    * integer weights this engine uses the distributionally identical
+    * MAX-OF-w-UNIFORMS form (max of w i.i.d. uniforms ~ u^(1/w)): draw w
+    * hash values per row and keep the max. That keeps the whole
+    * computation in md5/hex-string space — no ln/pow, so no libm-ulp
+    * cross-engine tie risk (the tx_tfidf lesson) and the usual
+    * determinism triple holds: engines agree row-for-row, task retries
+    * are idempotent, appends never flip an existing row's key.
+    *
+    * Weight here: w = 1 + n_chars/100 (docs sampled ∝ length, the
+    * token-budget-aware sampling rule). Plan shape at 100 TB: explode
+    * ×w (w ≤ 6 here; for large weights switch to the float u^(1/w) form
+    * — documented, not needed for integral small w), per-doc max = one
+    * hash agg with map-side combine, then global top-k = sort+limit
+    * which Spark plans as TakeOrderedAndProject (per-partition top-k +
+    * driver merge of k·partitions rows, never a global sort). */
+  def weightedSample(spark: SparkSession, dir: String, k: Int = 25): DataFrame = {
+    // explicit floor: a bare int cast truncates in Spark but ROUNDS in
+    // DuckDB — floor on both sides keeps the weight cross-engine exact
+    val w = (lit(1) + floor(col("n_chars") / lit(100.0))).cast("int")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), w.as("w"))
+      .withColumn("key",
+        aggregate(
+          transform(sequence(lit(1), col("w")),
+            r => md5(concat(col("doc_id").cast("string"), lit(":"), r.cast("string")))),
+          lit(""), (acc, h) => greatest(acc, h)))
+      .orderBy(col("key").desc, col("doc_id"))
+      .limit(k)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ds_sample" -> ((s: SparkSession, d: String) => bernoulliSample(s, d)),
+    "ds_weighted" -> ((s: SparkSession, d: String) => weightedSample(s, d)),
     "ds_stratified" -> ((s: SparkSession, d: String) => stratifiedSample(s, d)),
     "ds_mixture" -> ((s: SparkSession, d: String) => mixtureSample(s, d)),
     "ds_shuffle" -> ((s: SparkSession, d: String) => globalShuffle(s, d)),
@@ -149,6 +184,15 @@ object Sampling {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // DuckDB can't lateral-parameterize generate_series here; weights are
+    // bounded (w = 1 + n_chars/100 ≤ ~7 on these fixtures), so cross join
+    // a fixed 1..32 series and filter r <= w
+    "ds_weighted" ->
+      """WITH d AS (SELECT doc_id, CAST(1 + floor(n_chars / 100.0) AS INTEGER) AS w FROM documents),
+        |k AS (SELECT doc_id, w, max(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(r AS VARCHAR))) AS key
+        |FROM d CROSS JOIN (SELECT unnest(generate_series(1, 32)) AS r) t
+        |WHERE r <= w GROUP BY doc_id, w)
+        |SELECT doc_id, w, key FROM k ORDER BY key DESC, doc_id LIMIT 25""".stripMargin.replaceAll("\n", " "),
     "ds_sample" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE md5(CAST(doc_id AS VARCHAR)) < '1a'

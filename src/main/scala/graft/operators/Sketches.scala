@@ -81,6 +81,59 @@ object Sketches {
     mergedEstimates(spark, dir).coalesce(1).write.mode("overwrite").parquet(exportPath(dir))
     rangeEstimates(spark, dir).coalesce(1).write.mode("overwrite")
       .parquet(rangeExportPath(dir))
+    kllEstimates(spark, dir).coalesce(1).write.mode("overwrite")
+      .parquet(kllExportPath(dir))
+  }
+
+  // ---- KLL quantile sketches (the quantile member of the sketch trio;
+  // engine-native TypedImperativeAggregate — see functions.KllBuildAgg) ----
+
+  import graft.functions.KllBuildAgg.{kllAgg, kllUnionAgg, kllQuantile}
+
+  /** Rank tolerance for the KLL gate: k=200 gives ~1.65% normalized rank
+    * error at 99% confidence — 0.05 is ~3× that; a failure means broken
+    * plumbing, not sketch noise. */
+  val KllRankTol = 0.05
+
+  def kllExportPath(dir: String): String = ExportPaths.forCorpus("kll", dir)
+
+  /** Per-(event_type, day) KLL sketch over `value` — the persisted
+    * partition-sketch artifact, exactly the [[dailySketches]] shape with
+    * quantile state instead of distinct-count state. */
+  def kllDailySketches(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(kllAgg(col("value")).as("sk"))
+
+  /** Read path: union each type's daily sketches, read off p50/p95 —
+    * cost ∝ sketch rows, never events. */
+  def kllEstimates(spark: SparkSession, dir: String): DataFrame =
+    kllDailySketches(spark, dir)
+      .groupBy("event_type")
+      .agg(kllUnionAgg(col("sk")).as("sk"))
+      .select(col("event_type"),
+        kllQuantile(col("sk"), lit(0.5)).as("est_p50"),
+        kllQuantile(col("sk"), lit(0.95)).as("est_p95"))
+
+  /** Registered gate (the HLL export-gate pattern): both engines compute
+    * the EXACT normalized rank of the exported estimates — the fraction
+    * of values ≤ estimate, an integer-count division both engines get
+    * bit-identical — and assert it sits within KllRankTol of the asked
+    * quantile. */
+  def kllGate(spark: SparkSession, dir: String): DataFrame = {
+    val est = spark.read.parquet(kllExportPath(dir))
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("value"))
+      .join(broadcast(est), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        avg(when(col("value") <= col("est_p50"), 1.0).otherwise(0.0)).as("r50"),
+        avg(when(col("value") <= col("est_p95"), 1.0).otherwise(0.0)).as("r95"))
+      .select(col("event_type"), col("n_events"),
+        (abs(col("r50") - 0.5) < KllRankTol).as("p50_ok"),
+        (abs(col("r95") - 0.95) < KllRankTol).as("p95_ok"))
+      .orderBy("event_type")
   }
 
   def rangeExportPath(dir: String): String = ExportPaths.forCorpus("hll_range", dir)
@@ -121,9 +174,19 @@ object Sketches {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ds_hll_distinct" -> sketchDistinctGate _,
     "ds_hll_range" -> sketchRangeGate _,
+    "ds_kll_quantiles" -> kllGate _,
   )
 
   def oracleSql: Map[String, String] = Map(
+    "ds_kll_quantiles" ->
+      s"""WITH est AS (SELECT event_type, est_p50, est_p95 FROM '${kllExportPath(exportedDir)}/*.parquet'),
+        |j AS (SELECT e.event_type, e.value, est.est_p50, est.est_p95
+        |FROM events e JOIN est USING (event_type))
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |ABS(AVG(CASE WHEN value <= est_p50 THEN 1.0 ELSE 0.0 END) - 0.5) < $KllRankTol AS p50_ok,
+        |ABS(AVG(CASE WHEN value <= est_p95 THEN 1.0 ELSE 0.0 END) - 0.95) < $KllRankTol AS p95_ok
+        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin
+        .replaceAll("\n", " "),
     "ds_hll_distinct" ->
       s"""WITH est AS (SELECT event_type, est FROM '${exportPath(exportedDir)}/*.parquet'),
         |ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_users

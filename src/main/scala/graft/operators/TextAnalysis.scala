@@ -306,7 +306,53 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Segment width for boilerplate removal (distinct from Dedup.SpanTokens
+    * so the two operators' artifacts can't be confused). */
+  val BoilerSeg = 8
+
+  /** Cross-document boilerplate removal (the CCNet / RefinedWeb rule:
+    * a LINE recurring across many documents of one domain is navigation/
+    * footer boilerplate, not content — Wenzek et al. 2020 §4.1 dedups
+    * "all documents... at the paragraph level" for exactly this; Penedo
+    * et al. 2023 §G filter lines duplicated across pages of a domain).
+    * This corpus has no newlines, so the "line" unit is the non-
+    * overlapping BoilerSeg-token segment, and the rule is COUNT-based:
+    * a segment seen in ≥2 DISTINCT docs of the same source is removed
+    * from ALL of them — distinct from [[Dedup.spanDedup]]'s global
+    * first-occurrence rule, which keeps the first copy and is source-
+    * blind. Output per doc: segment counts and the reassembled clean
+    * text (NULL when everything was boilerplate).
+    *
+    * Scale shape: segment explode (narrow), one (source, segment)
+    * distinct-count agg — the distinct pre-aggregates on (source, seg,
+    * doc_id) so a segment repeated 10⁶ times INSIDE one doc collapses
+    * map-side — then a join back on the same key and a per-doc
+    * reassembly agg whose state is bounded by document length. */
+  def boilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val t = toks
+    val segs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), posexplode(
+        transform(sequence(lit(0L), ceil(size(t) / lit(BoilerSeg.toDouble)) - 1),
+          i => array_join(slice(t, (i * BoilerSeg + 1).cast("int"), lit(BoilerSeg)), " ")))
+        .as(Seq("seg_idx", "seg")))
+    val counts = segs.groupBy("source", "seg")
+      .agg(countDistinct("doc_id").as("dc"))
+    segs.join(counts, Seq("source", "seg"))
+      .withColumn("is_bp", col("dc") >= 2)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("is_bp"), 1L).otherwise(0L)).as("n_removed"),
+        collect_list(when(!col("is_bp"), struct(col("seg_idx"), col("seg")))).as("kept"))
+      .select(col("doc_id"), col("n_segs"), col("n_removed"),
+        when(size(col("kept")) === 0, lit(null).cast("string"))
+          .otherwise(array_join(transform(sort_array(col("kept")), x => x("seg")), " "))
+          .as("text_clean"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_boilerplate" -> boilerplate _,
     "tx_quality_adaptive" -> ((s: SparkSession, d: String) => adaptiveQuality(s, d)),
     "tx_pii" -> piiScrub _,
     "tx_lang_stats" -> langStats _,
@@ -323,6 +369,17 @@ object TextAnalysis {
   private def inList(xs: Seq[String]) = xs.map(s => s"'$s'").mkString("(", ",", ")")
 
   val oracleSql: Map[String, String] = Map(
+    "tx_boilerplate" ->
+      s"""WITH toks AS (SELECT doc_id, source, string_split(text, ' ') t FROM documents),
+        |seg AS (SELECT doc_id, source, i - 1 AS seg_idx,
+        |list_aggregate(t[(i-1)*$BoilerSeg+1 : i*$BoilerSeg], 'string_agg', ' ') AS s
+        |FROM toks, LATERAL (SELECT unnest(generate_series(1, CAST(ceil(len(t)/$BoilerSeg.0) AS INT))) i)),
+        |c AS (SELECT source, s, count(DISTINCT doc_id) AS dc FROM seg GROUP BY 1, 2)
+        |SELECT seg.doc_id, count(*) AS n_segs,
+        |CAST(sum(CASE WHEN c.dc >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |string_agg(CASE WHEN c.dc < 2 THEN seg.s END, ' ' ORDER BY seg.seg_idx) AS text_clean
+        |FROM seg JOIN c ON seg.source = c.source AND seg.s = c.s
+        |GROUP BY seg.doc_id ORDER BY seg.doc_id""".stripMargin.replaceAll("\n", " "),
     "tx_quality_adaptive" ->
       """WITH s AS (SELECT doc_id, lang,
         |ROUND(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)

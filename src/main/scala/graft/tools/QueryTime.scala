@@ -47,6 +47,9 @@ object QueryTime {
       // export, so the scale cost lives here)
       "ds_hll_estimates" ->
         ((s, d) => graft.operators.Sketches.mergedEstimates(s, d)),
+      // KLL sketch build+merge (same reasoning as ds_hll_estimates)
+      "ds_kll_estimates" ->
+        ((s, d) => graft.operators.Sketches.kllEstimates(s, d)),
     )
     names.foreach { n =>
       val fn = (SparkEntry.queries ++ extras).getOrElse(n,

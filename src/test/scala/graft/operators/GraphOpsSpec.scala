@@ -1,0 +1,117 @@
+package graft.operators
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** Specs for the round-6 extension batch: graph analytics (PageRank,
+  * degree-oriented triangles), the PPJoin prefix-filtering similarity
+  * join, weighted sampling, boilerplate removal, and phrase search.
+  * Each operator also carries a DuckDB oracle row; these cases pin the
+  * properties the hash-compare can't see (mass conservation, lossless-
+  * ness vs an independent algorithm, distribution-law plumbing). */
+class GraphOpsSpec extends SparkSpec {
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("pagerank conserves probability mass and ranks every graph node") {
+    val pr = Graphs.pagerank(spark, sf).collect()
+    assert(pr.nonEmpty)
+    val mass = pr.map(_.getDecimal(1).doubleValue()).sum
+    // Σr = 1 is invariant per round on a dangling-free graph (teleport
+    // mass (1−d) + distributed mass d); decimal rounding adds ≤ 5e-9·N
+    assert(math.abs(mass - 1.0) < 1e-5, s"mass $mass")
+    assert(pr.forall(_.getDecimal(1).doubleValue() > 0))
+    // node set == distinct co-occurring suppliers
+    val os = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("o"), col("l_suppkey").as("s")).distinct()
+    val nodes = os.select(col("o"), col("s").as("a"))
+      .join(os.select(col("o"), col("s").as("b")), Seq("o"))
+      .filter(col("a") =!= col("b")).select(col("a")).distinct().count()
+    assert(pr.length == nodes)
+  }
+
+  test("degree-oriented triangle counts equal the naive a<b<c enumeration") {
+    // independent recompute with NO orientation: adjacency as a<b edge
+    // set, triangles by the plain 3-way join (the quadratic oracle shape)
+    val op = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val e = op.select(col("o"), col("p").as("a"))
+      .join(op.select(col("o"), col("p").as("b")), Seq("o"))
+      .filter(col("a") < col("b")).select("a", "b").distinct()
+    val tri = e.select(col("a").as("x"), col("b").as("y"))
+      .join(e.select(col("a").as("y"), col("b").as("z")), Seq("y"))
+      .join(e.select(col("a").as("x"), col("b").as("z")), Seq("x", "z"))
+      .select(explode(array(col("x"), col("y"), col("z"))).as("p"))
+      .groupBy("p").agg(count(lit(1)).as("tri"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Graphs.triangles(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == tri, s"oriented=${got.size} naive=${tri.size}")
+    assert(got.values.sum % 3 == 0) // every triangle credits 3 corners
+  }
+
+  test("ppjoin pair set equals the exact ngram-jaccard pair set (lossless prefix filter)") {
+    val exact = Dedup.ngramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pp = SimilarityJoin.ppjoinPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pp == exact, s"pp=${pp.size} exact=${exact.size}")
+    assert(exact.nonEmpty)
+  }
+
+  test("weighted sample keys are the max of w per-replica hashes; top-k matches brute force") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1).toInt))
+    val brute = docs.map { case (id, nc) =>
+      val w = 1 + nc / 100
+      val key = (1 to w).map(r => md5hex(s"$id:$r")).max
+      (id, w, key)
+    }.sortBy { case (id, _, key) => (key, id) }(
+      Ordering.Tuple2(Ordering.String.reverse, Ordering.Long)).take(25)
+    val got = Sampling.weightedSample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(got.toSeq == brute.toSeq)
+  }
+
+  test("boilerplate: clean docs keep their text verbatim; removed segments recur within the source") {
+    val out = TextAnalysis.boilerplate(spark, sf)
+    val joined = out.join(Tables.documents(spark, sf), Seq("doc_id"))
+    // untouched docs reassemble to the exact original text
+    val clean = joined.filter(col("n_removed") === 0)
+      .filter(col("text_clean") =!= col("text")).count()
+    assert(clean == 0)
+    // the fixture has cross-doc segments: something must be removed
+    val removed = out.agg(sum("n_removed")).collect()(0).getLong(0)
+    assert(removed > 0)
+    // n_segs = ceil(tokens / BoilerSeg) for every doc
+    val badSegCount = joined.filter(
+      col("n_segs") =!= ceil(size(split(col("text"), " ")) / lit(TextAnalysis.BoilerSeg.toDouble)))
+      .count()
+    assert(badSegCount == 0)
+  }
+
+  test("phrase hits are exactly the positions where the phrase occurs") {
+    val hits = Retrieval.phraseSearch(spark, sf).collect()
+    assert(hits.nonEmpty)
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ")).toMap
+    val phrase = Retrieval.Phrase
+    hits.foreach { r =>
+      val (id, pos) = (r.getLong(0), r.getInt(1))
+      assert(texts(id).slice(pos, pos + phrase.length).toSeq == phrase)
+    }
+    // completeness: brute-force scan finds no extra occurrence
+    val brute = texts.toSeq.flatMap { case (id, t) =>
+      t.indices.filter(i => t.slice(i, i + phrase.length).toSeq == phrase).map(i => (id, i))
+    }.toSet
+    assert(hits.map(r => (r.getLong(0), r.getInt(1))).toSet == brute)
+  }
+}

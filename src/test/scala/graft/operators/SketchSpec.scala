@@ -62,6 +62,53 @@ class SketchSpec extends SparkSpec {
     assert(gate.nonEmpty && gate.forall(_.getAs[Boolean]("est_ok")))
   }
 
+  test("kll: merged daily sketches hit exact quantile ranks within tolerance; gate green") {
+    // exact per-type ranks of the estimates (the gate's own math, plus a
+    // direct check of the KLL published bound at a TIGHTER 2% tolerance
+    // than the gate's 5% — n≈200/type at sf0.001 is well inside k=200,
+    // so the sketch should be near-exact here)
+    Sketches.exportEstimates(spark, sf)
+    val est = spark.read.parquet(Sketches.kllExportPath(sf)).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(est.nonEmpty)
+    val values = Tables.events(spark, sf).select("event_type", "value").collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).map { case (t, vs) => t -> vs.map(_._2).sorted }
+    est.foreach { case (t, (p50, p95)) =>
+      val vs = values(t)
+      val r50 = vs.count(_ <= p50).toDouble / vs.length
+      val r95 = vs.count(_ <= p95).toDouble / vs.length
+      assert(math.abs(r50 - 0.5) < 0.02, s"$t p50 rank $r50")
+      assert(math.abs(r95 - 0.95) < 0.02, s"$t p95 rank $r95")
+      // estimates are real data values (KLL returns retained items)
+      assert(vs.contains(p50) && vs.contains(p95))
+    }
+    val gate = Sketches.kllGate(spark, sf).collect()
+    assert(gate.nonEmpty && gate.forall(r =>
+      r.getAs[Boolean]("p50_ok") && r.getAs[Boolean]("p95_ok")))
+  }
+
+  test("kll merge law: unioning per-day sketches answers like a one-shot sketch") {
+    import graft.functions.KllBuildAgg.{kllAgg, kllQuantile}
+    // KLL compaction is randomized, so bytes are not comparable — the law
+    // is checked in RANK space at the gate tolerance on both paths
+    val merged = Sketches.kllEstimates(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val oneShot = Tables.events(spark, sf)
+      .groupBy("event_type").agg(kllAgg(col("value")).as("sk"))
+      .select(col("event_type"), kllQuantile(col("sk"), lit(0.5)).as("p50"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val values = Tables.events(spark, sf).select("event_type", "value").collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).map { case (t, vs) => t -> vs.map(_._2) }
+    merged.keySet.foreach { t =>
+      val vs = values(t)
+      val rm = vs.count(_ <= merged(t)).toDouble / vs.size
+      val ro = vs.count(_ <= oneShot(t)).toDouble / vs.size
+      assert(math.abs(rm - ro) < Sketches.KllRankTol, s"$t merged-rank $rm vs one-shot $ro")
+    }
+  }
+
   test("incremental append: yesterday's merged sketch + today's delta = full answer") {
     import spark.implicits._
     // split the sketch table by day parity — the stand-in for an
