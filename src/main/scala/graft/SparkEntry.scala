@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.materials.Materials
 import graft.ml.DielectricModel
-import graft.operators.{Bpe, CdcChunking, Chunking, Curation, Decontam, Dedup, Dsir, EventAnalytics, Graphs, JoinOpt, Multimodal, NgramLm, Packing, Pipeline, Quality, Quantize, Relational, Retrieval, Sampling, SemDedup, Sharding, Similarity, SimilarityJoin, Sketches, SkewJoin, Snapshots, SubstringDedup, TextAnalysis}
+import graft.operators.{Bpe, CdcChunking, Chunking, Curation, Decontam, Dedup, Doremi, Dsir, EventAnalytics, Graphs, JoinOpt, Multimodal, NgramLm, Packing, Pipeline, Quality, Quantize, Relational, Retrieval, Sampling, SemDedup, Sharding, Similarity, SimilarityJoin, Sketches, SkewJoin, Snapshots, SubstringDedup, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -27,7 +27,7 @@ object SparkEntry {
       EventAnalytics.queries ++ Dedup.queries ++ SemDedup.queries ++
       Dsir.queries ++ SubstringDedup.queries ++ CdcChunking.queries ++
       Similarity.queries ++ TextAnalysis.queries ++ Chunking.queries ++
-      NgramLm.queries ++ Retrieval.queries ++ Sampling.queries ++ Curation.queries ++ Sketches.queries ++
+      NgramLm.queries ++ Retrieval.queries ++ Sampling.queries ++ Curation.queries ++ Sketches.queries ++ Doremi.queries ++
       Graphs.queries ++ SimilarityJoin.queries ++
       Snapshots.queries ++ Quality.queries ++ Sharding.queries ++
       Packing.queries ++ Quantize.queries ++ Bpe.queries ++ Decontam.queries ++
@@ -43,7 +43,7 @@ object SparkEntry {
       EventAnalytics.oracleSql ++ Dedup.oracleSql ++ SemDedup.oracleSql ++
       Dsir.oracleSql ++ SubstringDedup.oracleSql ++ CdcChunking.oracleSql ++
       Similarity.oracleSql ++ TextAnalysis.oracleSql ++ Chunking.oracleSql ++
-      NgramLm.oracleSql ++ Retrieval.oracleSql ++ Sampling.oracleSql ++ Curation.oracleSql ++ Sketches.oracleSql ++
+      NgramLm.oracleSql ++ Retrieval.oracleSql ++ Sampling.oracleSql ++ Curation.oracleSql ++ Sketches.oracleSql ++ Doremi.oracleSql ++
       Graphs.oracleSql ++ SimilarityJoin.oracleSql ++
       Snapshots.oracleSql ++ Quality.oracleSql ++ Sharding.oracleSql ++
       Packing.oracleSql ++ Quantize.oracleSql ++ Bpe.oracleSql ++ Decontam.oracleSql ++

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Domain-mixture reweighting — the DoReMi question (Xie et al. 2023,
+  * "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+  * Pretraining"): given a per-domain loss signal, move sampling weight
+  * toward the domains the current mixture underserves. Full DoReMi
+  * trains a proxy model per round; the pipeline-operator re-expression
+  * keeps its outer loop — multiplicative-weights ascent on per-domain
+  * EXCESS loss — over a loss column the engine already computes, so the
+  * recurrence is deterministic arithmetic both engines can replay
+  * (Arora, Hazan & Kale 2012's (1+η·gain) MWU form rather than Hedge's
+  * exp(η·gain): rational updates keep the oracle free of libm, the
+  * tx_tfidf discipline).
+  *
+  * Round t: mix_t = Σ_d w_t,d·ℓ_d (the mixture's current average loss);
+  * each domain's weight multiplies by (1 + η·(ℓ_d − mix_t)) — clamped
+  * positive — and renormalizes. Domains with above-average loss gain
+  * mass until excesses equalize; the fixed round count makes the result
+  * a deterministic recurrence, not a convergence race (the q32_pagerank
+  * discipline, including its DECIMAL(18,8) emission: per-round sums are
+  * order-dependent in the last ulp across engines).
+  *
+  * Loss signal: ℓ_d = 1 − (Σ alpha_chars / Σ n_chars) over the domain's
+  * docs — the alpha-ratio quality deficit. Both sums are INTEGER sums
+  * (associativity-free), so ℓ itself is bit-identical cross-engine; the
+  * only floating drift left is the 20-term mix/renorm sums, ~1e-14
+  * after 5 rounds, absorbed by the decimal cast.
+  *
+  * Scale shape: one hash-agg over documents keyed by source (map-side
+  * combine) → a DOMAIN-sized frame (sources/registries are config-scale,
+  * thousands at most — the Dsir bucket-table regime, not data-scale);
+  * the recurrence then runs driver-side over that bounded table.
+  * Nothing corpus-sized survives the first aggregate.
+  */
+object Doremi {
+
+  /** MWU step size. |excess| on real quality signals is ≤ a few %, so
+    * η=10 keeps factors in (0.5, 1.5) while making 5 rounds move weights
+    * visibly; the greatest()-clamp below guards the η·excess ≤ −1
+    * pathology on adversarial loss spreads. */
+  val Eta = 10.0
+
+  /** Fixed round count — both engines run exactly this recurrence. */
+  val Rounds = 5
+
+  /** Per-domain loss table: (source, loss) with loss from integer sums. */
+  def sourceLoss(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("long").as("ac"),
+        col("n_chars"))
+      .groupBy("source")
+      .agg((lit(1.0) - sum("ac").cast("double") / sum("n_chars").cast("double")).as("loss"))
+
+  /** The registered query: Rounds of MWU from the uniform mixture.
+    *
+    * The recurrence itself runs DRIVER-SIDE over the collected loss
+    * table — the Dsir bucket-table discipline: domains are config-scale
+    * and bounded by construction, and a DataFrame formulation would
+    * embed the previous round's plan in BOTH per-round scalar aggregates
+    * (mix and the renormalizer), tripling the logical plan per round.
+    * The distributed work is exactly the one corpus aggregate in
+    * [[sourceLoss]]; the DuckDB oracle independently replays all Rounds
+    * in unrolled SQL, so the recurrence arithmetic is cross-checked
+    * end-to-end. */
+  def domainWeights(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // bounded collect: one row per domain, sorted for a deterministic
+    // summation order
+    val loss = sourceLoss(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).sortBy(_._1)
+    val w = mwu(loss)
+    loss.map { case (s, l) => (s, l, w(s)) }.toSeq
+      .toDF("source", "loss", "w")
+      .select(col("source"),
+        col("loss").cast("decimal(18,8)").as("loss"),
+        col("w").cast("decimal(18,8)").as("w"))
+      .orderBy("source")
+  }
+
+  /** The MWU recurrence kernel over an ordered (domain, loss) table —
+    * factored out so the spec can drive it on constructed losses
+    * (including clamp-triggering spreads) independent of the corpus. */
+  private[operators] def mwu(loss: Seq[(String, Double)]): Map[String, Double] = {
+    var w = loss.map { case (s, _) => s -> 1.0 / loss.length }.toMap
+    for (_ <- 1 to Rounds) {
+      val mix = loss.map { case (s, l) => w(s) * l }.sum
+      val upd = loss.map { case (s, l) =>
+        s -> w(s) * math.max(1e-9, 1.0 + Eta * (l - mix)) }
+      val z = upd.map(_._2).sum
+      w = upd.map { case (s, wu) => s -> wu / z }.toMap
+    }
+    w
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_doremi" -> domainWeights _,
+  )
+
+  /** One unrolled MWU round in DuckDB. */
+  private def mwRound(prev: String, cur: String): String =
+    s"""m$cur AS (SELECT SUM(w * loss) AS mix FROM $prev),
+       |u$cur AS (SELECT source, loss, w * GREATEST(1e-9, 1.0 + $Eta * (loss - mix)) AS wu
+       |FROM $prev CROSS JOIN m$cur),
+       |z$cur AS (SELECT SUM(wu) AS z FROM u$cur),
+       |$cur AS (SELECT source, loss, wu / z AS w FROM u$cur CROSS JOIN z$cur)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "ds_doremi" -> ("""WITH l AS (SELECT source,
+      |1.0 - SUM(LENGTH(REGEXP_REPLACE(text, '[^A-Za-z]', '', 'g')))::DOUBLE / SUM(n_chars)::DOUBLE AS loss
+      |FROM documents GROUP BY source),
+      |r0 AS (SELECT source, loss, 1.0 / (SELECT COUNT(*) FROM l)::DOUBLE AS w FROM l),
+      |""".stripMargin +
+      (1 to Rounds).map(i => mwRound(s"r${i - 1}", s"r$i")).mkString(",\n") + "\n" +
+      s"SELECT source, CAST(loss AS DECIMAL(18,8)) AS loss, CAST(w AS DECIMAL(18,8)) AS w " +
+      s"FROM r$Rounds ORDER BY source").replaceAll("\n", " "),
+  )
+}

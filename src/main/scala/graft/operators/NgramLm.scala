@@ -110,11 +110,62 @@ object NgramLm {
       .withColumn("ppl", round(exp(col("xent")), 4))
   }
 
+  /** Collocation floor: pairs seen fewer times carry no PMI signal
+    * (Church & Hanks 1990 recommend dropping hapax pairs outright). */
+  val MinPairCount = 5
+
+  /** Reported collocations. */
+  val TopColloc = 20
+
+  /** PMI collocation mining (Church & Hanks 1990 "Word Association
+    * Norms, Mutual Information, and Lexicography") — the phrase-mining
+    * signal: bigrams whose joint frequency beats the independence
+    * expectation. PMI = ln(c₁₂·T / (c₁·c₂)); ranking and emission use
+    * the RATIONAL lift c₁₂·T/(c₁·c₂) — ln is monotone, so top-k by lift
+    * IS top-k by PMI, and the lift is one IEEE multiply/divide chain
+    * over exact integer counts, bit-identical cross-engine (the
+    * tx_tfidf libm discipline). Ties at the cut break on (w1, w2).
+    *
+    * Scale shape: the same two vocabulary-sized hash-agg count tables
+    * the LM builds (uniform keys, map-side combine), two equi joins of
+    * the MinPairCount-filtered bigram table against the unigram table,
+    * and a global top-k (TakeOrdered — partial top-k per partition,
+    * never a full sort). */
+  def collocations(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val uni = docs.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    // T: one scalar off the vocabulary-sized frame (the NgramLm V discipline)
+    val t = uni.agg(sum("c")).collect()(0).getLong(0).toDouble
+    val bi = bigramsOf(docs).groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= MinPairCount)
+    bi.join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+      .select(col("w1"), col("w2"), col("c12"),
+        (col("c12").cast("double") * lit(t) / (col("c1").cast("double") * col("c2").cast("double")))
+          .as("lift"))
+      .orderBy(desc("lift"), col("w1"), col("w2"))
+      .limit(TopColloc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_perplexity" -> perplexity _,
+    "tx_collocations" -> collocations _,
   )
 
   val oracleSql: Map[String, String] = Map(
+    "tx_collocations" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |uni AS (SELECT w, COUNT(*) AS c FROM (SELECT unnest(t) AS w FROM d) GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM uni),
+        |bi AS (SELECT t[i] AS w1, t[i+1] AS w2, COUNT(*) AS c12
+        |FROM d, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i)
+        |GROUP BY 1, 2 HAVING COUNT(*) >= $MinPairCount)
+        |SELECT bi.w1, bi.w2, bi.c12,
+        |bi.c12::DOUBLE * tot.t / (u1.c::DOUBLE * u2.c::DOUBLE) AS lift
+        |FROM bi JOIN uni u1 ON bi.w1 = u1.w JOIN uni u2 ON bi.w2 = u2.w CROSS JOIN tot
+        |ORDER BY lift DESC, bi.w1, bi.w2 LIMIT $TopColloc""".stripMargin
+        .replaceAll("\n", " "),
     "tx_perplexity" ->
       s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
         |bi AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2

@@ -83,6 +83,72 @@ object Sketches {
       .parquet(rangeExportPath(dir))
     kllEstimates(spark, dir).coalesce(1).write.mode("overwrite")
       .parquet(kllExportPath(dir))
+    overlapEstimates(spark, dir).coalesce(1).write.mode("overwrite")
+      .parquet(thetaExportPath(dir))
+  }
+
+  // ---- Theta sketches (the set-operation member of the sketch surface;
+  // engine-native TypedImperativeAggregates — see functions.ThetaBuildAgg).
+  // HLL answers |A|; theta additionally answers |A ∩ B| / |A ∪ B| from
+  // the sketches alone — the cross-segment overlap question (shared
+  // audience between event types here; cross-source content overlap and
+  // eval-contamination mass are the same shape) that exact SQL must
+  // re-scan the log per PAIR to answer. ----
+
+  import graft.functions.ThetaBuildAgg.{thetaAgg, thetaUnionAgg, thetaIntersectEstimate, thetaUnionEstimate}
+
+  def thetaExportPath(dir: String): String = ExportPaths.forCorpus("theta", dir)
+
+  /** Per-(event_type, day) theta sketch over user_id — the persisted
+    * partition-sketch artifact, same shape as [[dailySketches]]. */
+  def thetaDailySketches(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(thetaAgg(col("user_id")).as("sk"))
+
+  /** Pairwise audience overlap: union each type's daily sketches, then
+    * intersect/union every type PAIR from the per-type sketches alone.
+    * Cost ∝ types² × sketch bytes — never events; the exact form below
+    * (the gate) pays a distinct + self-join over the log per refresh. */
+  def overlapEstimates(spark: SparkSession, dir: String): DataFrame = {
+    val perType = thetaDailySketches(spark, dir)
+      .groupBy("event_type")
+      .agg(thetaUnionAgg(col("sk")).as("sk"))
+    perType.select(col("event_type").as("t1"), col("sk").as("sk1"))
+      .join(perType.select(col("event_type").as("t2"), col("sk").as("sk2")),
+        col("t1") < col("t2"))
+      .select(col("t1"), col("t2"),
+        thetaIntersectEstimate(col("sk1"), col("sk2")).as("est_inter"),
+        thetaUnionEstimate(col("sk1"), col("sk2")).as("est_union"))
+  }
+
+  /** Registered gate (the HLL export-gate pattern): both engines compute
+    * the EXACT pairwise overlap/union from the log — one distinct
+    * (type, user) frame, self-joined on user with t1 < t2 — plus
+    * accuracy booleans against the exported estimates. At oracle SFs the
+    * sketches hold fewer than 2^lgK entries, i.e. run in exact mode, so
+    * the booleans are deterministic with the whole GateTol as margin;
+    * sampling-mode error is SketchSpec's job. */
+  def thetaOverlapGate(spark: SparkSession, dir: String): DataFrame = {
+    val est = spark.read.parquet(thetaExportPath(dir))
+    val tu = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id")).distinct()
+    val inter = tu.select(col("event_type").as("t1"), col("user_id"))
+      .join(tu.select(col("event_type").as("t2"), col("user_id")), Seq("user_id"))
+      .filter(col("t1") < col("t2"))
+      .groupBy("t1", "t2").agg(count(lit(1)).as("exact_inter"))
+    val cnt = tu.groupBy("event_type").agg(count(lit(1)).as("cu"))
+    inter
+      .join(cnt.select(col("event_type").as("t1"), col("cu").as("c1")), Seq("t1"))
+      .join(cnt.select(col("event_type").as("t2"), col("cu").as("c2")), Seq("t2"))
+      .join(broadcast(est), Seq("t1", "t2"))
+      .select(col("t1"), col("t2"), col("exact_inter"),
+        (col("c1") + col("c2") - col("exact_inter")).as("exact_union"),
+        (abs(col("est_inter") - col("exact_inter")) / greatest(col("exact_inter"), lit(1L))
+          < GateTol).as("inter_ok"),
+        (abs(col("est_union") - (col("c1") + col("c2") - col("exact_inter")))
+          / (col("c1") + col("c2") - col("exact_inter")) < GateTol).as("union_ok"))
+      .orderBy("t1", "t2")
   }
 
   // ---- KLL quantile sketches (the quantile member of the sketch trio;
@@ -175,9 +241,23 @@ object Sketches {
     "ds_hll_distinct" -> sketchDistinctGate _,
     "ds_hll_range" -> sketchRangeGate _,
     "ds_kll_quantiles" -> kllGate _,
+    "ds_theta_overlap" -> thetaOverlapGate _,
   )
 
   def oracleSql: Map[String, String] = Map(
+    "ds_theta_overlap" ->
+      s"""WITH est AS (SELECT t1, t2, est_inter, est_union FROM '${thetaExportPath(exportedDir)}/*.parquet'),
+        |tu AS (SELECT DISTINCT event_type, user_id FROM events),
+        |i AS (SELECT a.event_type AS t1, b.event_type AS t2, COUNT(*) AS exact_inter
+        |FROM tu a JOIN tu b ON a.user_id = b.user_id AND a.event_type < b.event_type GROUP BY 1, 2),
+        |cnt AS (SELECT event_type, COUNT(*) AS cu FROM tu GROUP BY 1)
+        |SELECT i.t1, i.t2, CAST(i.exact_inter AS BIGINT) AS exact_inter,
+        |CAST(c1.cu + c2.cu - i.exact_inter AS BIGINT) AS exact_union,
+        |ABS(est.est_inter - i.exact_inter) / GREATEST(i.exact_inter, 1) < $GateTol AS inter_ok,
+        |ABS(est.est_union - (c1.cu + c2.cu - i.exact_inter)) / (c1.cu + c2.cu - i.exact_inter) < $GateTol AS union_ok
+        |FROM i JOIN cnt c1 ON i.t1 = c1.event_type JOIN cnt c2 ON i.t2 = c2.event_type
+        |JOIN est ON est.t1 = i.t1 AND est.t2 = i.t2
+        |ORDER BY i.t1, i.t2""".stripMargin.replaceAll("\n", " "),
     "ds_kll_quantiles" ->
       s"""WITH est AS (SELECT event_type, est_p50, est_p95 FROM '${kllExportPath(exportedDir)}/*.parquet'),
         |j AS (SELECT e.event_type, e.value, est.est_p50, est.est_p95

@@ -59,6 +59,54 @@ object Snapshots {
     finally in.close()
   }
 
+  // ---- schema evolution: the manifest's optional `#schema⇥<DDL>` header
+  // line records the table schema AS OF that version. Old files never get
+  // rewritten when a column is added — the reader applies the declared
+  // schema and parquet surfaces missing columns as null (the Delta/Iceberg
+  // add-column contract: a metadata-only operation at any table size).
+  // Header lines are comments to every file-list consumer. ----
+
+  private def schemaHeader(st: org.apache.spark.sql.types.StructType): String =
+    // recorded fully nullable: a column added later IS null for files
+    // committed before it, whatever the writing frame's nullability said
+    s"#schema\t${org.apache.spark.sql.types.StructType(st.fields.map(_.copy(nullable = true))).toDDL}"
+
+  /** File-entry lines of a manifest (headers stripped). */
+  private def entryLines(lines: Seq[String]): Seq[String] =
+    lines.filterNot(_.startsWith("#"))
+
+  /** The schema declared by a manifest, if its commit recorded one. */
+  private def schemaOf(lines: Seq[String]): Option[org.apache.spark.sql.types.StructType] =
+    lines.collectFirst { case l if l.startsWith("#schema\t") =>
+      org.apache.spark.sql.types.StructType.fromDDL(l.stripPrefix("#schema\t")) }
+
+  /** Declared schema at a published version (None for pre-evolution logs). */
+  def schemaAt(spark: SparkSession, dir: String, version: Option[Int] = None):
+      Option[org.apache.spark.sql.types.StructType] = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no published snapshot under $dir")
+    schemaOf(readManifest(spark, dir, version.getOrElse(vs.last)))
+  }
+
+  /** Parent schema widened by the batch's new columns: parent fields keep
+    * their order, genuinely new fields append (ADD COLUMN); a field
+    * present in both must agree on type — evolution here is additive,
+    * never a silent cast. */
+  private def mergeSchemas(parent: Option[org.apache.spark.sql.types.StructType],
+      batch: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
+    parent match {
+      case None => batch
+      case Some(p) =>
+        batch.fields.foreach { f =>
+          p.fields.find(_.name == f.name).foreach { pf =>
+            require(pf.dataType == f.dataType,
+              s"schema evolution: column ${f.name} changed type ${pf.dataType} -> ${f.dataType}")
+          }
+        }
+        org.apache.spark.sql.types.StructType(
+          p.fields ++ batch.fields.filterNot(f => p.fieldNames.contains(f.name)))
+    }
+
   /** A manifest line: a batch-relative path plus optional per-file
     * min/max stats for one numeric column (`path⇥col⇥min⇥max`). Stats
     * ride the LOG, not the files — a pruned read decides from the
@@ -130,13 +178,17 @@ object Snapshots {
     val v = prior.lastOption.getOrElse(0) + 1
     val dirName = batchTag.getOrElse(s"b$v")
     val entries = writeBatch(df, dir, dirName, statsCol)
-    val parentLines =
+    val parentRaw =
       if (overwrite) Seq.empty
       else prior.lastOption.map(readManifest(spark, dir, _)).getOrElse(Seq.empty)
+    // the child manifest re-declares the (possibly widened) schema; the
+    // parent's header is superseded, its file entries carry over
+    val schema = mergeSchemas(if (overwrite) None else schemaOf(parentRaw), df.schema)
     val tmp = new Path(s"$dir/_log/$v.tmp")
     fs.mkdirs(new Path(s"$dir/_log"))
     val out = fs.create(tmp, true)
-    try out.write((parentLines ++ entries.map(_.line)).mkString("\n").getBytes("UTF-8"))
+    try out.write((schemaHeader(schema) +: (entryLines(parentRaw) ++ entries.map(_.line)))
+      .mkString("\n").getBytes("UTF-8"))
     finally out.close()
     fs.rename(tmp, manifestPath(dir, v)) // atomic publish
     v
@@ -163,8 +215,10 @@ object Snapshots {
     *
     * The check-then-rename inside FileContext leaves a TOCTOU window on
     * filesystems without atomic no-overwrite rename; HDFS/ABFS close it
-    * natively, and on local posix the window is microseconds against a
-    * per-table log — the same trade Delta's HDFSLogStore ships with.
+    * natively. On LOCAL posix the publish uses hard-link instead:
+    * link(2) fails with EEXIST atomically in the kernel, so two racers
+    * can never both claim a slot (the window surfaced as a once-in-many-
+    * runs lost row in ConcurrentCommitSpec before this branch existed).
     * Cost at 100 TB: contention is per TABLE and manifests are KBs, so
     * a lost race costs one manifest re-read + one rename, never a data
     * rewrite. Returns the version this writer committed. */
@@ -183,15 +237,26 @@ object Snapshots {
       attempt += 1
       val prior = versions(spark, dir)
       val v = prior.lastOption.getOrElse(0) + 1
-      val parentLines =
+      val parentRaw =
         if (overwrite) Seq.empty
         else prior.lastOption.map(readManifest(spark, dir, _)).getOrElse(Seq.empty)
+      val schema = mergeSchemas(if (overwrite) None else schemaOf(parentRaw), df.schema)
       val tmp = new Path(s"$dir/_log/$v-$uniq.tmp")
       val out = fs.create(tmp, true)
-      try out.write((parentLines ++ entries.map(_.line)).mkString("\n").getBytes("UTF-8"))
+      try out.write((schemaHeader(schema) +: (entryLines(parentRaw) ++ entries.map(_.line)))
+        .mkString("\n").getBytes("UTF-8"))
       finally out.close()
       try {
-        fc.rename(tmp, manifestPath(dir, v), org.apache.hadoop.fs.Options.Rename.NONE)
+        if (fs.getScheme == "file") {
+          // local posix: hard-link is the kernel-atomic fail-if-exists
+          // publish (FileContext.rename(NONE) is check-then-rename here)
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(manifestPath(dir, v).toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          fs.delete(tmp, false)
+        } else {
+          fc.rename(tmp, manifestPath(dir, v), org.apache.hadoop.fs.Options.Rename.NONE)
+        }
         return v // CAS won
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException |
@@ -215,7 +280,8 @@ object Snapshots {
       statsCol: Option[String] = None): Option[Int] = {
     val spark = df.sparkSession
     val done = versions(spark, dir).exists { v =>
-      readManifest(spark, dir, v).exists(l => parseEntry(l).path.split("/")(1) == tag)
+      entryLines(readManifest(spark, dir, v))
+        .exists(l => parseEntry(l).path.split("/")(1) == tag)
     }
     if (done) None
     else Some(commit(df, dir, overwrite = false, statsCol = statsCol, batchTag = Some(tag)))
@@ -228,8 +294,15 @@ object Snapshots {
     require(vs.nonEmpty, s"no published snapshot under $dir")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"version $v not published (have ${vs.mkString(",")})")
-    val files = readManifest(spark, dir, v).map(parseEntry).map(e => s"$dir/${e.path}")
-    spark.read.parquet(files: _*)
+    val raw = readManifest(spark, dir, v)
+    val files = entryLines(raw).map(parseEntry).map(e => s"$dir/${e.path}")
+    // apply the version's declared schema: files committed before an ADD
+    // COLUMN lack the new field and parquet surfaces it as null — no
+    // rewrite, no mergeSchema footer sweep (planning stays log-bounded)
+    schemaOf(raw) match {
+      case Some(st) => spark.read.schema(st).parquet(files: _*)
+      case None => spark.read.parquet(files: _*)
+    }
   }
 
   /** Range-pruned read: open ONLY the files whose recorded [min,max] for
@@ -242,12 +315,18 @@ object Snapshots {
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"no published snapshot under $dir")
     val v = version.getOrElse(vs.last)
-    val entries = readManifest(spark, dir, v).map(parseEntry)
+    val raw = readManifest(spark, dir, v)
+    val entries = entryLines(raw).map(parseEntry)
     val kept = entries.filter {
       case ManifestEntry(_, Some((c, fLo, fHi))) if c == statsCol => fHi >= lo && fLo <= hi
       case _ => true
     }
-    (spark.read.parquet(kept.map(e => s"$dir/${e.path}"): _*), kept.size, entries.size)
+    val paths = kept.map(e => s"$dir/${e.path}")
+    val pruned = schemaOf(raw) match {
+      case Some(st) => spark.read.schema(st).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
+    (pruned, kept.size, entries.size)
   }
 
   /** The rows APPENDED between two published versions: the manifest diff
@@ -260,10 +339,14 @@ object Snapshots {
     val vs = versions(spark, dir)
     require(vs.contains(fromV) && vs.contains(toV) && fromV < toV,
       s"need published fromV < toV, have ${vs.mkString(",")}")
-    val before = readManifest(spark, dir, fromV).map(parseEntry(_).path).toSet
-    val added = readManifest(spark, dir, toV).map(parseEntry(_).path).filterNot(before)
+    val before = entryLines(readManifest(spark, dir, fromV)).map(parseEntry(_).path).toSet
+    val toRaw = readManifest(spark, dir, toV)
+    val added = entryLines(toRaw).map(parseEntry(_).path).filterNot(before)
     require(added.nonEmpty, s"no files appended between v$fromV and v$toV")
-    spark.read.parquet(added.map(f => s"$dir/$f"): _*)
+    schemaOf(toRaw) match {
+      case Some(st) => spark.read.schema(st).parquet(added.map(f => s"$dir/$f"): _*)
+      case None => spark.read.parquet(added.map(f => s"$dir/$f"): _*)
+    }
   }
 
   /** Rewrite the live view into `nFiles` batches and publish it as a new
@@ -291,7 +374,7 @@ object Snapshots {
     val fs = fsFor(spark, dir)
     val vs = versions(spark, dir)
     val (drop, stay) = vs.splitAt(math.max(0, vs.length - keep))
-    val live = stay.flatMap(readManifest(spark, dir, _))
+    val live = stay.flatMap(v => entryLines(readManifest(spark, dir, v)))
       .map(parseEntry(_).path.split("/")(1)).toSet // batch dir names, e.g. b3
     drop.foreach(v => fs.delete(manifestPath(dir, v), false))
     val cutoff = System.currentTimeMillis() - orphanGraceMs
@@ -351,9 +434,34 @@ object Snapshots {
       .orderBy("user_id")
   }
 
+  /** VIP threshold for the schema-evolution demo's added column. */
+  val VipValue = 90.0
+
+  /** Registered demo: ADD COLUMN without rewriting history. Commit 1
+    * writes (event_id, value); commit 2 appends rows that ALSO carry a
+    * `vip` flag. The v2 manifest's schema header widens to three columns
+    * while v1's files stay byte-identical on disk — reading latest
+    * surfaces vip = null for every pre-evolution row, and time travel to
+    * v1 still sees the two-column schema. The oracle recomputes the
+    * same frame relationally (CASE routes each row through the batch it
+    * landed in), so a reader that dropped, rewrote, or misaligned old
+    * files fails the hash. */
+  def schemaEvoDemo(spark: SparkSession, dir: String): DataFrame = {
+    val table = s"/tmp/graft_snapevo_${Integer.toHexString(dir.hashCode)}"
+    val fs = fsFor(spark, table)
+    fs.delete(new Path(table), true)
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), round(col("value"), 2).as("value"))
+    commit(ev.filter(col("value") > SplitValue), table)
+    commit(ev.filter(col("value") <= SplitValue)
+      .withColumn("vip", col("value") > VipValue), table)
+    read(spark, table).orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ly_snapshot" -> snapshotDemo _,
     "ly_incr_matview" -> incrMatviewDemo _,
+    "ly_schema_evo" -> schemaEvoDemo _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -361,6 +469,13 @@ object Snapshots {
       s"""SELECT event_id, user_id, event_type, ROUND(value, 2) AS value
         |FROM events WHERE ROUND(value, 2) > $SplitValue
         |ORDER BY event_id""".stripMargin.replaceAll("\n", " "),
+    // relational recompute: pre-evolution rows (value > split, batch 1)
+    // carry NULL vip; post-evolution rows carry the computed flag
+    "ly_schema_evo" ->
+      s"""SELECT event_id, ROUND(value, 2) AS value,
+        |CASE WHEN ROUND(value, 2) <= $SplitValue THEN ROUND(value, 2) > $VipValue
+        |ELSE NULL END AS vip
+        |FROM events ORDER BY event_id""".stripMargin.replaceAll("\n", " "),
     // full recompute over the base table — the incremental merge must
     // land on the same numbers
     "ly_incr_matview" ->

@@ -351,7 +351,58 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Winnowing k-gram size (word-grams here; the paper uses char-grams —
+    * the guarantee carries over with tokens as the alphabet). */
+  val WinK = 3
+
+  /** Winnowing window: one fingerprint selected per WinW consecutive
+    * gram hashes → density 2/(WinW+1), and any shared token run of
+    * ≥ WinW + WinK − 1 tokens shares ≥ 1 fingerprint. */
+  val WinW = 4
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS local fingerprinting scheme): hash every
+    * WinK-gram, slide a WinW window over the hash sequence, select the
+    * window MINIMUM (rightmost on ties), dedupe selections. Guarantees
+    * (unlike minhash, which is global per doc): every shared run of
+    * ≥ WinW+WinK−1 tokens between two documents shares a fingerprint,
+    * at a bounded ~2/(WinW+1) sample density.
+    *
+    * Hash family is md5 hex (the [[Dedup]] discipline): window min =
+    * lexicographic min over fixed-width hex strings, identical in both
+    * engines — no integer-width or libm trap. Short docs clamp to one
+    * window over all their grams; docs under WinK tokens emit nothing.
+    *
+    * Scale shape: pure per-row Column math (grams, window mins and
+    * rightmost-argmin all inside the token array) + one explode — scan-
+    * bound, zero shuffle before the output sort; the fingerprint table
+    * is the ~2/(WinW+1)-density artifact downstream copy-detection joins
+    * consume. */
+  def winnowing(spark: SparkSession, dir: String): DataFrame = {
+    val t = toks
+    val n = size(t)
+    val m = n - lit(WinK - 1) // gram count
+    val grams = transform(sequence(lit(1), m), i =>
+      md5(concat_ws(" ", (0 until WinK).map(k => element_at(t, i + lit(k))): _*)))
+    val nw = greatest(lit(1), m - lit(WinW - 1)) // window starts
+    val sels = transform(sequence(lit(1), nw), j => {
+      val width = least(lit(WinW), m - j + lit(1))
+      val mn = array_min(slice(grams, j, width))
+      // rightmost argmin: ascending fold overwrites on every match
+      val pos = aggregate(sequence(lit(0), width - lit(1)), lit(0),
+        (acc, k) => when(element_at(grams, j + k) === mn, j + k).otherwise(acc))
+      struct(pos.cast("int").as("pos"), mn.as("fp"))
+    })
+    val empty = array().cast("array<struct<pos:int,fp:string>>")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(when(m >= 1, sels).otherwise(empty))).as("sel"))
+      .select(col("doc_id"), col("sel.pos").as("pos"), col("sel.fp").as("fp"))
+      .orderBy("doc_id", "pos")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_winnowing" -> winnowing _,
     "tx_boilerplate" -> boilerplate _,
     "tx_quality_adaptive" -> ((s: SparkSession, d: String) => adaptiveQuality(s, d)),
     "tx_pii" -> piiScrub _,
@@ -369,6 +420,24 @@ object TextAnalysis {
   private def inList(xs: Seq[String]) = xs.map(s => s"'$s'").mkString("(", ",", ")")
 
   val oracleSql: Map[String, String] = Map(
+    // window starts: full windows (wlen = WinW), plus the clamped j = 1
+    // window for docs with fewer grams than the window; rightmost argmin
+    // via MAX(i) over the window's min-hash positions
+    "tx_winnowing" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT doc_id, i, md5(${(0 until WinK).map(k => s"t[i+$k]").mkString(" || ' ' || ")}) AS h
+        |FROM d, LATERAL (SELECT unnest(generate_series(1, len(t) - ${WinK - 1})) AS i)),
+        |wm AS (SELECT doc_id, i AS j,
+        |MIN(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND ${WinW - 1} FOLLOWING) AS winmin,
+        |COUNT(*) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND ${WinW - 1} FOLLOWING) AS wlen
+        |FROM g),
+        |sel AS (SELECT wm.doc_id, wm.j, wm.winmin, MAX(g2.i) AS pos
+        |FROM wm JOIN g g2 ON g2.doc_id = wm.doc_id
+        |AND g2.i BETWEEN wm.j AND wm.j + ${WinW - 1} AND g2.h = wm.winmin
+        |WHERE wm.wlen = $WinW OR wm.j = 1
+        |GROUP BY 1, 2, 3)
+        |SELECT DISTINCT doc_id, CAST(pos AS INT) AS pos, winmin AS fp
+        |FROM sel ORDER BY doc_id, pos""".stripMargin.replaceAll("\n", " "),
     "tx_boilerplate" ->
       s"""WITH toks AS (SELECT doc_id, source, string_split(text, ' ') t FROM documents),
         |seg AS (SELECT doc_id, source, i - 1 AS seg_idx,

@@ -50,6 +50,10 @@ object QueryTime {
       // KLL sketch build+merge (same reasoning as ds_hll_estimates)
       "ds_kll_estimates" ->
         ((s, d) => graft.operators.Sketches.kllEstimates(s, d)),
+      // theta sketch build + pairwise set ops (the gate row reads a
+      // Verify export; the scale cost is the sketch table build)
+      "ds_theta_estimates" ->
+        ((s, d) => graft.operators.Sketches.overlapEstimates(s, d)),
     )
     names.foreach { n =>
       val fn = (SparkEntry.queries ++ extras).getOrElse(n,

@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Properties of [[Doremi]] (domain-mixture reweighting),
+  * [[NgramLm.collocations]] (PMI phrase mining) and
+  * [[TextAnalysis.winnowing]] (local fingerprints) that the hash oracles
+  * can't see: the MWU invariants (simplex, direction of movement,
+  * hand-computed recurrence on a constructed loss table), exact lift
+  * arithmetic on a corpus with a known collocation, and the winnowing
+  * guarantee/density laws plus sequential-reference parity.
+  */
+class MixtureSpec extends SparkSpec {
+
+  test("doremi: weights stay on the simplex and move toward high-loss domains") {
+    val w = Doremi.domainWeights(spark, sf).collect()
+    assert(w.length > 1)
+    val total = w.map(_.getAs[java.math.BigDecimal]("w").doubleValue()).sum
+    assert(math.abs(total - 1.0) < 1e-6, s"weights sum to $total")
+    // direction: the max-loss domain ends above uniform, the min-loss below
+    val uniform = 1.0 / w.length
+    val byLoss = w.sortBy(_.getAs[java.math.BigDecimal]("loss").doubleValue())
+    assert(byLoss.last.getAs[java.math.BigDecimal]("w").doubleValue() > uniform,
+      "max-loss domain did not gain mass")
+    assert(byLoss.head.getAs[java.math.BigDecimal]("w").doubleValue() < uniform,
+      "min-loss domain did not lose mass")
+  }
+
+  test("doremi: kernel matches a hand-rolled reference; clamp keeps adversarial spreads positive") {
+    // three domains with known losses; replay the update rule independently
+    val losses = Seq("a" -> 0.10, "b" -> 0.20, "c" -> 0.40)
+    var ref = losses.map { case (d, _) => d -> 1.0 / 3 }.toMap
+    for (_ <- 1 to Doremi.Rounds) {
+      val mix = losses.map { case (d, l) => ref(d) * l }.sum
+      val upd = losses.map { case (d, l) =>
+        d -> ref(d) * math.max(1e-9, 1.0 + Doremi.Eta * (l - mix)) }
+      val z = upd.map(_._2).sum
+      ref = upd.map { case (d, wv) => d -> wv / z }.toMap
+    }
+    val got = Doremi.mwu(losses)
+    losses.foreach { case (d, _) =>
+      assert(math.abs(got(d) - ref(d)) < 1e-15, s"$d: ${got(d)} vs ${ref(d)}")
+    }
+    // the hard domain ends up dominant with η=10 on this spread
+    assert(got("c") > got("b") && got("b") > got("a"))
+    assert(math.abs(got.values.sum - 1.0) < 1e-12)
+    // adversarial spread: η·excess < −1 for the easy domain — the clamp
+    // floors its factor at 1e-9 instead of flipping the weight negative
+    val wild = Doremi.mwu(Seq("easy" -> 0.0, "hard" -> 1.0))
+    assert(wild.values.forall(v => v > 0.0 && v <= 1.0))
+    assert(math.abs(wild.values.sum - 1.0) < 1e-12)
+    assert(wild("hard") > 0.99, s"hard domain should absorb the mass: $wild")
+  }
+
+  test("winnowing matches a sequential reference; guarantee and density laws hold") {
+    import graft.sources.Tables
+    val k = TextAnalysis.WinK; val w = TextAnalysis.WinW
+    // sequential reference: the paper's algorithm, verbatim
+    def reference(text: String): Set[(Int, String)] = {
+      val t = text.split(" ", -1)
+      val grams = (0 to t.length - k).map(i => t.slice(i, i + k).mkString(" "))
+      val hs = grams.map { g =>
+        java.security.MessageDigest.getInstance("MD5").digest(g.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString }
+      if (hs.isEmpty) Set.empty
+      else {
+        val m = hs.length
+        val starts = 1 to math.max(1, m - w + 1)
+        starts.flatMap { j =>
+          val width = math.min(w, m - j + 1)
+          val win = (j until j + width).map(p => p -> hs(p - 1))
+          val mn = win.map(_._2).min
+          val pos = win.filter(_._2 == mn).map(_._1).max // rightmost tie
+          Some(pos -> mn)
+        }.toSet
+      }
+    }
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = TextAnalysis.winnowing(spark, sf).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(r => (r.getInt(1), r.getString(2))).toSet }
+    docs.foreach { case (id, text) =>
+      val ref = reference(text)
+      val g = got.getOrElse(id, Set.empty)
+      assert(g == ref, s"doc $id: engine ${g.size} fps vs reference ${ref.size}")
+    }
+    // density: expected ~2/(w+1) of gram positions selected; allow wide slack
+    val totalGrams = docs.values.map(t => math.max(0, t.split(" ", -1).length - k + 1)).sum
+    val totalFps = got.values.map(_.size).sum
+    assert(totalFps.toDouble / totalGrams < 2.5 / (w + 1),
+      s"density ${totalFps.toDouble / totalGrams} too high")
+    // guarantee: two docs sharing a (w+k-1)-token run share a fingerprint
+    import spark.implicits._
+    val shared = "alpha bravo charlie delta echo foxtrot" // w+k-1 = 6 tokens
+    val dir = java.nio.file.Files.createTempDirectory("winnow").toString
+    Seq((1L, s"one two $shared three four five six", "en", "s", 0L),
+        (2L, s"$shared nine ten eleven twelve", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val fps = TextAnalysis.winnowing(spark, dir).collect()
+      .groupBy(_.getLong(0)).map { case (id, rs) => id -> rs.map(_.getString(2)).toSet }
+    assert((fps(1L) intersect fps(2L)).nonEmpty,
+      "shared 6-token run produced no shared fingerprint")
+  }
+
+  test("collocations: known pair tops a constructed corpus with exact lift") {
+    import spark.implicits._
+    // "new york" always co-occurs; "the" is everywhere (high c1·c2 kills
+    // its lift); pad tokens spread mass. 8 docs × "new york" + filler.
+    val docs = (0 until 8).map(i =>
+      (i.toLong, s"new york the pad$i the", "en", "s", 0L)) :+
+      ((8L, "the the the the the", "en", "s", 0L))
+    val dir = java.nio.file.Files.createTempDirectory("colloc").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val top = NgramLm.collocations(spark, dir).collect()
+    assert(top.nonEmpty)
+    val first = top.head
+    assert(first.getString(0) == "new" && first.getString(1) == "york")
+    // lift = c12·T/(c1·c2): c12=8, T=45 tokens, c_new=8, c_york=8
+    assert(first.getLong(2) == 8L)
+    assert(math.abs(first.getDouble(3) - 8.0 * 45 / (8 * 8)) < 1e-12)
+    // pairs under the count floor never appear
+    assert(top.forall(_.getLong(2) >= NgramLm.MinPairCount))
+  }
+}

@@ -109,6 +109,66 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("theta: exact mode below k — estimates equal exact distincts, gate green") {
+    import graft.functions.ThetaBuildAgg.{thetaAgg, thetaEstimate}
+    // fixture user counts sit far below 2^lgK, so sketches are exact
+    val est = Tables.events(spark, sf)
+      .groupBy("event_type").agg(thetaEstimate(thetaAgg(col("user_id"))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = Tables.events(spark, sf)
+      .groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.nonEmpty && est.keySet == exact.keySet)
+    est.foreach { case (t, e) => assert(e == exact(t).toDouble, s"$t: $e vs ${exact(t)}") }
+    Sketches.exportEstimates(spark, sf)
+    val gate = Sketches.thetaOverlapGate(spark, sf).collect()
+    assert(gate.nonEmpty && gate.forall(r =>
+      r.getAs[Boolean]("inter_ok") && r.getAs[Boolean]("union_ok")))
+  }
+
+  test("theta merge law: union of per-day sketches equals the one-shot sketch") {
+    import graft.functions.ThetaBuildAgg.{thetaAgg, thetaUnionAgg, thetaEstimate}
+    val merged = Sketches.thetaDailySketches(spark, sf)
+      .groupBy("event_type")
+      .agg(thetaEstimate(thetaUnionAgg(col("sk"))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val oneShot = Tables.events(spark, sf)
+      .groupBy("event_type").agg(thetaEstimate(thetaAgg(col("user_id"))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(merged.nonEmpty && merged == oneShot,
+      s"per-day theta union drifted: $merged vs $oneShot")
+  }
+
+  test("theta set ops: constructed overlap recovered exactly in exact mode") {
+    import spark.implicits._
+    import graft.functions.ThetaBuildAgg._
+    // A = [0, 1000), B = [700, 1700) → |A∩B| = 300, |A∪B| = 1700, |A\B| = 700
+    val sk = (0L until 1000L).map(("a", _)).++((700L until 1700L).map(("b", _)))
+      .toDF("s", "v").groupBy("s").agg(thetaAgg(col("v")).as("sk"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]]("sk")).toMap
+    val pair = Seq((sk("a"), sk("b"))).toDF("a", "b")
+      .select(thetaIntersectEstimate(col("a"), col("b")).as("i"),
+        thetaUnionEstimate(col("a"), col("b")).as("u"),
+        thetaDiffEstimate(col("a"), col("b")).as("d"))
+      .collect()(0)
+    assert(pair.getDouble(0) == 300.0 && pair.getDouble(1) == 1700.0 &&
+      pair.getDouble(2) == 700.0, s"got $pair")
+  }
+
+  test("theta sampling mode: estimate within the published bound past k entries") {
+    import spark.implicits._
+    import graft.functions.ThetaBuildAgg.{thetaAgg, thetaEstimate, DefaultLgK}
+    // 60k distinct items >> k=4096 → sampling mode; RSE = 1/√k ≈ 1.56%,
+    // gate at 4σ — a failure means broken plumbing, not sketch noise
+    val n = 60000
+    val est = (0L until n.toLong).toDF("v")
+      .repartition(8) // exercise partial merges across partitions
+      .agg(thetaEstimate(thetaAgg(col("v"))).as("est"))
+      .collect()(0).getDouble(0)
+    assert(math.abs(est - n) / n < 4.0 / math.sqrt(1 << DefaultLgK),
+      s"estimate $est vs $n breaks the published bound")
+  }
+
   test("incremental append: yesterday's merged sketch + today's delta = full answer") {
     import spark.implicits._
     // split the sketch table by day parity — the stand-in for an

@@ -108,13 +108,52 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.read(spark, d, Some(1)).count() == 2)
   }
 
-  test("schema evolution: a commit with an added column merges on read") {
+  test("schema evolution: ADD COLUMN widens the manifest schema, never the old files") {
     val d = freshDir("schema")
+    val fs = new Path(d).getFileSystem(spark.sparkContext.hadoopConfiguration)
     Snapshots.commit(Seq((1L, "a")).toDF("id", "s"), d)
+    val b1Before = fs.listStatus(new Path(s"$d/data/b1"))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(st => st.getPath.getName -> (st.getLen, st.getModificationTime)).toMap
     Snapshots.commit(Seq((2L, "b", 7.5)).toDF("id", "s", "score"), d)
-    val latest = spark.read.option("mergeSchema", "true")
-      .parquet(s"$d/data/b1", s"$d/data/b2")
-    assert(latest.columns.toSet == Set("id", "s", "score"))
+    // latest read: widened schema, pre-evolution row surfaces null score
+    val latest = Snapshots.read(spark, d)
+    assert(latest.columns.toSeq == Seq("id", "s", "score"))
+    val rows = latest.collect().map(r => (r.getLong(0), r.getString(1),
+      if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(rows == Set((1L, "a", None), (2L, "b", Some(7.5))))
+    // time travel: v1 still presents the ORIGINAL two-column schema
+    assert(Snapshots.read(spark, d, Some(1)).columns.toSeq == Seq("id", "s"))
+    assert(Snapshots.schemaAt(spark, d, Some(1)).get.fieldNames.toSeq == Seq("id", "s"))
+    assert(Snapshots.schemaAt(spark, d).get.fieldNames.toSeq == Seq("id", "s", "score"))
+    // the evolution was metadata-only: v1's data files are byte-identical
+    val b1After = fs.listStatus(new Path(s"$d/data/b1"))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(st => st.getPath.getName -> (st.getLen, st.getModificationTime)).toMap
+    assert(b1After == b1Before, "ADD COLUMN rewrote pre-evolution files")
+    // the change feed carries the evolved schema too
+    val delta = Snapshots.appendedBetween(spark, d, 1, 2)
+    assert(delta.columns.toSeq == Seq("id", "s", "score") && delta.count() == 1)
+  }
+
+  test("schema evolution: a type change on an existing column is rejected") {
+    val d = freshDir("schematype")
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "s"), d)
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.commit(Seq((2, "b")).toDF("id", "s"), d) // id: int vs long
+    }
+    assert(e.getMessage.contains("changed type"))
+    // the failed commit published nothing — the table is still at v1
+    assert(Snapshots.versions(spark, d) == Seq(1))
+  }
+
+  test("schema evolution: optimistic commits record and widen headers the same way") {
+    val d = freshDir("schemaocc")
+    Snapshots.commitOptimistic(Seq((1L, "a")).toDF("id", "s"), d)
+    Snapshots.commitOptimistic(Seq((2L, "b", true)).toDF("id", "s", "flag"), d)
+    val latest = Snapshots.read(spark, d)
+    assert(latest.columns.toSeq == Seq("id", "s", "flag"))
+    assert(latest.filter("flag IS NULL").count() == 1)
   }
 
   test("ly_incr_matview: incremental refresh equals full recompute") {
