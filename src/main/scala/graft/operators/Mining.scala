@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Margin-based parallel-pair mining (Artetxe & Schwenk, ACL 2019
+  * "Margin-based Parallel Corpus Mining with Multilingual Sentence
+  * Embeddings" — the LASER/CCMatrix recipe that built the largest public
+  * bitext corpora): two embedding sets X and Y are aligned by MUTUAL
+  * nearest neighbor, scored with the RATIO margin
+  *
+  *   margin(x,y) = cos(x,y) / ((avgₖNN(x→Y) + avgₖNN(y→X)) / 2)
+  *
+  * — a raw cosine threshold fails on hubness (some vectors are close to
+  * everything); dividing by each side's local k-NN density keeps only
+  * pairs that are close RELATIVE to their neighborhoods.
+  *
+  * Here X/Y are the embedding table split by label parity — the
+  * deterministic two-collection stand-in (two languages, two snapshot
+  * crawls, text-vs-image towers all reduce to this shape).
+  *
+  * This registered form computes the full X×Y cosine frame — the exact
+  * ORACLE role, same contract as dd_embed_cos vs dd_embed_cos_lsh: the
+  * 100 TB path replaces the cross join with each side's ANN shortlist
+  * (the [[Similarity]] IVF/LSH artifacts serve exactly this k-NN-per-
+  * query shape) and computes the same margin over shortlist candidates;
+  * mutual-top-1 plus the margin only ever read per-vector top-k lists,
+  * so the scale cost is two ANN sweeps + one equi self-join on pair ids.
+  */
+object Mining {
+
+  /** Neighborhood size for the margin denominator (the paper uses 4). */
+  val MineK = 4
+
+  /** Ratio-margin acceptance threshold (the paper operates at ~1.05–1.2
+    * for noisy crawls; the fixture's planted near-dups score ≫ this). */
+  val MineMargin = 1.02
+
+  def mineBitext(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val x = e.filter(col("label") % 2 === 0)
+      .select(col("vec_id").as("x_id"), col("v").as("vx"))
+    val y = e.filter(col("label") % 2 === 1)
+      .select(col("vec_id").as("y_id"), col("v").as("vy"))
+    val pairs = x.join(y)
+      .select(col("x_id"), col("y_id"),
+        graft.plans.VectorOps.dot(col("vx"), col("vy")).as("cs"))
+    val wx = Window.partitionBy("x_id").orderBy(desc("cs"), col("y_id"))
+    val wy = Window.partitionBy("y_id").orderBy(desc("cs"), col("x_id"))
+    val ranked = pairs
+      .withColumn("rx", row_number().over(wx))
+      .withColumn("ry", row_number().over(wy))
+    val ax = ranked.filter(col("rx") <= MineK)
+      .groupBy("x_id").agg(avg("cs").as("ax"))
+    val ay = ranked.filter(col("ry") <= MineK)
+      .groupBy("y_id").agg(avg("cs").as("ay"))
+    ranked.filter(col("rx") === 1 && col("ry") === 1) // mutual top-1
+      .join(ax, Seq("x_id")).join(ay, Seq("y_id"))
+      .filter(col("cs") / ((col("ax") + col("ay")) / 2) >= MineMargin)
+      .select(col("x_id"), col("y_id"),
+        round(col("cs") / ((col("ax") + col("ay")) / 2), 4).as("margin"))
+      .orderBy("x_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mine_bitext" -> mineBitext _,
+  )
+
+  private val dotSql =
+    "list_sum(list_transform(list_zip(a.embedding, b.embedding), " +
+      "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+
+  val oracleSql: Map[String, String] = Map(
+    "mine_bitext" ->
+      s"""WITH p AS (SELECT a.vec_id AS x_id, b.vec_id AS y_id, $dotSql AS cs
+        |FROM embeddings a JOIN embeddings b
+        |ON a.label % 2 = 0 AND b.label % 2 = 1),
+        |r AS (SELECT *,
+        |ROW_NUMBER() OVER (PARTITION BY x_id ORDER BY cs DESC, y_id) AS rx,
+        |ROW_NUMBER() OVER (PARTITION BY y_id ORDER BY cs DESC, x_id) AS ry FROM p),
+        |ax AS (SELECT x_id, AVG(cs) AS ax FROM r WHERE rx <= $MineK GROUP BY 1),
+        |ay AS (SELECT y_id, AVG(cs) AS ay FROM r WHERE ry <= $MineK GROUP BY 1)
+        |SELECT r.x_id, r.y_id, ROUND(r.cs / ((ax.ax + ay.ay) / 2), 4) AS margin
+        |FROM r JOIN ax USING (x_id) JOIN ay USING (y_id)
+        |WHERE r.rx = 1 AND r.ry = 1 AND r.cs / ((ax.ax + ay.ay) / 2) >= $MineMargin
+        |ORDER BY r.x_id""".stripMargin.replaceAll("\n", " "),
+  )
+}

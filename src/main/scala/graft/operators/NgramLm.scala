@@ -110,6 +110,61 @@ object NgramLm {
       .withColumn("ppl", round(exp(col("xent")), 4))
   }
 
+  /** Absolute discount for interpolated Kneser-Ney. */
+  val KnD = 0.75
+
+  /** Per-document perplexity under an interpolated Kneser-Ney bigram LM
+    * (Kneser & Ney 1995; Chen & Goodman 1999 empirically crown it among
+    * n-gram smoothers — KenLM, the CCNet scorer, implements exactly this
+    * family):
+    *
+    *   p(w₂|w₁) = max(c₁₂ − d, 0)/c₁ + (d·N₁₊(w₁·)/c₁)·p_cont(w₂)
+    *   p_cont(w₂) = N₁₊(·w₂) / N₁₊(··)
+    *
+    * The continuation distribution counts DISTINCT left contexts, not
+    * raw frequency — the "San Francisco" insight: "Francisco" is
+    * frequent but predictable only after "San", so its unigram backoff
+    * mass should be tiny. [[perplexity]]'s add-k form can't express
+    * that; this is the quality-scoring upgrade, not a replacement (both
+    * stay registered).
+    *
+    * Scale shape identical to [[perplexity]]: four count tables off the
+    * exploded bigram stream (c₁₂, c₁, N₁₊(w₁·), N₁₊(·w₂) — all hash
+    * aggs with map-side combine, vocabulary-sized), one scalar bigram-
+    * type count, scoring joins on uniform n-gram keys, one per-doc agg.
+    * Self-scoring means every scored bigram has c₁₂ ≥ 1 > d, so the
+    * max(·,0) clamp never zeroes a seen pair; fresh-data scoring reuses
+    * the scoreStream left-join discipline.
+    *
+    * Determinism: every count is an exact integer in both engines; the
+    * probability is one fixed parenthesization of IEEE ops, and the
+    * final −avg(ln·) rounds to 4dp (the tx_perplexity discipline). */
+  def perplexityKn(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bigrams = bigramsOf(docs)
+    val bi = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    // the KN count tables: the denominator is the LEFT-CONTEXT count
+    // Σc₁₂(w₁,·), not the raw unigram count — they differ for document-
+    // final words, and only the former makes p(·|w₁) a true distribution
+    // (the simplex law MixtureSpec asserts); nfol/nprec count DISTINCT
+    // continuations/contexts
+    val cl = bi.groupBy("w1").agg(sum("c12").as("c1"))          // Σc₁₂(w₁·)
+    val nfol = bi.groupBy("w1").agg(count(lit(1)).as("nfol"))   // N₁₊(w₁·)
+    val nprec = bi.groupBy("w2").agg(count(lit(1)).as("nprec")) // N₁₊(·w₂)
+    val btypes = bi.count().toDouble                            // N₁₊(··)
+    val p = (greatest(col("c12") - lit(KnD), lit(0.0)) / col("c1")) +
+      ((lit(KnD) * col("nfol")) / col("c1")) * (col("nprec") / lit(btypes))
+    bigrams
+      .join(bi, Seq("w1", "w2"))
+      .join(cl, Seq("w1"))
+      .join(nfol, Seq("w1"))
+      .join(nprec, Seq("w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("m"), round(-avg(log(p)), 4).as("xent"))
+      .withColumn("ppl", round(exp(col("xent")), 4))
+      .orderBy("doc_id")
+  }
+
   /** Collocation floor: pairs seen fewer times carry no PMI signal
     * (Church & Hanks 1990 recommend dropping hapax pairs outright). */
   val MinPairCount = 5
@@ -150,10 +205,29 @@ object NgramLm {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_perplexity" -> perplexity _,
+    "tx_perplexity_kn" -> perplexityKn _,
     "tx_collocations" -> collocations _,
   )
 
   val oracleSql: Map[String, String] = Map(
+    "tx_perplexity_kn" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        |FROM d, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i)),
+        |bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+        |uni AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM bc GROUP BY 1),
+        |nf AS (SELECT w1, COUNT(*) AS nfol FROM bc GROUP BY 1),
+        |np AS (SELECT w2, COUNT(*) AS nprec FROM bc GROUP BY 1),
+        |bt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS b FROM bc),
+        |x AS (SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS m,
+        |ROUND(-AVG(ln((GREATEST(bc.c12 - ${KnD}e0, 0.0e0) / uni.c1)
+        |+ ((${KnD}e0 * nf.nfol) / uni.c1) * (np.nprec / bt.b))), 4) AS xent
+        |FROM bg JOIN bc ON bg.w1 = bc.w1 AND bg.w2 = bc.w2
+        |JOIN uni ON bg.w1 = uni.w1 JOIN nf ON bg.w1 = nf.w1
+        |JOIN np ON bg.w2 = np.w2 CROSS JOIN bt
+        |GROUP BY bg.doc_id)
+        |SELECT doc_id, m, xent, ROUND(exp(xent), 4) AS ppl
+        |FROM x ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     "tx_collocations" ->
       s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
         |uni AS (SELECT w, COUNT(*) AS c FROM (SELECT unnest(t) AS w FROM d) GROUP BY 1),

@@ -106,6 +106,83 @@ class MixtureSpec extends SparkSpec {
       "shared 6-token run produced no shared fingerprint")
   }
 
+  test("kneser-ney: conditionals sum to 1 over the vocab; continuation beats frequency") {
+    import spark.implicits._
+    // "bb" is FREQUENT but only ever follows "aa" (the San Francisco
+    // case); "cc" is rarer but follows many contexts
+    val docs = Seq(
+      (1L, "aa bb aa bb aa bb cc dd", "en", "s", 0L),
+      (2L, "aa bb aa bb ee cc ff cc", "en", "s", 0L),
+      (3L, "gg cc hh aa bb dd ee ff", "en", "s", 0L))
+    val dir = java.nio.file.Files.createTempDirectory("kn").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // rebuild the KN tables exactly as the operator defines them
+    val toksAll = docs.flatMap(_._2.split(" ")).toSeq
+    val bigrams = docs.flatMap { case (_, t, _, _, _) =>
+      val w = t.split(" "); w.init.zip(w.tail) }
+    val c12 = bigrams.groupBy(identity).map { case (k, v) => k -> v.size }
+    // KN denominator: LEFT-CONTEXT occurrences, not raw unigram count
+    val c1 = bigrams.groupBy(_._1).map { case (k, v) => k -> v.size }
+    val rawFreq = toksAll.groupBy(identity).map { case (k, v) => k -> v.size }
+    val nfol = bigrams.distinct.groupBy(_._1).map { case (k, v) => k -> v.size }
+    val nprec = bigrams.distinct.groupBy(_._2).map { case (k, v) => k -> v.size }
+    val btypes = bigrams.distinct.size.toDouble
+    val d = NgramLm.KnD
+    val vocab = toksAll.distinct
+    def p(w1: String, w2: String): Double =
+      math.max(c12.getOrElse((w1, w2), 0) - d, 0.0) / c1(w1) +
+        (d * nfol(w1) / c1(w1)) * (nprec.getOrElse(w2, 0) / btypes)
+    // the interpolated-KN simplex property, over the full vocab
+    vocab.filter(nfol.contains).foreach { w1 =>
+      val total = vocab.map(w2 => p(w1, w2)).sum
+      assert(math.abs(total - 1.0) < 1e-9, s"p(.|$w1) sums to $total")
+    }
+    // continuation discounting: bb is more frequent than cc but has ONE
+    // left context vs cc's three — its backoff unigram mass must be lower
+    assert(rawFreq("bb") > rawFreq("cc"))
+    assert(nprec("bb") < nprec("cc"))
+    // and the engine's per-doc scores agree with the reference formula
+    val got = NgramLm.perplexityKn(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    docs.foreach { case (id, t, _, _, _) =>
+      val w = t.split(" ")
+      val ref = -w.init.zip(w.tail).map { case (a, b) => math.log(p(a, b)) }
+        .sum / (w.length - 1)
+      assert(math.abs(got(id) - (math.rint(ref * 1e4) / 1e4)) < 2e-4,
+        s"doc $id: ${got(id)} vs $ref")
+    }
+  }
+
+  test("mine_bitext: planted cross-collection duplicates are mined, noise is not") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def unit(): Array[Float] = {
+      val v = Array.fill(16)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      v.map(_ / n)
+    }
+    // labels: even = X side, odd = Y side. Plant two X vectors whose
+    // EXACT copies sit on the Y side; fill with independent noise.
+    val planted = Seq(unit(), unit())
+    val rows =
+      planted.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq, 0) } ++
+      planted.zipWithIndex.map { case (v, i) => (100L + i, v.toSeq, 1) } ++
+      (0 until 40).map(i => (200L + i, unit().toSeq, i % 2))
+    val dir = java.nio.file.Files.createTempDirectory("bitext").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val mined = Mining.mineBitext(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val pairs = mined.map(m => (m._1, m._2)).toSet
+    assert(pairs.contains((0L, 100L)) && pairs.contains((1L, 101L)),
+      s"planted duplicates not mined: $mined")
+    // planted pairs carry cos = 1 against a noise neighborhood → margin
+    // well above the threshold; random 16-dim mutual pairs rarely do
+    mined.filter(m => m._1 <= 1L).foreach(m =>
+      assert(m._3 > Mining.MineMargin, s"planted pair margin too low: $m"))
+  }
+
   test("collocations: known pair tops a constructed corpus with exact lift") {
     import spark.implicits._
     // "new york" always co-occurs; "the" is everywhere (high c1·c2 kills

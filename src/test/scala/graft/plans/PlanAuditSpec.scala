@@ -29,7 +29,7 @@ class PlanAuditSpec extends AnyFunSuite {
     * totals frame driving a scan. */
   private val nlAllowed: Set[String] = Set(
     // exact/brute-force oracle forms — the quadratic shape IS the spec
-    "dd_embed_cos", "dd_ngram_jaccard", "ann_topk",
+    "dd_embed_cos", "dd_ngram_jaccard", "ann_topk", "mine_bitext",
     // broadcast query-set (≤20 rows) over the corpus scan
     "ann_pca_topk", "ann_pca_top1",
     // broadcast query-set over the 8-byte binary-code scan
