@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.materials.Materials
 import graft.ml.DielectricModel
-import graft.operators.{Bpe, CdcChunking, Chunking, Curation, Decontam, Dedup, Doremi, Dsir, EventAnalytics, Graphs, JoinOpt, Mining, Multimodal, NgramLm, Packing, Pipeline, Quality, Quantize, Relational, Retrieval, Sampling, SemDedup, Sharding, Similarity, SimilarityJoin, Sketches, SkewJoin, Snapshots, SubstringDedup, TextAnalysis}
+import graft.operators.{Bpe, CdcChunking, Chunking, Curation, Decontam, Dedup, Doremi, Dsir, EntityResolution, EventAnalytics, Graphs, JoinOpt, Mining, Multimodal, NgramLm, Packing, Pipeline, Quality, Quantize, Relational, Retrieval, Sampling, SemDedup, Sharding, Similarity, SimilarityJoin, Sketches, SkewJoin, Snapshots, SubstringDedup, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -28,7 +28,7 @@ object SparkEntry {
       Dsir.queries ++ SubstringDedup.queries ++ CdcChunking.queries ++
       Similarity.queries ++ TextAnalysis.queries ++ Chunking.queries ++
       NgramLm.queries ++ Retrieval.queries ++ Sampling.queries ++ Curation.queries ++ Sketches.queries ++ Doremi.queries ++
-      Graphs.queries ++ SimilarityJoin.queries ++ Mining.queries ++
+      Graphs.queries ++ SimilarityJoin.queries ++ Mining.queries ++ EntityResolution.queries ++
       Snapshots.queries ++ Quality.queries ++ Sharding.queries ++
       Packing.queries ++ Quantize.queries ++ Bpe.queries ++ Decontam.queries ++
       Pipeline.queries ++ Multimodal.queries ++
@@ -44,7 +44,7 @@ object SparkEntry {
       Dsir.oracleSql ++ SubstringDedup.oracleSql ++ CdcChunking.oracleSql ++
       Similarity.oracleSql ++ TextAnalysis.oracleSql ++ Chunking.oracleSql ++
       NgramLm.oracleSql ++ Retrieval.oracleSql ++ Sampling.oracleSql ++ Curation.oracleSql ++ Sketches.oracleSql ++ Doremi.oracleSql ++
-      Graphs.oracleSql ++ SimilarityJoin.oracleSql ++ Mining.oracleSql ++
+      Graphs.oracleSql ++ SimilarityJoin.oracleSql ++ Mining.oracleSql ++ EntityResolution.oracleSql ++
       Snapshots.oracleSql ++ Quality.oracleSql ++ Sharding.oracleSql ++
       Packing.oracleSql ++ Quantize.oracleSql ++ Bpe.oracleSql ++ Decontam.oracleSql ++
       Pipeline.oracleSql ++ Multimodal.oracleSql ++ Materials.oracleSql ++
