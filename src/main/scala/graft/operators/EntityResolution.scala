@@ -38,7 +38,7 @@ object EntityResolution {
     * 'X' after position 5 (dist 1). Neither touches the final 3 chars,
     * so the suffix blocking key survives the noise — the property a
     * real blocking key is CHOSEN for (phone last-4, zip, soundex). */
-  private def dirty(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def dirty(spark: SparkSession, dir: String): DataFrame =
     Tables.customer(spark, dir).select(col("c_custkey").as("b_key"),
       when(col("c_custkey") % 3 === 1,
         concat(substring(col("c_name"), 1, 10), substring(col("c_name"), 12, 99)))
@@ -59,6 +59,29 @@ object EntityResolution {
       .filter(col("rn") === 1)
       .select(col("b_key"), col("a_key"), col("b_name"), col("dist"))
       .orderBy("b_key")
+  }
+
+  /** Stream-static linkage — the ingest-time form: arriving dirty
+    * records block-join the FROZEN clean registry and reduce to their
+    * best match with an order-insensitive min(struct(dist, a_key, …))
+    * (the FunnelStreams reduction discipline; a window function can't
+    * run on a stream). Every candidate for a record lives in its arrival
+    * micro-batch — the registry side is static — so the per-key
+    * aggregate is complete immediately and update mode emits each
+    * record's final link exactly once. ErStreamSpec proves stream ≡
+    * batch on multi-batch feeds. */
+  def linkStream(spark: SparkSession, dir: String, dirtyStream: DataFrame): DataFrame = {
+    val a = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("a_key"), col("c_name").as("a_name"))
+      .withColumn("blk", substring(col("a_name"), -3, 3))
+    dirtyStream.withColumn("blk", substring(col("b_name"), -3, 3))
+      .join(a, Seq("blk"))
+      .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
+      .filter(col("dist") <= MaxDist)
+      .groupBy("b_key")
+      .agg(min(struct(col("dist"), col("a_key"), col("b_name"))).as("best"))
+      .select(col("b_key"), col("best.a_key").as("a_key"),
+        col("best.b_name").as("b_name"), col("best.dist").as("dist"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

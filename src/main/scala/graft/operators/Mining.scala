@@ -67,8 +67,63 @@ object Mining {
       .orderBy("x_id")
   }
 
+  /** The 100 TB path: candidates from the shared [[Similarity.LshIndex]]
+    * bucket artifact (id-only rows, the embeddingCosineBucketed
+    * discipline), exact cosine only on in-bucket pairs, mutual-top-1 and
+    * the ratio margin computed over each vector's CANDIDATE list. Same
+    * contract as dd_embed_cos_lsh vs dd_embed_cos: [[mineBitext]] is the
+    * exact oracle role, this is the scale shape — candidate volume
+    * ∝ N·occupancy·tables (constant occupancy via lshBitsFor), never
+    * X×Y. A candidate list that misses far neighbors only PADS the
+    * margin denominator's k-NN average upward slightly; mutual-top-1
+    * recall against the exact form is the spec'd quantity
+    * (MixtureSpec), and planted exact duplicates share every bucket so
+    * they are found with probability 1. */
+  def mineBitextAnn(spark: SparkSession, dir: String,
+      index: Option[Similarity.LshIndex] = None): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val idx = index.getOrElse(Similarity.buildLshIndex(spark, dir))
+    // pin the pair path at the base table family (the Dedup lesson:
+    // lshTablesFor's recall-driven growth is a per-QUERY knob; riding it
+    // here would scale pair generation superlinearly)
+    val b =
+      if (idx.nTables > Similarity.LshTables)
+        idx.buckets.filter(col("tbl") < Similarity.LshTables)
+      else idx.buckets
+    val sides = b.join(e.select(col("vec_id"), (col("label") % 2 === 0).as("isX")),
+      Seq("vec_id"))
+    val xs = sides.filter(col("isX")).select(col("vec_id").as("x_id"), col("tbl"),
+      explode(Similarity.probeBuckets(col("bucket"), idx.nBits)).as("bucket"))
+    val ys = sides.filter(!col("isX")).select(col("vec_id").as("y_id"),
+      col("tbl"), col("bucket"))
+    val cand = xs.join(ys, Seq("tbl", "bucket")).select("x_id", "y_id").distinct()
+    val scored = cand
+      .join(e.select(col("vec_id").as("x_id"), col("v").as("vx")), Seq("x_id"))
+      .join(e.select(col("vec_id").as("y_id"), col("v").as("vy")), Seq("y_id"))
+      .select(col("x_id"), col("y_id"),
+        graft.plans.VectorOps.dot(col("vx"), col("vy")).as("cs"))
+    val wx = Window.partitionBy("x_id").orderBy(desc("cs"), col("y_id"))
+    val wy = Window.partitionBy("y_id").orderBy(desc("cs"), col("x_id"))
+    val ranked = scored
+      .withColumn("rx", row_number().over(wx))
+      .withColumn("ry", row_number().over(wy))
+    val ax = ranked.filter(col("rx") <= MineK).groupBy("x_id").agg(avg("cs").as("ax"))
+    val ay = ranked.filter(col("ry") <= MineK).groupBy("y_id").agg(avg("cs").as("ay"))
+    ranked.filter(col("rx") === 1 && col("ry") === 1)
+      .join(ax, Seq("x_id")).join(ay, Seq("y_id"))
+      .filter(col("cs") / ((col("ax") + col("ay")) / 2) >= MineMargin)
+      .select(col("x_id"), col("y_id"),
+        round(col("cs") / ((col("ax") + col("ay")) / 2), 4).as("margin"))
+      .orderBy("x_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mine_bitext" -> mineBitext _,
+    // recall-by-design (bucketed candidates): rows-only driver check; the
+    // oracled sibling is mine_bitext, agreement spec'd in MixtureSpec
+    "mine_bitext_ann" -> ((s: SparkSession, d: String) => mineBitextAnn(s, d)),
   )
 
   private val dotSql =

@@ -181,6 +181,30 @@ class MixtureSpec extends SparkSpec {
     // well above the threshold; random 16-dim mutual pairs rarely do
     mined.filter(m => m._1 <= 1L).foreach(m =>
       assert(m._3 > Mining.MineMargin, s"planted pair margin too low: $m"))
+    // the ANN scale sibling: exact duplicates share every LSH bucket, so
+    // both planted pairs MUST be mined; overall pair recall vs the exact
+    // form stays high on this fixture
+    val annPairs = Mining.mineBitextAnn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(annPairs.contains((0L, 100L)) && annPairs.contains((1L, 101L)),
+      s"ANN path missed planted duplicates: $annPairs")
+    val recall = pairs.count(annPairs).toDouble / pairs.size
+    assert(recall >= 0.5, s"ANN mutual-pair recall $recall vs exact ($pairs → $annPairs)")
+  }
+
+  test("mine_bitext_ann agrees with the exact miner on the fixture corpus") {
+    graft.operators.ArtifactCaches.clear()
+    val exact = Mining.mineBitext(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Mining.mineBitextAnn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val recall = exact.count(ann).toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall: ${exact.size} exact vs ${ann.size} ann pairs")
+    // precision side: an ANN pair the exact miner rejected can only come
+    // from a candidate-list margin shift, not a better cosine — bound it
+    val extra = ann.count(p => !exact.contains(p)).toDouble / math.max(1, ann.size)
+    assert(extra <= 0.5, s"ANN mined too many non-exact pairs: $ann vs $exact")
   }
 
   test("collocations: known pair tops a constructed corpus with exact lift") {
