@@ -85,6 +85,8 @@ object Sketches {
       .parquet(kllExportPath(dir))
     overlapEstimates(spark, dir).coalesce(1).write.mode("overwrite")
       .parquet(thetaExportPath(dir))
+    sourceOverlapEstimates(spark, dir).coalesce(1).write.mode("overwrite")
+      .parquet(thetaSourceExportPath(dir))
   }
 
   // ---- Theta sketches (the set-operation member of the sketch surface;
@@ -120,6 +122,54 @@ object Sketches {
       .select(col("t1"), col("t2"),
         thetaIntersectEstimate(col("sk1"), col("sk2")).as("est_inter"),
         thetaUnionEstimate(col("sk1"), col("sk2")).as("est_union"))
+  }
+
+  // ---- Theta CONTENT overlap across sources: the dedup-planning matrix
+  // ("how much of source A already sits in source B") answered from
+  // per-source shingle sketches alone — exact SQL pays a shingle
+  // self-join per refresh; the sketch table is sources × 4 KB and any
+  // pair's overlap reads two sketches. ----
+
+  def thetaSourceExportPath(dir: String): String = ExportPaths.forCorpus("theta_src", dir)
+
+  /** Distinct (source, shingle) frame — [[Dedup.shingles]] joined back to
+    * its source labels (uniform doc_id keys). */
+  private def sourceShingles(spark: SparkSession, dir: String): DataFrame =
+    Dedup.shingles(spark, dir)
+      .join(Tables.documents(spark, dir).select("doc_id", "source"), Seq("doc_id"))
+      .select(col("source"), col("s")).distinct()
+
+  /** Per-source theta sketch over 60-bit shingle keys (md5-derived so the
+    * exact-side set in BOTH engines is the same md5 family; the hex→long
+    * truncation only feeds the sketch) + pairwise intersections. */
+  def sourceOverlapEstimates(spark: SparkSession, dir: String): DataFrame = {
+    val items = sourceShingles(spark, dir)
+      .select(col("source"),
+        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("item"))
+    val perSrc = items.groupBy("source").agg(thetaAgg(col("item")).as("sk"))
+    perSrc.select(col("source").as("s1"), col("sk").as("sk1"))
+      .join(perSrc.select(col("source").as("s2"), col("sk").as("sk2")),
+        col("s1") < col("s2"))
+      .select(col("s1"), col("s2"),
+        thetaIntersectEstimate(col("sk1"), col("sk2")).as("est_inter"))
+  }
+
+  /** Registered gate: exact pairwise shared-shingle counts (one distinct
+    * frame, self-joined on the md5 key — recomputed independently by
+    * both engines) + accuracy booleans against the exported estimates.
+    * Pairs sharing nothing carry no gate row (inner join, both sides). */
+  def thetaSourceGate(spark: SparkSession, dir: String): DataFrame = {
+    val est = spark.read.parquet(thetaSourceExportPath(dir))
+    val sh = sourceShingles(spark, dir).select(col("source"), md5(col("s")).as("h"))
+    sh.select(col("source").as("s1"), col("h"))
+      .join(sh.select(col("source").as("s2"), col("h")), Seq("h"))
+      .filter(col("s1") < col("s2"))
+      .groupBy("s1", "s2").agg(count(lit(1)).as("exact_shared"))
+      .join(broadcast(est), Seq("s1", "s2"))
+      .select(col("s1"), col("s2"), col("exact_shared"),
+        (abs(col("est_inter") - col("exact_shared"))
+          / greatest(col("exact_shared"), lit(1L)) < GateTol).as("inter_ok"))
+      .orderBy("s1", "s2")
   }
 
   /** Registered gate (the HLL export-gate pattern): both engines compute
@@ -242,9 +292,21 @@ object Sketches {
     "ds_hll_range" -> sketchRangeGate _,
     "ds_kll_quantiles" -> kllGate _,
     "ds_theta_overlap" -> thetaOverlapGate _,
+    "ds_theta_sources" -> thetaSourceGate _,
   )
 
   def oracleSql: Map[String, String] = Map(
+    "ds_theta_sources" ->
+      s"""WITH est AS (SELECT s1, s2, est_inter FROM '${thetaSourceExportPath(exportedDir)}/*.parquet'),
+        |d AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT source, md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS h
+        |FROM d, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i)),
+        |i AS (SELECT a.source AS s1, b.source AS s2, COUNT(*) AS exact_shared
+        |FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source GROUP BY 1, 2)
+        |SELECT i.s1, i.s2, CAST(i.exact_shared AS BIGINT) AS exact_shared,
+        |ABS(est.est_inter - i.exact_shared) / GREATEST(i.exact_shared, 1) < $GateTol AS inter_ok
+        |FROM i JOIN est ON est.s1 = i.s1 AND est.s2 = i.s2
+        |ORDER BY i.s1, i.s2""".stripMargin.replaceAll("\n", " "),
     "ds_theta_overlap" ->
       s"""WITH est AS (SELECT t1, t2, est_inter, est_union FROM '${thetaExportPath(exportedDir)}/*.parquet'),
         |tu AS (SELECT DISTINCT event_type, user_id FROM events),

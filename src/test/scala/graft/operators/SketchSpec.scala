@@ -155,6 +155,21 @@ class SketchSpec extends SparkSpec {
       pair.getDouble(2) == 700.0, s"got $pair")
   }
 
+  test("theta source-content overlap: exact mode recovers exact shared-shingle counts") {
+    Sketches.exportEstimates(spark, sf)
+    val gate = Sketches.thetaSourceGate(spark, sf).collect()
+    assert(gate.nonEmpty, "no source pair shares content on the fixture")
+    assert(gate.forall(_.getAs[Boolean]("inter_ok")))
+    // below 2^lgK retained entries the sketches are exact: the exported
+    // estimate must EQUAL the exact count, not just sit within tolerance
+    val est = spark.read.parquet(Sketches.thetaSourceExportPath(sf)).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    gate.foreach { r =>
+      val k = (r.getString(0), r.getString(1))
+      assert(est(k) == r.getLong(2).toDouble, s"pair $k: ${est(k)} vs ${r.getLong(2)}")
+    }
+  }
+
   test("theta sampling mode: estimate within the published bound past k entries") {
     import spark.implicits._
     import graft.functions.ThetaBuildAgg.{thetaAgg, thetaEstimate, DefaultLgK}
