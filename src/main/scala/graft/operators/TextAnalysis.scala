@@ -409,8 +409,37 @@ object TextAnalysis {
       .orderBy("doc_id", "pos")
   }
 
+  /** Pair floor for winnowing copy detection: with density 2/(WinW+1)
+    * a shared fingerprint stands for ~(WinW+1)/2 shared grams, so 5
+    * shared fingerprints ≈ a dozen shared 3-gram windows. */
+  val WinMinShared = 5
+
+  /** Winnowing copy-detection pairs — the MOSS join (Schleimer 2003 §5):
+    * documents sharing ≥ WinMinShared selected fingerprints. This is
+    * what the fingerprint table EXISTS for: the join runs over the
+    * ~2/(WinW+1)-density artifact instead of full shingle sets (cf.
+    * dd_ngram_jaccard's inverted index — same candidates-then-count
+    * shape at a fraction of the index size), and the winnowing guarantee
+    * bounds what it can miss: any shared run of ≥ WinW+WinK−1 tokens
+    * contributes at least one shared fingerprint.
+    *
+    * Scale shape: distinct (doc, fp) → fp-keyed equi self-join → pair
+    * hash agg. Fingerprint doc-frequency is naturally low (max 7, mean
+    * 1.4 on the fixture); a boilerplate-hot fingerprint would get the
+    * same max-doc-freq stop-list ngramJaccard documents. */
+  def winnowPairs(spark: SparkSession, dir: String): DataFrame = {
+    val fps = winnowing(spark, dir).select(col("doc_id"), col("fp")).distinct()
+    fps.select(col("doc_id").as("a_id"), col("fp"))
+      .join(fps.select(col("doc_id").as("b_id"), col("fp")), Seq("fp"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= WinMinShared)
+      .orderBy("a_id", "b_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_winnowing" -> winnowing _,
+    "dd_winnow_pairs" -> winnowPairs _,
     "tx_boilerplate" -> boilerplate _,
     "tx_quality_adaptive" -> ((s: SparkSession, d: String) => adaptiveQuality(s, d)),
     "tx_pii" -> piiScrub _,
@@ -427,25 +456,36 @@ object TextAnalysis {
 
   private def inList(xs: Seq[String]) = xs.map(s => s"'$s'").mkString("(", ",", ")")
 
+  // window starts: full windows (wlen = WinW), plus the clamped j = 1
+  // window for docs with fewer grams than the window; rightmost argmin
+  // via MAX(i) over the window's min-hash positions. Shared by the
+  // fingerprint dump and the copy-detection pair oracle.
+  private val winnowCte =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |g AS (SELECT doc_id, i, md5(${(0 until WinK).map(k => s"t[i+$k]").mkString(" || ' ' || ")}) AS h
+      |FROM d, LATERAL (SELECT unnest(generate_series(1, len(t) - ${WinK - 1})) AS i)),
+      |wm AS (SELECT doc_id, i AS j,
+      |MIN(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND ${WinW - 1} FOLLOWING) AS winmin,
+      |COUNT(*) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND ${WinW - 1} FOLLOWING) AS wlen
+      |FROM g),
+      |sel AS (SELECT wm.doc_id, wm.j, wm.winmin, MAX(g2.i) AS pos
+      |FROM wm JOIN g g2 ON g2.doc_id = wm.doc_id
+      |AND g2.i BETWEEN wm.j AND wm.j + ${WinW - 1} AND g2.h = wm.winmin
+      |WHERE wm.wlen = $WinW OR wm.j = 1
+      |GROUP BY 1, 2, 3)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
-    // window starts: full windows (wlen = WinW), plus the clamped j = 1
-    // window for docs with fewer grams than the window; rightmost argmin
-    // via MAX(i) over the window's min-hash positions
     "tx_winnowing" ->
-      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |g AS (SELECT doc_id, i, md5(${(0 until WinK).map(k => s"t[i+$k]").mkString(" || ' ' || ")}) AS h
-        |FROM d, LATERAL (SELECT unnest(generate_series(1, len(t) - ${WinK - 1})) AS i)),
-        |wm AS (SELECT doc_id, i AS j,
-        |MIN(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND ${WinW - 1} FOLLOWING) AS winmin,
-        |COUNT(*) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND ${WinW - 1} FOLLOWING) AS wlen
-        |FROM g),
-        |sel AS (SELECT wm.doc_id, wm.j, wm.winmin, MAX(g2.i) AS pos
-        |FROM wm JOIN g g2 ON g2.doc_id = wm.doc_id
-        |AND g2.i BETWEEN wm.j AND wm.j + ${WinW - 1} AND g2.h = wm.winmin
-        |WHERE wm.wlen = $WinW OR wm.j = 1
-        |GROUP BY 1, 2, 3)
+      s"""$winnowCte
         |SELECT DISTINCT doc_id, CAST(pos AS INT) AS pos, winmin AS fp
         |FROM sel ORDER BY doc_id, pos""".stripMargin.replaceAll("\n", " "),
+    "dd_winnow_pairs" ->
+      s"""$winnowCte,
+        |fps AS (SELECT DISTINCT doc_id, winmin AS fp FROM sel)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared
+        |FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= $WinMinShared
+        |ORDER BY a_id, b_id""".stripMargin.replaceAll("\n", " "),
     "tx_boilerplate" ->
       s"""WITH toks AS (SELECT doc_id, source, string_split(text, ' ') t FROM documents),
         |seg AS (SELECT doc_id, source, i - 1 AS seg_idx,

@@ -207,6 +207,19 @@ class MixtureSpec extends SparkSpec {
     assert(extra <= 0.5, s"ANN mined too many non-exact pairs: $ann vs $exact")
   }
 
+  test("winnow pairs recover the exact near-dup pair set on the fixture") {
+    // near-dups share long token runs, and the winnowing guarantee says
+    // every run of ≥ w+k−1 tokens shares a fingerprint — so the j ≥ 0.5
+    // Jaccard pairs should essentially all clear the shared-fp floor
+    val exact = Dedup.ngramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val winnow = TextAnalysis.winnowPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val recall = exact.count(winnow).toDouble / exact.size
+    assert(recall >= 0.9, s"winnow-pair recall $recall (${exact.size} exact, ${winnow.size} winnow)")
+  }
+
   test("collocations: known pair tops a constructed corpus with exact lift") {
     import spark.implicits._
     // "new york" always co-occurs; "the" is everywhere (high c1·c2 kills
