@@ -148,7 +148,38 @@ object EventAnalytics {
       .orderBy("step", "next")
   }
 
+  /** Attribution lookback window. */
+  val AttributionHorizonUs: Long = 24L * 3600 * 1000000
+
+  /** Last-touch attribution — the classic marketing-analytics question:
+    * each purchase credits the user's most recent NON-purchase event
+    * (its "channel") within a 24 h lookback. One running ignore-nulls
+    * last() over the user timeline (two projections of the same window
+    * frame pick the same row — their CASE nulls coincide), then a
+    * channel-sized aggregate: the q29 single-user-exchange shape, no
+    * self-join of the log against itself. Value sums follow the
+    * ly_incr_matview rounding discipline (round per event, round the
+    * sum) so engine summation order can't flip the hash. */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val notPurchase = col("event_type") =!= "purchase"
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        round(col("value"), 2).as("value"))
+      .withColumn("ch", last(when(notPurchase, col("event_type")), ignoreNulls = true).over(w))
+      .withColumn("cts", last(when(notPurchase, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase" && col("ch").isNotNull &&
+        unix_micros(col("ts")) - unix_micros(col("cts")) <= AttributionHorizonUs)
+      .groupBy(col("ch").as("channel"))
+      .agg(count(lit(1)).as("purchases"),
+        round(sum("value"), 2).as("attributed_value"))
+      .orderBy("channel")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_attribution" -> attribution _,
     "q30_paths" -> pathTransitions _,
     "q26_funnel" -> ((s: SparkSession, d: String) => funnel(s, d)),
     "q27_retention" -> ((s: SparkSession, d: String) => retention(s, d)),
@@ -157,6 +188,20 @@ object EventAnalytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q34_attribution" ->
+      s"""WITH e AS (SELECT event_id, user_id, ts, event_type, ROUND(value, 2) AS value FROM events),
+        |lt AS (SELECT *,
+        |last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |OVER w AS ch,
+        |last_value(CASE WHEN event_type <> 'purchase' THEN ts END IGNORE NULLS)
+        |OVER w AS cts
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT ch AS channel, CAST(COUNT(*) AS BIGINT) AS purchases,
+        |ROUND(SUM(value), 2) AS attributed_value
+        |FROM lt WHERE event_type = 'purchase' AND ch IS NOT NULL
+        |AND epoch_us(ts) - epoch_us(cts) <= $AttributionHorizonUs
+        |GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "),
     "q30_paths" ->
       """WITH t AS (SELECT event_type AS step,
         |COALESCE(lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id), '∅') AS next

@@ -38,6 +38,35 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(s1 > 0 && s1 >= s2 && s2 >= s3)
   }
 
+  test("attribution ≡ brute force last-touch within 24h") {
+    // brute force off the full collected log: per purchase, the latest
+    // strictly-preceding non-purchase event (ties broken by event_id —
+    // the operator's window order) within the horizon
+    val withVal = Tables.events(spark, sf)
+      .selectExpr("event_id", "user_id", "event_type", "unix_micros(ts) AS us",
+        "ROUND(value, 2) AS v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+    val byUser = withVal.groupBy(_._2)
+    val credited: Seq[(String, Double)] = byUser.values.toSeq.flatMap { evs =>
+      val sorted = evs.sortBy(e => (e._4, e._1))
+      sorted.zipWithIndex.flatMap { case (p, i) =>
+        if (p._3 != "purchase") None
+        else sorted.take(i).filter(_._3 != "purchase").lastOption
+          .filter(t => p._4 - t._4 <= EventAnalytics.AttributionHorizonUs)
+          .map(t => (t._3, p._5))
+      }
+    }
+    val exp = credited.groupBy(_._1).map { case (ch, vs) =>
+      ch -> (vs.size.toLong, math.rint(vs.map(_._2).sum * 100) / 100) }
+    val got = EventAnalytics.attribution(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == exp.keySet && got.nonEmpty)
+    got.foreach { case (ch, (n, v)) =>
+      assert(n == exp(ch)._1, s"$ch count $n vs ${exp(ch)._1}")
+      assert(math.abs(v - exp(ch)._2) < 0.02, s"$ch value $v vs ${exp(ch)._2}")
+    }
+  }
+
   test("retention ≡ brute force day-k cohorts") {
     val dayUs = 24 * HourUs
     val active = events.map(e => (e._2, e._4 / dayUs)).distinct
