@@ -30,13 +30,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val names = SparkEntry.benchQueries.filter(SparkEntry.queries.contains)
+    // export-gate queries bench their raw form (the gate is oracle
+    // harness, not workload — and its export input may not exist here)
+    val queryMap = SparkEntry.queries ++ SparkEntry.benchOverrides
+    val names = SparkEntry.benchQueries.filter(queryMap.contains)
 
     // a failing query must be VISIBLE, not recorded as a (tiny) elapsed
     // time: track per-query success, list failures, sum only successes,
     // and emit null (not the partial elapsed) in the per-query maps
     def pass(): Seq[(String, Double, Boolean)] = names.map { name =>
-      val fn = SparkEntry.queries(name)
+      val fn = queryMap(name)
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
         catch { case e: Throwable =>
@@ -62,6 +65,20 @@ object Bench {
     }
     spinMs() // JIT warm-up for the sentinel itself
 
+    // load-average guard: the CPU spin sentinel provably misses I/O-side
+    // contention (three rounds of bench-noise archaeology — BENCH_NOTES),
+    // but Linux loadavg counts D-state (uninterruptible I/O) tasks, so a
+    // loaded disk shows here. Only the PRE-RUN reading is ambient (our
+    // own 32-thread execution inflates every later one); per-pass
+    // readings are still recorded for relative, in-artifact forensics.
+    def loadAvg(): Double =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val loadGuardMax = sys.env.getOrElse("SPARK_GRAFT_LOAD_MAX", "4.0").toDouble
+    val loadStart = loadAvg()
+    val loadGuardTripped = loadStart > loadGuardMax
+
     val spinCold = spinMs()
     val coldResults = pass() // fresh JVM: codegen + artifact builds
 
@@ -70,10 +87,14 @@ object Bench {
     // independently measured at 8.9 s). Median per query + median total,
     // with the min/max total spread in the JSON so a noisy host is visible
     // in the artifact itself.
-    val warmPassCount = sys.env.getOrElse("SPARK_GRAFT_WARM_PASSES", "3").toInt
-    val warmRuns = Seq.fill(warmPassCount) { val s = spinMs(); (s, pass()) }
+    // an ambient-contended start buys 2 extra warm passes: the median
+    // over 5 is much harder for a foreign load burst to own than over 3
+    val warmPassCount = sys.env.getOrElse("SPARK_GRAFT_WARM_PASSES", "3").toInt +
+      (if (loadGuardTripped) 2 else 0)
+    val warmRuns = Seq.fill(warmPassCount) { val s = spinMs(); val p = pass(); (s, p, loadAvg()) }
     val spinWarm = warmRuns.map(_._1)
     val warmPasses = warmRuns.map(_._2)
+    val loadWarm = warmRuns.map(_._3)
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.length % 2 == 1) s(s.length / 2) else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
@@ -96,7 +117,7 @@ object Bench {
     // artifact caches and measure cold again, keeping the per-query MIN
     // (min across runs under varying load is the best estimator of true
     // cost; codegen stays JIT-compiled, which is the once-per-JVM share)
-    val coldRerun = warmTotals.max > 1.5 * warmTotals.min
+    val coldRerun = warmTotals.max > 1.5 * warmTotals.min || loadGuardTripped
     val coldFinal =
       if (!coldRerun) coldResults
       else {
@@ -111,7 +132,8 @@ object Bench {
       }
     val coldTotal = coldFinal.collect { case (_, v, true) => v }.sum
     val spins = (spinCold +: spinWarm).map(s => f"$s%.1f").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$warmTotal,"unit":"sec","cold":$coldTotal,"cold_rerun":$coldRerun,"spin_ms":$spins,"warm_passes":$warmPassCount,"warm_min":${warmTotals.min},"warm_max":${warmTotals.max},"queries":${fmt(warmResults)},"queries_cold":${fmt(coldFinal)},"failed":$failed,"sf":"$sfDir"}""")
+    val loads = (loadStart +: loadWarm).map(l => f"$l%.2f").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$warmTotal,"unit":"sec","cold":$coldTotal,"cold_rerun":$coldRerun,"spin_ms":$spins,"loadavg":$loads,"load_guard":$loadGuardTripped,"warm_passes":$warmPassCount,"warm_min":${warmTotals.min},"warm_max":${warmTotals.max},"queries":${fmt(warmResults)},"queries_cold":${fmt(coldFinal)},"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

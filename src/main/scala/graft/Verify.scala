@@ -55,6 +55,18 @@ object Verify {
     catch { case e: Throwable =>
       System.err.println(s"[verify] hll estimate export failed: ${e.getMessage}")
     }
+    // recurrence exports: ds_doremi / q32_pagerank are export-gates (both
+    // engines read these doubles and check their own recurrence replay
+    // within a tolerance — CORRECTNESS_r06 proved decimal emission does
+    // not absorb cross-engine drift at rounding boundaries)
+    try graft.operators.Doremi.exportWeights(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] doremi weight export failed: ${e.getMessage}")
+    }
+    try graft.operators.Graphs.exportRanks(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] pagerank export failed: ${e.getMessage}")
+    }
     SparkEntry.queries.filter(q => wanted(q._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

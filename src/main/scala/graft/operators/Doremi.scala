@@ -22,14 +22,14 @@ import graft.sources.Tables
   * positive — and renormalizes. Domains with above-average loss gain
   * mass until excesses equalize; the fixed round count makes the result
   * a deterministic recurrence, not a convergence race (the q32_pagerank
-  * discipline, including its DECIMAL(18,8) emission: per-round sums are
-  * order-dependent in the last ulp across engines).
+  * discipline).
   *
   * Loss signal: ℓ_d = 1 − (Σ alpha_chars / Σ n_chars) over the domain's
   * docs — the alpha-ratio quality deficit. Both sums are INTEGER sums
   * (associativity-free), so ℓ itself is bit-identical cross-engine; the
   * only floating drift left is the 20-term mix/renorm sums, ~1e-14
-  * after 5 rounds, absorbed by the decimal cast.
+  * after 5 rounds — which the export-gate emission (see
+  * [[domainWeights]]) absorbs by construction.
   *
   * Scale shape: one hash-agg over documents keyed by source (map-side
   * combine) → a DOMAIN-sized frame (sources/registries are config-scale,
@@ -57,7 +57,8 @@ object Doremi {
       .groupBy("source")
       .agg((lit(1.0) - sum("ac").cast("double") / sum("n_chars").cast("double")).as("loss"))
 
-  /** The registered query: Rounds of MWU from the uniform mixture.
+  /** Raw weights: Rounds of MWU from the uniform mixture, doubles
+    * unrounded.
     *
     * The recurrence itself runs DRIVER-SIDE over the collected loss
     * table — the Dsir bucket-table discipline: domains are config-scale
@@ -65,10 +66,8 @@ object Doremi {
     * embed the previous round's plan in BOTH per-round scalar aggregates
     * (mix and the renormalizer), tripling the logical plan per round.
     * The distributed work is exactly the one corpus aggregate in
-    * [[sourceLoss]]; the DuckDB oracle independently replays all Rounds
-    * in unrolled SQL, so the recurrence arithmetic is cross-checked
-    * end-to-end. */
-  def domainWeights(spark: SparkSession, dir: String): DataFrame = {
+    * [[sourceLoss]]. */
+  def domainWeightsRaw(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // bounded collect: one row per domain, sorted for a deterministic
     // summation order
@@ -77,10 +76,56 @@ object Doremi {
     val w = mwu(loss)
     loss.map { case (s, l) => (s, l, w(s)) }.toSeq
       .toDF("source", "loss", "w")
-      .select(col("source"),
-        col("loss").cast("decimal(18,8)").as("loss"),
-        col("w").cast("decimal(18,8)").as("w"))
       .orderBy("source")
+  }
+
+  /** Gate tolerance for the export-gate oracle: the DuckDB replay of the
+    * 5-round recurrence differs from the engine's only in float summation
+    * order — ≲1e-14 absolute on weights that sum to 1 (measured; the
+    * DoremiSpec sensitivity case pins the condition number). 1e-9 leaves
+    * ≥5 decades of margin while still failing on any real logic drift
+    * (a wrong η, round count, or clamp moves weights by ≥1e-3). */
+  val GateTol = 1e-9
+
+  /** Export path consumed by BOTH engines of the ds_doremi gate. */
+  def exportPath(dir: String): String = ExportPaths.forCorpus("doremi", dir)
+
+  @volatile private var exportedDir: String = "/root/testdata/sf0.01"
+
+  /** Run by Verify ahead of the query dump (idempotent). */
+  def exportWeights(spark: SparkSession, dir: String): Unit = {
+    exportedDir = dir
+    domainWeightsRaw(spark, dir).coalesce(1).write.mode("overwrite")
+      .parquet(exportPath(dir))
+  }
+
+  /** The registered query — export-gate form (the ml_golden_gate /
+    * ds_hll idiom): DECIMAL(18,8) emission of the raw recurrence proved
+    * NOT to absorb cross-engine drift (CORRECTNESS_r06: a weight landed
+    * within ulps of a half-digit rounding boundary and the two engines
+    * rounded apart), so the emitted row is now (a) the exported doubles
+    * passed through BYTE-IDENTICALLY by both engines — the oracle reads
+    * the same parquet — and (b) a tolerance boolean each engine derives
+    * by replaying the full recurrence independently and comparing to
+    * the export. A broken recurrence fails the boolean; float drift
+    * cannot flip anything. */
+  def domainWeights(spark: SparkSession, dir: String): DataFrame = {
+    ensureExported(spark, dir)
+    val est = spark.read.parquet(exportPath(dir))
+      .select(col("source"), col("loss"), col("w"))
+    domainWeightsRaw(spark, dir)
+      .select(col("source"), col("loss").as("l2"), col("w").as("w2"))
+      .join(est, Seq("source"))
+      .select(col("source"), col("loss"), col("w"),
+        (abs(col("l2") - col("loss")) <= GateTol).as("loss_ok"),
+        (abs(col("w2") - col("w")) <= GateTol).as("w_ok"))
+      .orderBy("source")
+  }
+
+  private def ensureExported(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(exportPath(dir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) exportWeights(spark, dir)
   }
 
   /** The MWU recurrence kernel over an ordered (domain, loss) table —
@@ -110,14 +155,20 @@ object Doremi {
        |z$cur AS (SELECT SUM(wu) AS z FROM u$cur),
        |$cur AS (SELECT source, loss, wu / z AS w FROM u$cur CROSS JOIN z$cur)""".stripMargin
 
-  val oracleSql: Map[String, String] = Map(
-    "ds_doremi" -> ("""WITH l AS (SELECT source,
+  /** def, not val: the export path is corpus-keyed and resolved after
+    * Verify's export pass sets `exportedDir` (the Sketches discipline). */
+  def oracleSql: Map[String, String] = Map(
+    "ds_doremi" -> (s"""WITH est AS (SELECT source, loss, w FROM '${exportPath(exportedDir)}/*.parquet'),
+      |l AS (SELECT source,
       |1.0 - SUM(LENGTH(REGEXP_REPLACE(text, '[^A-Za-z]', '', 'g')))::DOUBLE / SUM(n_chars)::DOUBLE AS loss
       |FROM documents GROUP BY source),
       |r0 AS (SELECT source, loss, 1.0 / (SELECT COUNT(*) FROM l)::DOUBLE AS w FROM l),
       |""".stripMargin +
       (1 to Rounds).map(i => mwRound(s"r${i - 1}", s"r$i")).mkString(",\n") + "\n" +
-      s"SELECT source, CAST(loss AS DECIMAL(18,8)) AS loss, CAST(w AS DECIMAL(18,8)) AS w " +
-      s"FROM r$Rounds ORDER BY source").replaceAll("\n", " "),
+      s"SELECT est.source, est.loss, est.w, " +
+      s"ABS(r.loss - est.loss) <= $GateTol AS loss_ok, " +
+      s"ABS(r.w - est.w) <= $GateTol AS w_ok " +
+      s"FROM est JOIN r$Rounds r ON r.source = est.source ORDER BY est.source")
+      .replaceAll("\n", " "),
   )
 }

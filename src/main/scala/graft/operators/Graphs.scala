@@ -42,20 +42,16 @@ object Graphs {
       .select("src", "dst").distinct()
   }
 
-  /** PageRank, PrIters rounds of r' = (1−d)/N + d·Σ_in r(u)/outdeg(u).
+  /** PageRank (raw doubles), PrIters rounds of
+    * r' = (1−d)/N + d·Σ_in r(u)/outdeg(u).
     *
     * Plan shape per round: ranks (node-sized) join edges on src, hash-agg
     * on dst — one shuffle keyed by node id, state ∝ nodes. The edge +
     * degree frames are computed once and persisted (at 100 TB they are
     * the big, reused inputs; ranks stay node-sized). For many-round runs
     * the Hash-Min lesson applies — localCheckpoint every few rounds to
-    * cut lineage — but 5 rounds stays well inside plan-depth limits.
-    *
-    * Emitted rank is cast to DECIMAL(18,8): the per-node sums are
-    * order-dependent in the last ulp (Spark partial aggs vs DuckDB
-    * sequential sums), and the decimal cast (the q1 rounding discipline)
-    * absorbs that while keeping 8 digits of the actual ranking. */
-  def pagerank(spark: SparkSession, dir: String): DataFrame = {
+    * cut lineage — but 5 rounds stays well inside plan-depth limits. */
+  def pagerankRaw(spark: SparkSession, dir: String): DataFrame = {
     val edges = PersistSlots.cached(spark, s"pr-edges:$dir")(
       supplierEdges(spark, dir))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
@@ -72,8 +68,54 @@ object Graphs {
       ranks = contrib.select(col("v"),
         (lit((1.0 - Damping) / n) + lit(Damping) * col("inflow")).as("r"))
     }
-    ranks.select(col("v").as("s_suppkey"), col("r").cast("decimal(18,8)").as("pr"))
+    ranks.select(col("v").as("s_suppkey"), col("r").as("pr"))
       .orderBy("s_suppkey")
+  }
+
+  /** Gate tolerance: Spark's partial-agg per-node sums vs DuckDB's
+    * sequential sums drift ≲1e-15 absolute on ranks of scale 1/N after 5
+    * rounds (GraphsSpec pins the recurrence sensitivity); 1e-9 keeps ≥5
+    * decades of margin and still fails on any damping/round/degree logic
+    * error (those move ranks by ≥1e-4). */
+  val GateTol = 1e-9
+
+  /** Export path consumed by BOTH engines of the q32_pagerank gate. */
+  def exportPath(dir: String): String = ExportPaths.forCorpus("pagerank", dir)
+
+  @volatile private var exportedDir: String = "/root/testdata/sf0.01"
+
+  /** Run by Verify ahead of the query dump (idempotent). */
+  def exportRanks(spark: SparkSession, dir: String): Unit = {
+    exportedDir = dir
+    pagerankRaw(spark, dir).coalesce(1).write.mode("overwrite")
+      .parquet(exportPath(dir))
+  }
+
+  /** The registered query — export-gate form (the ml_golden_gate /
+    * ds_hll idiom). The previous DECIMAL(18,8) emission failed the
+    * driver's hash (CORRECTNESS_r06): a 5-round float recurrence can
+    * land a rank within ulps of a half-digit boundary and the engines
+    * round apart. Emission is now the exported doubles passed through
+    * byte-identically (both engines read the same parquet) plus a
+    * tolerance boolean each engine derives by replaying the recurrence
+    * independently — logic drift fails the boolean, summation-order
+    * drift cannot flip anything. */
+  def pagerank(spark: SparkSession, dir: String): DataFrame = {
+    ensureExported(spark, dir)
+    val est = spark.read.parquet(exportPath(dir))
+      .select(col("s_suppkey"), col("pr"))
+    pagerankRaw(spark, dir)
+      .select(col("s_suppkey"), col("pr").as("pr2"))
+      .join(est, Seq("s_suppkey"))
+      .select(col("s_suppkey"), col("pr"),
+        (abs(col("pr2") - col("pr")) <= GateTol).as("pr_ok"))
+      .orderBy("s_suppkey")
+  }
+
+  private def ensureExported(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(exportPath(dir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) exportRanks(spark, dir)
   }
 
   /** Part co-purchase edges, undirected unique (a < b): p1–p2 iff both
@@ -151,11 +193,15 @@ object Graphs {
        |FROM e JOIN $prev ON e.src = $prev.v JOIN deg ON e.src = deg.src CROSS JOIN nn
        |GROUP BY e.dst, nn.n)""".stripMargin
 
-  val oracleSql: Map[String, String] = Map(
-    "q32_pagerank" -> (edgeCte + ",\n" +
+  /** def, not val: the export path is corpus-keyed and resolved after
+    * Verify's export pass sets `exportedDir` (the Sketches discipline). */
+  def oracleSql: Map[String, String] = Map(
+    "q32_pagerank" -> (s"WITH est AS (SELECT s_suppkey, pr FROM '${exportPath(exportedDir)}/*.parquet'),\n" +
+      edgeCte.replaceFirst("WITH ", "") + ",\n" +
       "r0 AS (SELECT DISTINCT src AS v, 1.0 / nn.n AS r FROM e CROSS JOIN nn),\n" +
       (1 to PrIters).map(i => prRound(s"r${i - 1}", s"r$i")).mkString(",\n") + "\n" +
-      s"SELECT v AS s_suppkey, CAST(r AS DECIMAL(18,8)) AS pr FROM r$PrIters ORDER BY s_suppkey")
+      s"SELECT est.s_suppkey, est.pr, ABS(r.r - est.pr) <= $GateTol AS pr_ok " +
+      s"FROM est JOIN r$PrIters r ON r.v = est.s_suppkey ORDER BY est.s_suppkey")
       .replaceAll("\n", " "),
     "q33_triangles" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

@@ -91,20 +91,40 @@ object Snapshots {
   /** Parent schema widened by the batch's new columns: parent fields keep
     * their order, genuinely new fields append (ADD COLUMN); a field
     * present in both must agree on type — evolution here is additive,
-    * never a silent cast. */
+    * never a silent cast. Names resolve CASE-INSENSITIVELY, matching
+    * Spark's default analysis: appending a frame with `ID` to a table
+    * with `id` must type-check against the existing column, not declare
+    * a duplicate field that breaks every schema-applied read. */
   private def mergeSchemas(parent: Option[org.apache.spark.sql.types.StructType],
       batch: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
     parent match {
       case None => batch
       case Some(p) =>
         batch.fields.foreach { f =>
-          p.fields.find(_.name == f.name).foreach { pf =>
+          p.fields.find(_.name.equalsIgnoreCase(f.name)).foreach { pf =>
             require(pf.dataType == f.dataType,
               s"schema evolution: column ${f.name} changed type ${pf.dataType} -> ${f.dataType}")
           }
         }
         org.apache.spark.sql.types.StructType(
-          p.fields ++ batch.fields.filterNot(f => p.fieldNames.contains(f.name)))
+          p.fields ++ batch.fields.filterNot(f =>
+            p.fields.exists(_.name.equalsIgnoreCase(f.name))))
+    }
+
+  /** Parent schema for a commit's merge: the declared header when the
+    * parent manifest carries one; for a LEGACY manifest (pre-evolution
+    * log, no `#schema` line) with file entries, inferred from the parent
+    * file list itself (one mergeSchema read — a bounded, once-per-commit
+    * planning cost, paid only until the next commit writes a header).
+    * Without this, appending to a legacy table would re-declare the
+    * schema as the batch's alone and parent-only columns would silently
+    * vanish from every read of every subsequent version. */
+  private def parentSchemaOf(spark: SparkSession, dir: String,
+      parentRaw: Seq[String]): Option[org.apache.spark.sql.types.StructType] =
+    schemaOf(parentRaw).orElse {
+      val files = entryLines(parentRaw).map(parseEntry).map(e => s"$dir/${e.path}")
+      if (files.isEmpty) None
+      else Some(spark.read.option("mergeSchema", "true").parquet(files: _*).schema)
     }
 
   /** A manifest line: a batch-relative path plus optional per-file
@@ -183,7 +203,8 @@ object Snapshots {
       else prior.lastOption.map(readManifest(spark, dir, _)).getOrElse(Seq.empty)
     // the child manifest re-declares the (possibly widened) schema; the
     // parent's header is superseded, its file entries carry over
-    val schema = mergeSchemas(if (overwrite) None else schemaOf(parentRaw), df.schema)
+    val schema = mergeSchemas(
+      if (overwrite) None else parentSchemaOf(spark, dir, parentRaw), df.schema)
     val tmp = new Path(s"$dir/_log/$v.tmp")
     fs.mkdirs(new Path(s"$dir/_log"))
     val out = fs.create(tmp, true)
@@ -240,7 +261,8 @@ object Snapshots {
       val parentRaw =
         if (overwrite) Seq.empty
         else prior.lastOption.map(readManifest(spark, dir, _)).getOrElse(Seq.empty)
-      val schema = mergeSchemas(if (overwrite) None else schemaOf(parentRaw), df.schema)
+      val schema = mergeSchemas(
+        if (overwrite) None else parentSchemaOf(spark, dir, parentRaw), df.schema)
       val tmp = new Path(s"$dir/_log/$v-$uniq.tmp")
       val out = fs.create(tmp, true)
       try out.write((schemaHeader(schema) +: (entryLines(parentRaw) ++ entries.map(_.line)))
@@ -368,7 +390,12 @@ object Snapshots {
   /** Retain the last `keep` versions: drop older manifests, then delete
     * every batch dir no surviving manifest references — except
     * unreferenced dirs modified within `orphanGraceMs` (in-flight
-    * commits; see [[OrphanGraceMs]]). */
+    * commits; see [[OrphanGraceMs]]). Also reclaims stale `.tmp`
+    * manifests under `_log` older than the grace window: a
+    * [[commitOptimistic]] writer that crashes between temp-write and
+    * publish leaves its tmp behind, and on crashy workloads those
+    * accumulate unboundedly — a tmp never matches the published-version
+    * regex, so removal is safe. */
   def vacuum(spark: SparkSession, dir: String, keep: Int = 2,
       orphanGraceMs: Long = OrphanGraceMs): Unit = {
     val fs = fsFor(spark, dir)
@@ -384,6 +411,12 @@ object Snapshots {
         .filterNot(st => live(st.getPath.getName))
         .filter(_.getModificationTime <= cutoff)
         .foreach(st => fs.delete(st.getPath, true))
+    val logRoot = new Path(s"$dir/_log")
+    if (fs.exists(logRoot))
+      fs.listStatus(logRoot).toSeq
+        .filter(_.getPath.getName.endsWith(".tmp"))
+        .filter(_.getModificationTime <= cutoff)
+        .foreach(st => fs.delete(st.getPath, false))
   }
 
   /** Value split for the oracled demo: commit 1 = high-value events,

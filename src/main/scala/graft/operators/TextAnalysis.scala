@@ -414,6 +414,17 @@ object TextAnalysis {
     * shared fingerprints ≈ a dozen shared 3-gram windows. */
   val WinMinShared = 5
 
+  /** Max doc-frequency for a fingerprint to enter the pair join: a
+    * fingerprint shared by more docs than this is boilerplate, not
+    * copying, and its join bucket is df² pairs — one license header
+    * shared by 10⁶ docs is a 10¹²-pair bucket at corpus scale. Dropping
+    * it caps the worst bucket at WinMaxFpDf² while only LOWERING shared
+    * counts (a pair sharing nothing but boilerplate drops out — the
+    * intended stop-list semantics, same as ngramJaccard's). Fixture max
+    * df is 7, so oracle SFs are untouched; the oracle SQL applies the
+    * same cap, keeping the two engines equivalent at ANY SF. */
+  val WinMaxFpDf = 50
+
   /** Winnowing copy-detection pairs — the MOSS join (Schleimer 2003 §5):
     * documents sharing ≥ WinMinShared selected fingerprints. This is
     * what the fingerprint table EXISTS for: the join runs over the
@@ -423,14 +434,26 @@ object TextAnalysis {
     * bounds what it can miss: any shared run of ≥ WinW+WinK−1 tokens
     * contributes at least one shared fingerprint.
     *
-    * Scale shape: distinct (doc, fp) → fp-keyed equi self-join → pair
-    * hash agg. Fingerprint doc-frequency is naturally low (max 7, mean
-    * 1.4 on the fixture); a boilerplate-hot fingerprint would get the
-    * same max-doc-freq stop-list ngramJaccard documents. */
-  def winnowPairs(spark: SparkSession, dir: String): DataFrame = {
+    * Scale shape: distinct (doc, fp) → df stop-list ([[WinMaxFpDf]]) →
+    * fp-keyed equi self-join → pair hash agg. */
+  def winnowPairs(spark: SparkSession, dir: String): DataFrame =
+    winnowPairsImpl(spark, dir, WinMaxFpDf)
+
+  /** The pair join with an explicit df cap (Int.MaxValue = uncapped, for
+    * the spec's capped-vs-uncapped contrast on a constructed hot-fp
+    * corpus). */
+  def winnowPairsImpl(spark: SparkSession, dir: String,
+      maxFpDocFreq: Int): DataFrame = {
     val fps = winnowing(spark, dir).select(col("doc_id"), col("fp")).distinct()
-    fps.select(col("doc_id").as("a_id"), col("fp"))
-      .join(fps.select(col("doc_id").as("b_id"), col("fp")), Seq("fp"))
+    val joinable =
+      if (maxFpDocFreq == Int.MaxValue) fps
+      else {
+        val df = fps.groupBy("fp").agg(count(lit(1)).as("docfreq"))
+          .filter(col("docfreq") <= maxFpDocFreq)
+        fps.join(df.select("fp"), Seq("fp"))
+      }
+    joinable.select(col("doc_id").as("a_id"), col("fp"))
+      .join(joinable.select(col("doc_id").as("b_id"), col("fp")), Seq("fp"))
       .filter(col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= WinMinShared)
@@ -481,9 +504,11 @@ object TextAnalysis {
         |FROM sel ORDER BY doc_id, pos""".stripMargin.replaceAll("\n", " "),
     "dd_winnow_pairs" ->
       s"""$winnowCte,
-        |fps AS (SELECT DISTINCT doc_id, winmin AS fp FROM sel)
+        |fps AS (SELECT DISTINCT doc_id, winmin AS fp FROM sel),
+        |ok AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= $WinMaxFpDf),
+        |j AS (SELECT doc_id, fp FROM fps WHERE fp IN (SELECT fp FROM ok))
         |SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared
-        |FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |FROM j a JOIN j b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING COUNT(*) >= $WinMinShared
         |ORDER BY a_id, b_id""".stripMargin.replaceAll("\n", " "),
     "tx_boilerplate" ->

@@ -23,11 +23,13 @@ class GraphOpsSpec extends SparkSpec {
   test("pagerank conserves probability mass and ranks every graph node") {
     val pr = Graphs.pagerank(spark, sf).collect()
     assert(pr.nonEmpty)
-    val mass = pr.map(_.getDecimal(1).doubleValue()).sum
+    // the gate booleans must all hold (Spark's replay vs its own export)
+    assert(pr.forall(_.getBoolean(2)), "pr_ok gate failed on self-replay")
+    val mass = pr.map(_.getDouble(1)).sum
     // Σr = 1 is invariant per round on a dangling-free graph (teleport
-    // mass (1−d) + distributed mass d); decimal rounding adds ≤ 5e-9·N
-    assert(math.abs(mass - 1.0) < 1e-5, s"mass $mass")
-    assert(pr.forall(_.getDecimal(1).doubleValue() > 0))
+    // mass (1−d) + distributed mass d)
+    assert(math.abs(mass - 1.0) < 1e-9, s"mass $mass")
+    assert(pr.forall(_.getDouble(1) > 0))
     // node set == distinct co-occurring suppliers
     val os = Tables.lineitem(spark, sf)
       .select(col("l_orderkey").as("o"), col("l_suppkey").as("s")).distinct()
@@ -35,6 +37,34 @@ class GraphOpsSpec extends SparkSpec {
       .join(os.select(col("o"), col("s").as("b")), Seq("o"))
       .filter(col("a") =!= col("b")).select(col("a")).distinct().count()
     assert(pr.length == nodes)
+  }
+
+  test("pagerank gate margin: an independent sequential replay lands ≥3 decades inside GateTol") {
+    // the cross-engine situation the export-gate defends: a DIFFERENT
+    // summation order replaying the same recurrence. A driver-side
+    // sequential replay (plain Scala fold over sorted edges) vs the
+    // engine's partial-agg sums measures the real drift; the gate bound
+    // must dominate it by ≥3 orders of magnitude.
+    val edges = Graphs.pagerank(spark, sf) // ensures export + caches edges
+    val eo = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("o"), col("l_suppkey").as("s")).distinct()
+    val e = eo.select(col("o"), col("s").as("src"))
+      .join(eo.select(col("o"), col("s").as("dst")), Seq("o"))
+      .filter(col("src") =!= col("dst")).select("src", "dst").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity)
+    val outdeg = e.groupBy(_._1).map { case (k, v) => k -> v.length }
+    val nodes = e.map(_._1).distinct.sorted
+    val n = nodes.length
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to Graphs.PrIters) {
+      val inflow = scala.collection.mutable.Map(nodes.map(_ -> 0.0): _*)
+      e.foreach { case (s, d) => inflow(d) += r(s) / outdeg(s) }
+      r = nodes.map(v => v -> (0.15 / n + 0.85 * inflow(v))).toMap
+    }
+    val engine = edges.collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val maxDrift = nodes.map(v => math.abs(engine(v) - r(v))).max
+    assert(maxDrift < Graphs.GateTol / 1e3,
+      s"sequential-replay drift $maxDrift leaves <3 decades under ${Graphs.GateTol}")
   }
 
   test("degree-oriented triangle counts equal the naive a<b<c enumeration") {

@@ -17,15 +17,37 @@ class MixtureSpec extends SparkSpec {
   test("doremi: weights stay on the simplex and move toward high-loss domains") {
     val w = Doremi.domainWeights(spark, sf).collect()
     assert(w.length > 1)
-    val total = w.map(_.getAs[java.math.BigDecimal]("w").doubleValue()).sum
-    assert(math.abs(total - 1.0) < 1e-6, s"weights sum to $total")
+    // the gate booleans must all hold (Spark's replay vs its own export)
+    assert(w.forall(r => r.getAs[Boolean]("loss_ok") && r.getAs[Boolean]("w_ok")),
+      "gate failed on self-replay")
+    val total = w.map(_.getAs[Double]("w")).sum
+    assert(math.abs(total - 1.0) < 1e-9, s"weights sum to $total")
     // direction: the max-loss domain ends above uniform, the min-loss below
     val uniform = 1.0 / w.length
-    val byLoss = w.sortBy(_.getAs[java.math.BigDecimal]("loss").doubleValue())
-    assert(byLoss.last.getAs[java.math.BigDecimal]("w").doubleValue() > uniform,
+    val byLoss = w.sortBy(_.getAs[Double]("loss"))
+    assert(byLoss.last.getAs[Double]("w") > uniform,
       "max-loss domain did not gain mass")
-    assert(byLoss.head.getAs[java.math.BigDecimal]("w").doubleValue() < uniform,
+    assert(byLoss.head.getAs[Double]("w") < uniform,
       "min-loss domain did not lose mass")
+  }
+
+  test("doremi gate margin: ulp-scale loss perturbation moves weights ≥3 decades inside GateTol") {
+    // the cross-engine situation the export-gate defends: the other
+    // engine's losses/partial sums differ in the last ulp. Perturb every
+    // loss by ±1e-13 (≫ the real cross-engine drift on integer-sum
+    // losses) and bound the recurrence's condition number: the weight
+    // movement must stay ≥3 orders of magnitude under the gate bound.
+    val losses = Seq("a" -> 0.11, "b" -> 0.23, "c" -> 0.37, "d" -> 0.05, "e" -> 0.29)
+    val base = Doremi.mwu(losses)
+    val eps = 1e-13
+    val drifts = Seq(1, -1).map { sign =>
+      val pert = losses.zipWithIndex.map { case ((s, l), i) =>
+        s -> (l + sign * (if (i % 2 == 0) eps else -eps)) }
+      val w2 = Doremi.mwu(pert)
+      losses.map { case (s, _) => math.abs(w2(s) - base(s)) }.max
+    }
+    assert(drifts.max < Doremi.GateTol / 1e3,
+      s"perturbation drift ${drifts.max} leaves <3 decades under ${Doremi.GateTol}")
   }
 
   test("doremi: kernel matches a hand-rolled reference; clamp keeps adversarial spreads positive") {
@@ -218,6 +240,37 @@ class MixtureSpec extends SparkSpec {
     assert(exact.nonEmpty)
     val recall = exact.count(winnow).toDouble / exact.size
     assert(recall >= 0.9, s"winnow-pair recall $recall (${exact.size} exact, ${winnow.size} winnow)")
+  }
+
+  test("winnow pairs: a boilerplate-hot fingerprint is stop-listed, true dups survive") {
+    import spark.implicits._
+    // 60 docs share one 40-token boilerplate run (fingerprint df = 60 >
+    // WinMaxFpDf) but are otherwise unique; docs 1 and 2 share a
+    // DIFFERENT 40-token run seen nowhere else (df = 2). The capped join
+    // must pair ONLY (1,2); the uncapped join drowns in the 60·59/2
+    // boilerplate pairs — the quadratic bucket the stop-list exists for.
+    val boiler = (1 to 40).map(i => s"boil$i").mkString(" ")
+    val dupRun = (1 to 40).map(i => s"dup$i").mkString(" ")
+    val docs =
+      Seq((1L, s"u1a u1b $dupRun u1c u1d", "en", "s", 0L),
+          (2L, s"u2a $dupRun u2b u2c u2d", "en", "s", 0L)) ++
+      (0 until 60).map(i =>
+        (100L + i, s"f${i}a f${i}b f${i}c $boiler f${i}d f${i}e", "en", "s", 0L))
+    val dir = java.nio.file.Files.createTempDirectory("hotfp").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(docs.map(_._1).toSet.size == docs.size)
+    val capped = TextAnalysis.winnowPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(capped.map(p => (p._1, p._2)).toSet == Set((1L, 2L)),
+      s"capped pairs: ${capped.toSeq}")
+    assert(capped.head._3 >= TextAnalysis.WinMinShared)
+    val uncapped = TextAnalysis.winnowPairsImpl(spark, dir, Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((1L, 2L)))
+    // without the cap the hot fingerprint creates the full pair clique
+    assert(uncapped.size > 1000,
+      s"expected the boilerplate clique without the cap, got ${uncapped.size} pairs")
   }
 
   test("collocations: known pair tops a constructed corpus with exact lift") {

@@ -67,6 +67,60 @@ class SnapshotsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Snapshots.read(spark, d, Some(1)))
   }
 
+  test("append to a legacy headerless manifest preserves parent-only columns") {
+    val d = freshDir("legacy")
+    Snapshots.commit(Seq((1L, "a", 10.0)).toDF("id", "s", "extra"), d)
+    // strip the schema header from v1's manifest — a pre-evolution log
+    val fs = new Path(d).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mp = new Path(f"$d/_log/${1}%08d.manifest")
+    val in = fs.open(mp)
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    val out = fs.create(mp, true)
+    try out.write(lines.filterNot(_.startsWith("#")).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    assert(Snapshots.schemaAt(spark, d).isEmpty)
+    // append a batch WITHOUT the extra column: the new header must be
+    // inferred from the parent files, not declared as the batch's alone
+    Snapshots.commit(Seq((2L, "b")).toDF("id", "s"), d)
+    val latest = Snapshots.read(spark, d)
+    assert(latest.columns.toSet == Set("id", "s", "extra"),
+      s"parent-only column lost: ${latest.columns.toSeq}")
+    val rows = latest.orderBy("id").collect()
+    assert(rows(0).getAs[Double]("extra") == 10.0)
+    assert(rows(1).isNullAt(rows(1).fieldIndex("extra")))
+  }
+
+  test("schema evolution resolves column names case-insensitively") {
+    val d = freshDir("case")
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "s"), d)
+    // same column spelled ID: must type-check against `id`, not append a
+    // duplicate field to the declared schema
+    Snapshots.commit(Seq((2L, "b")).toDF("ID", "s"), d)
+    val st = Snapshots.schemaAt(spark, d).get
+    assert(st.fields.count(_.name.equalsIgnoreCase("id")) == 1,
+      s"duplicate field declared: ${st.fieldNames.toSeq}")
+    assert(Snapshots.read(spark, d).count() == 2)
+    // and a case-varied TYPE change is still rejected
+    intercept[IllegalArgumentException](
+      Snapshots.commit(Seq(("x", "c")).toDF("ID", "s"), d))
+  }
+
+  test("vacuum reclaims stale _log tmp files from crashed optimistic writers") {
+    val d = freshDir("tmpvac")
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "s"), d)
+    val fs = new Path(d).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crashed writer: tmp manifest written, never published
+    val tmp = new Path(s"$d/_log/2-deadbeef.tmp")
+    val out = fs.create(tmp, true)
+    try out.write("data/budeadbeef/x.parquet".getBytes("UTF-8")) finally out.close()
+    Snapshots.vacuum(spark, d, keep = 5) // inside grace: an in-flight writer's tmp
+    assert(fs.exists(tmp), "in-flight tmp reclaimed inside the grace window")
+    Snapshots.vacuum(spark, d, keep = 5, orphanGraceMs = 0L)
+    assert(!fs.exists(tmp), "stale tmp manifest survived vacuum")
+    assert(Snapshots.versions(spark, d) == Seq(1)) // published log untouched
+  }
+
   test("commit with an all-null stats column records a stats-free entry, not a crash") {
     val d = freshDir("nullstats")
     val df = Seq((1L, Option.empty[Double]), (2L, Option.empty[Double]))
