@@ -208,25 +208,62 @@ object Bpe {
       .orderBy("round")
   }
 
-  /** tx_bpe stays rows-only (the end-to-end tokenize depends on the
-    * learned vocabulary, whose training loop has no single-SQL form);
-    * tx_bpe_merges is the oracled surface — the merge recurrence itself,
-    * recomputed by both engines from the exported round states. */
+  /** Both rows oracled (r7): tx_bpe_merges recomputes the merge
+    * recurrence from the exported round states; tx_bpe additionally
+    * re-ENCODES every distinct word in DuckDB with a recursive CTE over
+    * the merge table those same states imply — repeat-leftmost single
+    * replacement per merge priority, which reaches the same fixed point
+    * as [[mergeOnce]]'s one left-to-right pass (a merged symbol `ab` can
+    * never itself be `a` or `b`, so no pass creates occurrences an
+    * earlier position could claim) — then re-aggregates per document.
+    * The only engine-derived input is the state export both engines
+    * read (the ds_hll export-gate discipline); encode + per-doc sums
+    * are fully independent. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_bpe" -> ((s: SparkSession, d: String) => tokenize(s, d)),
     "tx_bpe_merges" -> ((s: SparkSession, d: String) => mergesFromStates(s, d)),
   )
 
+  /** Merge table in priority order, as a DuckDB CTE chain ending in
+    * `m(a, b, k, pat, rep)` — symbols delimited by chr(31) with leading/
+    * trailing sentinels so a pair pattern can never match inside a
+    * longer symbol. */
+  private def mergesCte(dir: String): String =
+    s"""st AS (SELECT round, syms, cnt FROM '${statesExport(dir)}/*.parquet'),
+      |pr AS (SELECT round, syms[i] AS a, syms[i+1] AS b, cnt
+      |FROM st, LATERAL (SELECT unnest(generate_series(1, len(syms)-1)) i)
+      |WHERE len(syms) > 1),
+      |agg AS (SELECT round, a, b, SUM(cnt) AS n FROM pr GROUP BY 1, 2, 3),
+      |best AS (SELECT round, a, b, n,
+      |row_number() OVER (PARTITION BY round ORDER BY n DESC, a, b) AS rk FROM agg),
+      |m AS (SELECT round, a, b, n, row_number() OVER (ORDER BY round) AS k,
+      |chr(31) || a || chr(31) || b || chr(31) AS pat, chr(31) || a || b || chr(31) AS rep
+      |FROM best WHERE rk = 1 AND n >= 2)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "tx_bpe_merges" ->
-      s"""WITH st AS (SELECT round, syms, cnt FROM '${statesExport(exportedDir)}/*.parquet'),
-        |pr AS (SELECT round, syms[i] AS a, syms[i+1] AS b, cnt
-        |FROM st, LATERAL (SELECT unnest(generate_series(1, len(syms)-1)) i)
-        |WHERE len(syms) > 1),
-        |agg AS (SELECT round, a, b, SUM(cnt) AS n FROM pr GROUP BY 1, 2, 3),
-        |best AS (SELECT round, a, b, n,
-        |row_number() OVER (PARTITION BY round ORDER BY n DESC, a, b) AS rk FROM agg)
-        |SELECT round, a, b, CAST(n AS BIGINT) AS n FROM best
-        |WHERE rk = 1 AND n >= 2 ORDER BY round""".stripMargin.replaceAll("\n", " "),
+      s"""WITH ${mergesCte(exportedDir)}
+        |SELECT round, a, b, CAST(n AS BIGINT) AS n FROM m
+        |ORDER BY round""".stripMargin.replaceAll("\n", " "),
+    "tx_bpe" ->
+      s"""WITH RECURSIVE ${mergesCte(exportedDir)},
+        |nm AS (SELECT COUNT(*) AS nmax FROM m),
+        |w AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS word FROM documents),
+        |w2 AS (SELECT word FROM w WHERE len(word) > 0),
+        |enc AS (
+        |SELECT word, regexp_replace(word, '(.)', chr(31) || '\\1', 'g') || '</w>' || chr(31) AS s, 1 AS k FROM w2
+        |UNION ALL
+        |SELECT e.word,
+        |CASE WHEN instr(e.s, m.pat) > 0
+        |THEN substr(e.s, 1, instr(e.s, m.pat) - 1) || m.rep || substr(e.s, instr(e.s, m.pat) + len(m.pat))
+        |ELSE e.s END,
+        |CASE WHEN instr(e.s, m.pat) > 0 THEN e.k ELSE e.k + 1 END
+        |FROM enc e JOIN m ON m.k = e.k),
+        |wc AS (SELECT word, len(s) - len(replace(s, chr(31), '')) - 1 AS bpe_len
+        |FROM enc WHERE k = (SELECT nmax FROM nm) + 1),
+        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nt, CAST(SUM(bpe_len) AS BIGINT) AS bpe_tokens
+        |FROM tok JOIN wc USING (word)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
   )
 }

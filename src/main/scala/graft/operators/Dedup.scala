@@ -397,48 +397,57 @@ object Dedup {
       .select("a_id", "b_id", "hd")
   }
 
-  /** 64-bit SimHash fingerprints via xxhash64 — the production width (a
-    * 32-bit space saturates near √2³² ≈ 65k docs by birthday collision;
-    * 64 bits carries billions). One BIGINT per doc: bit j is the sign of
-    * Σ_tokens (±1 from bit j of xxhash64(token)). Engine-internal hash
-    * family (like signaturesFast), so its PAIR query verifies candidates
-    * with exact Jaccard and is oracled against the exact pair set. */
+  /** 64-bit SimHash fingerprints — the production width (a 32-bit space
+    * saturates near √2³² ≈ 65k docs by birthday collision; 64 bits
+    * carries billions). Bit j (0..63) is the sign of Σ_tokens (±1 from
+    * bit j%4 of md5 nibble j div 4) — 64 independent hyperplane bits
+    * from the first 16 md5 nibbles, pure hex/bit arithmetic BOTH
+    * engines replay exactly (the mm_cdc_chunks discipline; the earlier
+    * xxhash64 basis had no DuckDB equivalent and left this row
+    * rows-only). Emitted as a 64-char bitstring like [[simhash]]: a
+    * BIGINT emission needs 1<<63, which DuckDB's checked shift refuses;
+    * engine-side the bitstring packs to BIGINT in one conv() select if
+    * storage dominates. */
   def simhash64(spark: SparkSession, dir: String): DataFrame =
     spread(spark, Tables.documents(spark, dir))
       .select(col("doc_id"), explode(tokens).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      .select(col("doc_id"), md5(col("tok")).as("h"))
       .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(63))).as("j"))
-      .withColumn("v", when(expr("(h >> j) & 1") === 1, 1).otherwise(-1))
+      .withColumn("nib",
+        expr("instr('0123456789abcdef', substr(h, CAST(j div 4 AS INT) + 1, 1)) - 1"))
+      .withColumn("v",
+        when(expr("(nib >> CAST(j % 4 AS INT)) & 1") === 1, 1).otherwise(-1))
       .groupBy("doc_id", "j").agg(sum("v").as("sv"))
+      .withColumn("b", when(col("sv") > 0, lit("1")).otherwise(lit("0")))
       .groupBy("doc_id")
-      .agg(sum(when(col("sv") > 0, expr("shiftleft(1L, CAST(j AS INT))"))
-        .otherwise(lit(0L))).as("fp"))
+      .agg(array_join(transform(array_sort(collect_list(struct(col("j"), col("b")))),
+        x => x.getField("b")), "").as("fp"))
       .orderBy("doc_id")
 
   // hd ≤ 1 via two 32-bit pigeonhole halves: measured at sf0.01, hd ≤ 1
-  // emits ONLY true j ≥ 0.5 near-dups (6 pairs, zero vocabulary
-  // collisions) while hd ≥ 2 admits same-vocabulary false positives —
-  // and the 32-bit band keyspace (4G buckets) keeps bucket groups tiny
-  // at any corpus size, unlike 16-bit quarters
+  // emits ONLY true j ≥ 0.5 near-dups (5 pairs on the md5-nibble family,
+  // zero vocabulary collisions) while hd ≥ 2 admits same-vocabulary
+  // false positives — and the 32-bit band keyspace (4G buckets) keeps
+  // bucket groups tiny at any corpus size, unlike 16-bit quarters
   val Simhash64MaxHamming = 1
 
   /** 64-bit SimHash near-dup pairs: pigeonhole banding (hd+1 bands —
     * any pair at Hamming ≤ hd agrees exactly on ≥ 1 band, lossless
-    * candidate generation), exact bit_count Hamming verify.
-    * Spec-gated, not oracled: the 64-bit fingerprint at hd ≤ 1 is a
-    * HIGH-PRECISION near-dup detector (identical or near-identical
-    * docs) — ExtensionsSpec asserts perfect precision against the exact
-    * j ≥ 0.5 pair set plus the no-NLJ plan shape. The hamming radius is
-    * the precision/recall knob (hd ≤ 3 lifts recall to 0.6 on this
-    * corpus but admits same-vocabulary collisions). */
+    * candidate generation), exact Hamming verify over the bitstring.
+    * Oracled since r7 (the md5-nibble basis is cross-engine); the
+    * oracle computes the same hd ≤ 1 pair set from the full pair space
+    * — losslessness makes banded and exhaustive forms equal by
+    * construction. ExtensionsSpec additionally asserts perfect
+    * precision against the exact j ≥ 0.5 pair set and the no-NLJ plan
+    * shape. The hamming radius is the precision/recall knob (hd ≤ 3
+    * lifts recall but admits same-vocabulary collisions). */
   def simhash64Pairs(spark: SparkSession, dir: String): DataFrame = {
     val nBands = Simhash64MaxHamming + 1
     val fp = PersistSlots.cached(spark, s"simhash64-fp:$dir")(simhash64(spark, dir))
-    val bandWidth = 64 / nBands
-    val mask = if (bandWidth >= 64) -1L else (1L << bandWidth) - 1
+    val bandLen = 64 / nBands
     val bandCols = (0 until nBands).map { bi =>
       struct(lit(bi).as("band_idx"),
-        expr(s"(fp >> ${bi * bandWidth}) & $mask").as("band_bits"))
+        substring(col("fp"), bi * bandLen + 1, bandLen).as("band_bits"))
     }
     val bands = fp.select(col("doc_id"), col("fp"),
         explode(array(bandCols: _*)).as("bd"))
@@ -448,12 +457,17 @@ object Dedup {
       col("band_idx"), col("band_bits"))
     val y = bands.select(col("doc_id").as("b_id"), col("fp").as("fpb"),
       col("band_idx"), col("band_bits"))
-    x.join(y, Seq("band_idx", "band_bits"))
+    val cand = x.join(y, Seq("band_idx", "band_bits"))
       .filter(col("a_id") < col("b_id"))
-      .withColumn("hd", expr("bit_count(fpa ^ fpb)").cast("long"))
+      .select("a_id", "b_id", "fpa", "fpb")
+      .dropDuplicates("a_id", "b_id")
+    val hamming = (1 to 64).map(j =>
+      when(expr(s"substr(fpa, $j, 1)") =!= expr(s"substr(fpb, $j, 1)"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .withColumn("hd", hamming.cast("long"))
       .filter(col("hd") <= Simhash64MaxHamming)
       .select("a_id", "b_id", "hd")
-      .distinct()
       .orderBy("a_id", "b_id")
   }
 
@@ -659,9 +673,9 @@ object Dedup {
     "dd_incremental" -> ((s: SparkSession, d: String) => incrementalPairs(s, d)),
     "dd_simhash" -> simhash _,
     "dd_simhash_pairs" -> simhashPairs _,
-    // the 64-bit production family: engine-internal xxhash64 (no DuckDB
-    // equivalent), so no oracleSql entry — driver records rows-only;
-    // ExtensionsSpec carries the precision + no-NLJ plan gates
+    // the 64-bit production family: md5-nibble hyperplane bits (r7 —
+    // cross-engine arithmetic, fully oracled); ExtensionsSpec adds the
+    // precision + no-NLJ plan gates
     "dd_simhash64" -> simhash64 _,
     "dd_simhash64_pairs" -> simhash64Pairs _,
     "dd_embed_cos" -> embeddingCosine _,
@@ -682,6 +696,18 @@ object Dedup {
   private val sigCte = shingleCte + ", sig AS (SELECT doc_id, " +
     (0 until MinhashFuncs).map(i => s"MIN(md5('$i:' || s)) AS mh$i").mkString(", ") +
     " FROM sh GROUP BY doc_id)"
+
+  // 64-bit simhash fingerprints: bit j = sign of Σ (±1 from bit j%4 of
+  // md5 nibble j div 4) — the exact arithmetic of [[simhash64]]
+  private val simhash64Cte =
+    """WITH h AS (SELECT doc_id, md5(unnest(string_split(text,' '))) h FROM documents),
+      |bits AS (SELECT doc_id, j,
+      |CASE WHEN SUM(CASE WHEN (((instr('0123456789abcdef', substr(h, CAST(j // 4 AS INT) + 1, 1)) - 1)
+      |>> CAST(j % 4 AS INT)) & 1) = 1 THEN 1 ELSE -1 END) > 0
+      |THEN '1' ELSE '0' END AS b
+      |FROM h, (SELECT unnest(generate_series(0,63)) j) GROUP BY doc_id, j),
+      |fps AS (SELECT doc_id, string_agg(b, '' ORDER BY j) AS fp FROM bits GROUP BY doc_id)"""
+      .stripMargin.replaceAll("\n", " ")
 
   val oracleSql: Map[String, String] = Map(
     "dd_exact" ->
@@ -805,6 +831,19 @@ object Dedup {
         |FROM h, (SELECT unnest(generate_series(1,32)) j) GROUP BY doc_id, j)
         |SELECT doc_id, string_agg(b, '' ORDER BY j) AS sh FROM bits
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "dd_simhash64" -> (simhash64Cte +
+      " SELECT doc_id, fp FROM fps ORDER BY doc_id"),
+    // losslessness of the pigeonhole banding means the banded engine
+    // result equals the exhaustive hd <= radius pair set — which is what
+    // the oracle computes (the oracle role tolerates the quadratic form)
+    "dd_simhash64_pairs" -> (simhash64Cte +
+      s""" SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |CAST(SUM(CASE WHEN substr(a.fp, j, 1) <> substr(b.fp, j, 1) THEN 1 ELSE 0 END) AS BIGINT) AS hd
+        |FROM fps a JOIN fps b ON a.doc_id < b.doc_id,
+        |(SELECT unnest(generate_series(1, 64)) AS j)
+        |GROUP BY 1, 2
+        |HAVING SUM(CASE WHEN substr(a.fp, j, 1) <> substr(b.fp, j, 1) THEN 1 ELSE 0 END) <= $Simhash64MaxHamming
+        |ORDER BY a_id, b_id""".stripMargin.replaceAll("\n", " ")),
     "dd_simhash_pairs" ->
       ("""WITH h AS (SELECT doc_id, md5(unnest(string_split(text,' '))) h FROM documents),
         |bits AS (SELECT doc_id, j,

@@ -1,0 +1,122 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.operators.EntityResolution
+
+/** Streaming record linkage against a GROWING registry — the form
+  * [[EntityResolution.linkStream]] (stream vs frozen registry) cannot
+  * express: both sides arrive over time, and a clean record that lands
+  * AFTER a dirty record may be its best (or only) match. The batch
+  * answer over everything-so-far must emerge incrementally.
+  *
+  * Same keyed-state discipline as [[DocStreams]]: state lives per
+  * BLOCKING KEY (the name's stable 3-char suffix — uniformly distributed,
+  * so state spreads across executors exactly like the batch blocking
+  * join's shuffle), and holds (a) the registry records seen in this
+  * block and (b) the dirty records still resident with their current
+  * best link. Per micro-batch and block:
+  *
+  *   - new registry records join the block state, then are scored
+  *     against every RESIDENT dirty record — an improvement (smaller
+  *     (dist, a_key), the batch tie-break order) re-emits that record's
+  *     link;
+  *   - new dirty records score against the full block registry and emit
+  *     their current best link if any candidate clears [[EntityResolution.MaxDist]].
+  *
+  * Emission is append-mode "link improvements": the LATEST emission per
+  * b_key (equivalently the (dist, a_key)-minimum) is the record's
+  * current link, and once both feeds are drained it equals the batch
+  * [[EntityResolution.linkRegistries]] result exactly (ErStreamSpec).
+  *
+  * Scale notes: per-block work is |new| × |block| — the same block²
+  * bound as the batch join, paid incrementally; nothing is ever
+  * all-pairs. State is block-sized and permanent here (NoTimeout — the
+  * exact-parity configuration for bounded replays); an unbounded
+  * production registry bounds it with the [[DocStreams.nearDupCandidates]]
+  * horizon idiom (ProcessingTimeTimeout eviction) or by compacting
+  * resident dirty records once their link distance hits 0, which no
+  * later arrival can improve.
+  */
+object ErStreams {
+
+  /** Registry entries + resident dirty records (with current best) of
+    * one blocking bucket. bestDist = Int.MaxValue marks "no qualifying
+    * match yet". */
+  final case class BlockState(
+      reg: Seq[(Long, String)],
+      dirty: Seq[(Long, String, Int, Long)])
+
+  final case class ErLink(b_key: Long, a_key: Long, b_name: String, dist: Int)
+
+  /** Standard unit-cost edit distance — the driver-side twin of Spark's
+    * `levenshtein` expression (UTF8String.levenshteinDistance), needed
+    * because the scoring runs inside keyed state, not in a Column. */
+  private[streaming] def levenshtein(a: String, b: String): Int = {
+    val (m, n) = (a.length, b.length)
+    if (m == 0) return n
+    if (n == 0) return m
+    var prev = Array.tabulate(n + 1)(identity)
+    var cur = new Array[Int](n + 1)
+    var i = 1
+    while (i <= m) {
+      cur(0) = i
+      var j = 1
+      while (j <= n) {
+        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1
+        cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1), prev(j - 1) + cost)
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(n)
+  }
+
+  /** Link a unified (side, key, name) stream — side "a" = clean registry
+    * record, side "b" = dirty record — emitting per-dirty-record link
+    * improvements as either side grows. */
+  def linkGrowing(spark: SparkSession, records: DataFrame): Dataset[ErLink] = {
+    import spark.implicits._
+    val maxDist = EntityResolution.MaxDist
+    records
+      .select(substring(col("name"), -3, 3).as("blk"),
+        col("side"), col("key"), col("name"))
+      .as[(String, String, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[(String, String, Long, String)],
+            state: GroupState[BlockState]) =>
+          val st = state.getOption.getOrElse(BlockState(Seq.empty, Seq.empty))
+          val batch = rows.toSeq
+          val newReg = batch.collect { case (_, "a", k, n) => (k, n) }
+          val newDirty = batch.collect { case (_, "b", k, n) => (k, n) }
+          val reg = st.reg ++ newReg
+          val out = scala.collection.mutable.ArrayBuffer.empty[ErLink]
+          // resident dirty records: can only improve via NEW registry rows
+          val improved = st.dirty.map { case (bk, bn, bd, ba) =>
+            var (d, a) = (bd, ba)
+            newReg.foreach { case (ak, an) =>
+              val nd = levenshtein(an, bn)
+              if (nd <= maxDist && (nd < d || (nd == d && ak < a))) { d = nd; a = ak }
+            }
+            if ((d, a) != ((bd, ba))) out += ErLink(bk, a, bn, d)
+            (bk, bn, d, a)
+          }
+          // new dirty records: score against the full block registry
+          val fresh = newDirty.map { case (bk, bn) =>
+            var (d, a) = (Int.MaxValue, Long.MaxValue)
+            reg.foreach { case (ak, an) =>
+              val nd = levenshtein(an, bn)
+              if (nd <= maxDist && (nd < d || (nd == d && ak < a))) { d = nd; a = ak }
+            }
+            if (d != Int.MaxValue) out += ErLink(bk, a, bn, d)
+            (bk, bn, d, a)
+          }
+          state.update(BlockState(reg, improved ++ fresh))
+          out.iterator
+      }
+  }
+}

@@ -74,6 +74,36 @@ object SnapTime {
       println(f"[st] occ_${writers}w ${tOcc}%.2f s (${writers * perWriter} commits, " +
         f"versions=${vs.size}, linear=${vs == (1 to writers * perWriter)})")
     }
+
+    // ---- read-path law (VERDICT r6 #7): stats-pruned PLANNING must cost
+    // ∝ manifest lines (the log is KBs — zero footer reads, asserted in
+    // SnapshotsSpec via inputFiles), a pruned READ ∝ the kept batches,
+    // and the change feed ∝ the appended batch — all flat in table size.
+    // K day-batches with disjoint event_id ranges, statsCol = event_id.
+    val kBatches = args.drop(2).headOption.map(_.toInt).getOrElse(30)
+    val tbl2 = s"$work-readpath"
+    fs.delete(new org.apache.hadoop.fs.Path(tbl2), true)
+    val ids = ev.agg(min("event_id"), max("event_id")).head()
+    val (lo, hi) = (ids.getLong(0), ids.getLong(1))
+    val span = (hi - lo) / kBatches + 1
+    val evc = ev.cache(); evc.count()
+    val (_, tBuild) = time((0 until kBatches).foreach { i =>
+      Snapshots.commit(
+        evc.filter(col("event_id") >= lo + i * span && col("event_id") < lo + (i + 1) * span),
+        tbl2, statsCol = Some("event_id"))
+    })
+    evc.unpersist()
+    val ((prunedT, kept, total), tPlan) = time(
+      Snapshots.readPruned(spark, tbl2, "event_id",
+        (lo + 5 * span).toDouble, (lo + 6 * span - 1).toDouble))
+    val (cp, tPr) = time(prunedT.count())
+    val (cf, tFull) = time(Snapshots.read(spark, tbl2).count())
+    val (cd, tFeed) = time(
+      Snapshots.appendedBetween(spark, tbl2, kBatches - 1, kBatches).count())
+    println(f"[st] readpath_build $tBuild%.2f s ($kBatches commits)")
+    println(f"[st] readpath_pruned opened $kept/$total files, plan $tPlan%.3f s, read $tPr%.2f s ($cp rows)")
+    println(f"[st] readpath_full $tFull%.2f s ($cf rows)")
+    println(f"[st] readpath_change_feed $tFeed%.2f s ($cd rows, last batch only)")
     spark.stop()
   }
 }

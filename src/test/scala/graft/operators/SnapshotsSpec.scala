@@ -134,6 +134,24 @@ class SnapshotsSpec extends SparkSpec {
     assert(pruned.count() == 2)
   }
 
+  test("readPruned's scan set is exactly the stats-kept files — zero reads outside the manifest decision") {
+    val d = freshDir("prunedfiles")
+    Snapshots.commit(Seq((1L, 1.0), (2L, 5.0)).toDF("id", "v").coalesce(1),
+      d, statsCol = Some("v")) // b1: [1,5]
+    Snapshots.commit(Seq((3L, 10.0), (4L, 15.0)).toDF("id", "v").coalesce(1),
+      d, statsCol = Some("v")) // b2: [10,15]
+    Snapshots.commit(Seq((5L, 20.0), (6L, 25.0)).toDF("id", "v").coalesce(1),
+      d, statsCol = Some("v")) // b3: [20,25]
+    val (pruned, opened, total) = Snapshots.readPruned(spark, d, "v", 11.0, 14.0)
+    assert(total == 3 && opened == 1)
+    // the physical scan's file set must equal the manifest's stats
+    // decision: planning reads the LOG, never excluded files' footers
+    val files = pruned.inputFiles
+    assert(files.nonEmpty && files.forall(_.contains("/data/b2/")),
+      s"pruned scan touched excluded files: ${files.toSeq}")
+    assert(pruned.count() == 2)
+  }
+
   test("vacuum after overwrite reclaims the replaced batches") {
     val d = freshDir("vacover")
     Snapshots.commit(Seq((1L, "a")).toDF("id", "s"), d)           // b1
