@@ -109,6 +109,16 @@ object Bench {
       .mkString("[", ",", "]")
     val warmTotals = warmPasses.map(_.collect { case (_, v, true) => v }.sum)
     val warmTotal = median(warmTotals)
+    // baseline-comparable subtotal: the round-1 15-query set the 11.38 s
+    // BASELINE.md number was measured on — the full `value` now carries
+    // the round-6 families too, so cross-round ratios must read THIS
+    // field, not the widened total
+    val r1Set = Set("q1_filter_project", "q2_agg", "q3_join", "q6_range_join",
+      "q7_asof_join", "q8_window", "q10_distinct", "q11_rollup",
+      "q16_array", "q19_window_agg",
+      "dd_minhash_lsh", "dd_minhash_lsh_fast", "dd_embed_cos_lsh", "ann_topk", "tx_quality")
+    val warmR1Totals = warmPasses.map(_.collect { case (k, v, true) if r1Set(k) => v }.sum)
+    val warmR1 = median(warmR1Totals)
 
     // the single cold pass has no median to defend it: when the warm
     // spread says the host was contended during this run (>1.5× between
@@ -133,7 +143,7 @@ object Bench {
     val coldTotal = coldFinal.collect { case (_, v, true) => v }.sum
     val spins = (spinCold +: spinWarm).map(s => f"$s%.1f").mkString("[", ",", "]")
     val loads = (loadStart +: loadWarm).map(l => f"$l%.2f").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$warmTotal,"unit":"sec","cold":$coldTotal,"cold_rerun":$coldRerun,"spin_ms":$spins,"loadavg":$loads,"load_guard":$loadGuardTripped,"warm_passes":$warmPassCount,"warm_min":${warmTotals.min},"warm_max":${warmTotals.max},"queries":${fmt(warmResults)},"queries_cold":${fmt(coldFinal)},"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$warmTotal,"unit":"sec","warm_r1_subset":$warmR1,"cold":$coldTotal,"cold_rerun":$coldRerun,"spin_ms":$spins,"loadavg":$loads,"load_guard":$loadGuardTripped,"warm_passes":$warmPassCount,"warm_min":${warmTotals.min},"warm_max":${warmTotals.max},"queries":${fmt(warmResults)},"queries_cold":${fmt(coldFinal)},"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

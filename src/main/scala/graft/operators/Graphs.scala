@@ -52,9 +52,13 @@ object Graphs {
     * the Hash-Min lesson applies — localCheckpoint every few rounds to
     * cut lineage — but 5 rounds stays well inside plan-depth limits. */
   def pagerankRaw(spark: SparkSession, dir: String): DataFrame = {
-    val edges = PersistSlots.cached(spark, s"pr-edges:$dir")(
-      supplierEdges(spark, dir))
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // the big reused input is (edge, outdeg) PRE-JOINED and persisted
+    // once: joining deg inside the loop re-paid an edge-sized join per
+    // round (5 extra joins — measured ~2× the per-round cost at sf0.1)
+    val edges = PersistSlots.cached(spark, s"pr-edges-deg:$dir") {
+      val e = supplierEdges(spark, dir)
+      e.join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), Seq("src"))
+    }
     val nodes = edges.select(col("src").as("v")).distinct()
     val n = nodes.count() // scalar: node count (bounded — the one driver value)
 
@@ -62,7 +66,6 @@ object Graphs {
     for (_ <- 1 to PrIters) {
       val contrib = edges
         .join(ranks.withColumnRenamed("v", "src"), Seq("src"))
-        .join(deg, Seq("src"))
         .groupBy(col("dst").as("v"))
         .agg(sum(col("r") / col("outdeg")).as("inflow"))
       ranks = contrib.select(col("v"),

@@ -444,10 +444,20 @@ object TextAnalysis {
     * corpus). */
   def winnowPairsImpl(spark: SparkSession, dir: String,
       maxFpDocFreq: Int): DataFrame = {
-    val fps = winnowing(spark, dir).select(col("doc_id"), col("fp")).distinct()
+    // slot-materialized: the capped plan reads the fingerprint table from
+    // THREE branches (df aggregate + both self-join sides) and would
+    // recompute the posexplode+window winnowing pipeline per branch (a
+    // measured 1.4× at 10×); the slot holds the small (doc_id, fp) rows
+    val fps = PersistSlots.cached(spark, s"winnow-fps:$dir")(
+      winnowing(spark, dir).select(col("doc_id"), col("fp")).distinct())
     val joinable =
       if (maxFpDocFreq == Int.MaxValue) fps
       else {
+        // hash-agg + equi join on fp, NOT a count-window: a window over
+        // the fp partition runs through sort-based WindowExec (measured
+        // 24 s vs 7 s at 10× — the full fps frame sorts by fp), while
+        // the df table is fingerprint-cardinality-sized and its join
+        // rides the same fp-keyed exchange the self-join needs anyway
         val df = fps.groupBy("fp").agg(count(lit(1)).as("docfreq"))
           .filter(col("docfreq") <= maxFpDocFreq)
         fps.join(df.select("fp"), Seq("fp"))

@@ -54,6 +54,14 @@ object QueryTime {
       // Verify export; the scale cost is the sketch table build)
       "ds_theta_estimates" ->
         ((s, d) => graft.operators.Sketches.overlapEstimates(s, d)),
+      // the uncapped pair join (A/B for the WinMaxFpDf stop-list cost)
+      "dd_winnow_pairs_uncapped" ->
+        ((s, d) => graft.operators.TextAnalysis.winnowPairsImpl(s, d, Int.MaxValue)),
+      // raw recurrence forms (the registered rows are export-gates)
+      "q32_pagerank_raw" ->
+        ((s, d) => graft.operators.Graphs.pagerankRaw(s, d)),
+      "ds_doremi_raw" ->
+        ((s, d) => graft.operators.Doremi.domainWeightsRaw(s, d)),
     )
     names.foreach { n =>
       val fn = (SparkEntry.queries ++ extras).getOrElse(n,

@@ -134,6 +134,23 @@ class SnapshotsSpec extends SparkSpec {
     assert(pruned.count() == 2)
   }
 
+  test("zero-row part files of a stats commit are dropped from the manifest") {
+    val d = freshDir("emptyparts")
+    // 2 rows over 4 partitions: at least 2 part files are empty
+    Snapshots.commit(Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v").repartition(4),
+      d, statsCol = Some("v"))
+    val (pruned, opened, total) = Snapshots.readPruned(spark, d, "v", -1e9, 1e9)
+    // the manifest lists only the content-bearing files (≤ 2 of the 4
+    // written parts hold the 2 rows) — an empty part would sit
+    // stats-less and be conservatively opened by EVERY pruned read
+    assert(total <= 2 && opened == total, s"opened $opened of $total")
+    assert(pruned.count() == 2)
+    // and a genuinely empty batch stays listed (version readable, 0 rows)
+    Snapshots.commit(Seq((9L, 9.0)).toDF("id", "v").filter($"id" < 0).coalesce(1),
+      d, statsCol = Some("v"))
+    assert(Snapshots.read(spark, d).count() == 2)
+  }
+
   test("readPruned's scan set is exactly the stats-kept files — zero reads outside the manifest decision") {
     val d = freshDir("prunedfiles")
     Snapshots.commit(Seq((1L, 1.0), (2L, 5.0)).toDF("id", "v").coalesce(1),
