@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.materials.Materials
 import graft.ml.DielectricModel
-import graft.operators.{Bpe, CdcChunking, Chunking, Curation, Decontam, Dedup, Doremi, Dsir, EntityResolution, EventAnalytics, Graphs, JoinOpt, Mining, Multimodal, NgramLm, Packing, Pipeline, Quality, Quantize, Relational, Retrieval, Sampling, SemDedup, Sharding, Similarity, SimilarityJoin, Sketches, SkewJoin, Snapshots, SubstringDedup, TextAnalysis}
+import graft.operators.{Bpe, CdcChunking, Chunking, Curation, Decontam, Dedup, Doremi, Dsir, EntityResolution, EventAnalytics, Graphs, JoinOpt, Mining, Multimodal, NgramLm, Packing, Pipeline, Quality, Quantize, RecallGates, Relational, Retrieval, Sampling, SemDedup, Sharding, Similarity, SimilarityJoin, Sketches, SkewJoin, Snapshots, SubstringDedup, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -31,6 +31,7 @@ object SparkEntry {
       Graphs.queries ++ SimilarityJoin.queries ++ Mining.queries ++ EntityResolution.queries ++
       Snapshots.queries ++ Quality.queries ++ Sharding.queries ++
       Packing.queries ++ Quantize.queries ++ Bpe.queries ++ Decontam.queries ++
+      RecallGates.queries ++
       Pipeline.queries ++ Multimodal.queries ++
       Materials.queries ++ DielectricModel.queries ++
       graft.ml.QualityClassifier.queries ++
@@ -47,6 +48,7 @@ object SparkEntry {
       Graphs.oracleSql ++ SimilarityJoin.oracleSql ++ Mining.oracleSql ++ EntityResolution.oracleSql ++
       Snapshots.oracleSql ++ Quality.oracleSql ++ Sharding.oracleSql ++
       Packing.oracleSql ++ Quantize.oracleSql ++ Bpe.oracleSql ++ Decontam.oracleSql ++
+      RecallGates.oracleSql ++
       Pipeline.oracleSql ++ Multimodal.oracleSql ++ Materials.oracleSql ++
       DielectricModel.oracleSql ++ graft.ml.QualityClassifier.oracleSql
 
@@ -75,5 +77,6 @@ object SparkEntry {
   def benchOverrides: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_pagerank" -> ((s, d) => graft.operators.Graphs.pagerankRaw(s, d)),
     "ds_hll_range" -> ((s, d) => graft.operators.Sketches.rangeEstimates(s, d)),
+    "dd_embed_cos_lsh" -> ((s, d) => Dedup.embeddingCosineBucketed(s, d)),
   )
 }

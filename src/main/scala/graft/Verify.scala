@@ -67,6 +67,12 @@ object Verify {
     catch { case e: Throwable =>
       System.err.println(s"[verify] pagerank export failed: ${e.getMessage}")
     }
+    // recall-gate exports: the approximate shortlists/pair sets/bloom
+    // counts both engines gate against independent exact recomputes
+    try graft.operators.RecallGates.exportAll(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] recall-gate export failed: ${e.getMessage}")
+    }
     SparkEntry.queries.filter(q => wanted(q._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -69,7 +69,11 @@ object Decontam {
       .withColumn("keep", col("ratio") <= maxRatio)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "tx_decontam_bloom" -> ((s: SparkSession, d: String) => bloomDecontam(s, d)),
+    // tx_decontam_bloom is registered in [[RecallGates]] since r7: the
+    // sketch counts are fpp-dependent by design, and the gate form
+    // (exported per-doc counts + both engines checking the one-sided-
+    // error law against an independent exact recompute) is
+    // driver-ORACLED instead of rows-only
     "tx_decontam" -> ((s: SparkSession, d: String) => decontamVerdicts(s, d)),
   )
 

@@ -679,9 +679,11 @@ object Dedup {
     "dd_simhash64" -> simhash64 _,
     "dd_simhash64_pairs" -> simhash64Pairs _,
     "dd_embed_cos" -> embeddingCosine _,
-    // the benched scale path: 1-bit probes, recall spec'd vs the exact form
-    "dd_embed_cos_lsh" -> ((s: SparkSession, d: String) =>
-      embeddingCosineBucketed(s, d)),
+    // dd_embed_cos_lsh (the benched 1-bit-probe scale path) is
+    // registered in [[RecallGates]] since r7: recall-by-design, and the
+    // gate form (exported pairs + subset/recall booleans vs the exact
+    // recompute) is driver-ORACLED instead of rows-only; Bench runs the
+    // raw form via SparkEntry.benchOverrides
     // oracled: 2-bit multi-probe buckets + exact-cosine verify must
     // reproduce the full exact pair set at the 0.45 threshold
     "dd_embed_cos_lsh_deep" -> ((s: SparkSession, d: String) =>

@@ -121,9 +121,11 @@ object Mining {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mine_bitext" -> mineBitext _,
-    // recall-by-design (bucketed candidates): rows-only driver check; the
-    // oracled sibling is mine_bitext, agreement spec'd in MixtureSpec
-    "mine_bitext_ann" -> ((s: SparkSession, d: String) => mineBitextAnn(s, d)),
+    // mine_bitext_ann is registered in [[RecallGates]] since r7: the
+    // bucketed-candidate form is recall-by-design, and the gate form
+    // (exported pairs + both engines deriving recall/extra-ratio
+    // booleans vs an independent exact recompute) is driver-ORACLED
+    // instead of rows-only; agreement also spec'd in MixtureSpec
   )
 
   private val dotSql =

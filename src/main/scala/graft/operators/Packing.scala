@@ -109,12 +109,16 @@ object Packing {
     * cluster. Bin state in the task is a remainder→bins TreeMap: one
     * (long, int) pair per OPEN bin, O(log bins) per placement.
     *
-    * NOT DuckDB-oracle-able, and unlike tx_bpe_merges there is no
-    * exported-state closed form: each placement depends on the full
-    * bin-remainder multiset built by every prior placement, so SQL
-    * would have to replay the loop row-by-row. The driver records
-    * rows-only; PackBinsSpec carries capacity/coverage/bound/
-    * determinism gates instead. */
+    * FULLY oracled since r7: each placement depends on the bin-remainder
+    * multiset built by every prior placement — no closed form — but the
+    * loop is a deterministic recurrence over the (nt desc, doc_id)
+    * order, so DuckDB REPLAYS it with a recursive CTE (the tx_bpe
+    * discipline): per-shard state is the remainder list in bin-index
+    * order; best fit = min remainder ≥ nt, first (lowest-index)
+    * occurrence on ties — exactly the TreeMap.ceilingEntry +
+    * TreeSet.first kernel below. Placement equality, not just
+    * invariants. PackBinsSpec keeps the capacity/coverage/bound/
+    * determinism gates. */
   val PackShards = 32
 
   /** The per-task BFD kernel over (doc_id, nt, shard) rows sorted by
@@ -191,6 +195,36 @@ object Packing {
         |SELECT doc_id, nt,
         |CAST(SUM(nt + 1) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - (nt + 1) AS start_tok
         |FROM (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents))
+        |ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    // full BFD placement replay: per-shard recursive CTE over the
+    // (nt desc, doc_id) order; state = remainder list in bin-index
+    // order; best fit = min remainder >= nt, lowest bin index on ties
+    "pack_bins" ->
+      s"""WITH RECURSIVE
+        |d AS (SELECT doc_id, LEAST(CAST(len(string_split(text,' ')) AS BIGINT) + 1, 512) AS nt,
+        |CAST(doc_id % $PackShards AS INT) AS shard FROM documents),
+        |r AS (SELECT doc_id, nt, shard,
+        |row_number() OVER (PARTITION BY shard ORDER BY nt DESC, doc_id) AS k FROM d),
+        |bfd AS (
+        |SELECT shard, 0::BIGINT AS k, []::BIGINT[] AS bins,
+        |NULL::BIGINT AS doc_id, NULL::INT AS bin, NULL::BIGINT AS nt
+        |FROM (SELECT DISTINCT shard FROM r)
+        |UNION ALL
+        |SELECT s.shard, s.k + 1,
+        |CASE WHEN fit.idx IS NULL THEN list_append(s.bins, 512 - r.nt)
+        |ELSE list_transform(generate_series(1, len(s.bins)),
+        |i -> CASE WHEN i = fit.idx THEN s.bins[i] - r.nt ELSE s.bins[i] END)
+        |END AS bins,
+        |r.doc_id,
+        |CAST(COALESCE(fit.idx, len(s.bins) + 1) - 1 AS INT) AS bin,
+        |r.nt
+        |FROM bfd s
+        |JOIN r ON r.shard = s.shard AND r.k = s.k + 1
+        |LEFT JOIN LATERAL (
+        |SELECT list_position(s.bins, list_min(list_filter(s.bins, x -> x >= r.nt))) AS idx
+        |WHERE len(list_filter(s.bins, x -> x >= r.nt)) > 0
+        |) fit ON TRUE)
+        |SELECT doc_id, shard, bin, nt FROM bfd WHERE doc_id IS NOT NULL
         |ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
   )
 }

@@ -1307,13 +1307,15 @@ object Similarity {
     // the pre-filter exact branch — full equality oracle; the post-filter
     // index branch is recall-spec'd in ExtensionsSpec
     "ann_filtered_top1" -> ((s: SparkSession, d: String) => filteredSearch(s, d)),
-    "ann_lsh_topk" -> ((s: SparkSession, d: String) => lshTopK(s, d)), // top-K is spec-gated (recall < 1 by design)...
-    // ...but the HIGH-CONFIDENCE slice carries a full equality oracle:
-    // multi-probe LSH must return the true nearest neighbor for every
-    // query (top-1 misses are what multi-probe exists to kill)
+    // ann_{lsh,ivf,ivfpq,pca}_topk are registered in [[RecallGates]]
+    // since r7: the top-K operating points are recall-by-design, and the
+    // gate form (exported shortlist + both engines deriving recall@k vs
+    // an independent exact recompute) is driver-ORACLED instead of
+    // rows-only. The HIGH-CONFIDENCE slices below keep full equality
+    // oracles: multi-probe LSH must return the true nearest neighbor
+    // for every query (top-1 misses are what multi-probe exists to kill)
     "ann_lsh_top1" -> ((s: SparkSession, d: String) =>
       lshTopK(s, d).filter(col("rank") === 1)),
-    "ann_ivf_topk" -> ((s: SparkSession, d: String) => ivfTopK(s, d)), // recall spec'd
     // the IVF probe-enough slice: at 3/4 of the cells probed, the true
     // nearest neighbor must be found for every query — full equality
     // oracle against the exact top-1 (mirrors ann_lsh_top1)
@@ -1325,7 +1327,6 @@ object Similarity {
     // the other families)
     "ann_ivf2_top1" -> ((s: SparkSession, d: String) =>
       ivf2TopK(s, d, deepProbes = true).filter(col("rank") === 1)),
-    "ann_ivfpq_topk" -> ((s: SparkSession, d: String) => ivfPqTopK(s, d)), // recall spec'd
     // the PQ probe-enough slice: deep probes + doubled re-rank window must
     // recover the true nearest neighbor for every query from 8-byte codes
     // — full equality oracle (mirrors ann_ivf_top1 / ann_lsh_top1)
@@ -1341,7 +1342,6 @@ object Similarity {
     // lose the true nearest neighbor
     "ann_opq_top1" -> ((s: SparkSession, d: String) =>
       ivfPqTopK(s, d, deepProbes = true, opq = true).filter(col("rank") === 1)),
-    "ann_pca_topk" -> ((s: SparkSession, d: String) => pcaTopK(s, d)), // recall spec'd
     // PCA shortlist, probe-enough slice: the 192-deep reduced-space rank
     // must recover the true nearest neighbor for every query — full
     // equality oracle (mirrors ann_ivf_top1)

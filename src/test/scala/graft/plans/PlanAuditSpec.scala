@@ -30,8 +30,14 @@ class PlanAuditSpec extends AnyFunSuite {
   private val nlAllowed: Set[String] = Set(
     // exact/brute-force oracle forms — the quadratic shape IS the spec
     "dd_embed_cos", "dd_ngram_jaccard", "ann_topk", "mine_bitext",
+    // recall GATES (r7): each embeds the brute-force exact reference +
+    // 1-row agg cross joins — oracle harness, not the scale path (the
+    // raw operators bench via SparkEntry.benchOverrides and keep their
+    // equi-join shapes, audited through the *_top1 rows)
+    "ann_lsh_topk", "ann_ivf_topk", "ann_ivfpq_topk", "ann_pca_topk",
+    "mine_bitext_ann", "dd_embed_cos_lsh",
     // broadcast query-set (≤20 rows) over the corpus scan
-    "ann_pca_topk", "ann_pca_top1",
+    "ann_pca_top1",
     // broadcast query-set over the 8-byte binary-code scan
     "ann_binary_top1",
     // 1-row broadcast totals cross joins (dq_checks: the referential
