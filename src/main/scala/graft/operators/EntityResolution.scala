@@ -33,11 +33,24 @@ object EntityResolution {
   /** Max accepted edit distance for a link. */
   val MaxDist = 2
 
+  /** Blocking-key width: the name's last [[BlockSuffix]] chars. The
+    * width IS the scale knob — a blocking key's CARDINALITY must grow
+    * with the registry or block sizes grow linearly and in-block
+    * comparison work quadratically (the r7 10× probe caught exactly
+    * that: a 3-char suffix saturates at 10³ blocks, and 10× rows made
+    * er_link 8× slower; 6 chars keeps blocks at the duplicate-cluster
+    * size across every probe decade — Christen 2012's block-size
+    * control, the same reason real systems block on phone last-N/zip
+    * with N sized to the population). */
+  val BlockSuffix = 6
+
   /** The deterministic dirty registry: custkey mod 3 = 0 keeps the name
     * (dist 0), 1 deletes the char at position 11 (dist 1), 2 inserts an
-    * 'X' after position 5 (dist 1). Neither touches the final 3 chars,
+    * 'X' after position 5 (dist 1). Neither touches the final chars,
     * so the suffix blocking key survives the noise — the property a
-    * real blocking key is CHOSEN for (phone last-4, zip, soundex). */
+    * real blocking key is CHOSEN for (phone last-4, zip, soundex):
+    * a deletion/insert before the tail shifts positions but leaves the
+    * SUFFIX STRING identical. */
   private[graft] def dirty(spark: SparkSession, dir: String): DataFrame =
     Tables.customer(spark, dir).select(col("c_custkey").as("b_key"),
       when(col("c_custkey") % 3 === 1,
@@ -50,8 +63,8 @@ object EntityResolution {
     val a = Tables.customer(spark, dir)
       .select(col("c_custkey").as("a_key"), col("c_name").as("a_name"))
     val b = dirty(spark, dir)
-    val cand = a.withColumn("blk", substring(col("a_name"), -3, 3))
-      .join(b.withColumn("blk", substring(col("b_name"), -3, 3)), Seq("blk"))
+    val cand = a.withColumn("blk", substring(col("a_name"), -BlockSuffix, BlockSuffix))
+      .join(b.withColumn("blk", substring(col("b_name"), -BlockSuffix, BlockSuffix)), Seq("blk"))
       .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
       .filter(col("dist") <= MaxDist)
     val best = Window.partitionBy("b_key").orderBy(col("dist"), col("a_key"))
@@ -73,8 +86,8 @@ object EntityResolution {
   def linkStream(spark: SparkSession, dir: String, dirtyStream: DataFrame): DataFrame = {
     val a = Tables.customer(spark, dir)
       .select(col("c_custkey").as("a_key"), col("c_name").as("a_name"))
-      .withColumn("blk", substring(col("a_name"), -3, 3))
-    dirtyStream.withColumn("blk", substring(col("b_name"), -3, 3))
+      .withColumn("blk", substring(col("a_name"), -BlockSuffix, BlockSuffix))
+    dirtyStream.withColumn("blk", substring(col("b_name"), -BlockSuffix, BlockSuffix))
       .join(a, Seq("blk"))
       .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
       .filter(col("dist") <= MaxDist)
@@ -96,7 +109,7 @@ object EntityResolution {
         |ELSE c_name END AS b_name FROM customer),
         |cand AS (SELECT b.b_key, a.c_custkey AS a_key, b.b_name,
         |levenshtein(a.c_name, b.b_name) AS dist
-        |FROM customer a JOIN b ON right(a.c_name, 3) = right(b.b_name, 3)
+        |FROM customer a JOIN b ON right(a.c_name, $BlockSuffix) = right(b.b_name, $BlockSuffix)
         |WHERE levenshtein(a.c_name, b.b_name) <= $MaxDist),
         |best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY b_key ORDER BY dist, a_key) AS rn
         |FROM cand)

@@ -13,9 +13,11 @@ import graft.operators.EntityResolution
   * answer over everything-so-far must emerge incrementally.
   *
   * Same keyed-state discipline as [[DocStreams]]: state lives per
-  * BLOCKING KEY (the name's stable 3-char suffix — uniformly distributed,
-  * so state spreads across executors exactly like the batch blocking
-  * join's shuffle), and holds (a) the registry records seen in this
+  * BLOCKING KEY (the name's stable [[EntityResolution.BlockSuffix]]-char
+  * suffix — uniformly distributed, so state spreads across executors
+  * exactly like the batch blocking join's shuffle, and wide enough that
+  * key cardinality grows with the registry — see the BlockSuffix
+  * scaladoc), and holds (a) the registry records seen in this
   * block and (b) the dirty records still resident with their current
   * best link. Per micro-batch and block:
   *
@@ -82,7 +84,8 @@ object ErStreams {
     import spark.implicits._
     val maxDist = EntityResolution.MaxDist
     records
-      .select(substring(col("name"), -3, 3).as("blk"),
+      .select(substring(col("name"), -EntityResolution.BlockSuffix,
+          EntityResolution.BlockSuffix).as("blk"),
         col("side"), col("key"), col("name"))
       .as[(String, String, Long, String)]
       .groupByKey(_._1)

@@ -50,7 +50,13 @@ object ScaleUp {
         keys.foldLeft(base)((df, k) => df.withColumn(k, col(k) + lit(rep * Stride)))
       }.reduce(_ unionAll _)
     }
-    write(shifted("customer", Seq("c_custkey")), "customer")
+    // c_name is derived from c_custkey in the generator; re-derive it
+    // from the SHIFTED key or every replica carries an identical name —
+    // which both multiplies er_link's blocking buckets by the factor and
+    // plants cross-replica exact-name matches, a corpus artifact (an
+    // 8.3× wall blow-up at 10× that vanished with faithful names)
+    write(shifted("customer", Seq("c_custkey"))
+      .withColumn("c_name", format_string("Customer#%09d", col("c_custkey"))), "customer")
     write(shifted("supplier", Seq("s_suppkey")), "supplier")
     write(shifted("part", Seq("p_partkey")), "part")
     write(shifted("orders", Seq("o_orderkey", "o_custkey")), "orders")
