@@ -107,18 +107,20 @@ object Bench {
 
     val failed = warmResults.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val warmTotals = warmPasses.map(_.collect { case (_, v, true) => v }.sum)
-    val warmTotal = median(warmTotals)
-    // baseline-comparable subtotal: the round-1 15-query set the 11.38 s
-    // BASELINE.md number was measured on — the full `value` now carries
-    // the round-6 families too, so cross-round ratios must read THIS
-    // field, not the widened total
+    // `value` stays the ROUND-1 15-query set the 11.38 s baseline (and
+    // every BENCH_r1..r6 artifact) was measured on — the headline set
+    // widened to 23 queries in r7, and a `value` that suddenly includes
+    // 8 new queries would read as a fake 2× regression in any
+    // cross-round ratio. The widened total rides in `warm_full`; the
+    // new queries' per-pass numbers are in `queries`/`queries_cold`.
     val r1Set = Set("q1_filter_project", "q2_agg", "q3_join", "q6_range_join",
       "q7_asof_join", "q8_window", "q10_distinct", "q11_rollup",
       "q16_array", "q19_window_agg",
       "dd_minhash_lsh", "dd_minhash_lsh_fast", "dd_embed_cos_lsh", "ann_topk", "tx_quality")
-    val warmR1Totals = warmPasses.map(_.collect { case (k, v, true) if r1Set(k) => v }.sum)
-    val warmR1 = median(warmR1Totals)
+    val warmFullTotals = warmPasses.map(_.collect { case (_, v, true) => v }.sum)
+    val warmFull = median(warmFullTotals)
+    val warmTotals = warmPasses.map(_.collect { case (k, v, true) if r1Set(k) => v }.sum)
+    val warmTotal = median(warmTotals)
 
     // the single cold pass has no median to defend it: when the warm
     // spread says the host was contended during this run (>1.5× between
@@ -127,7 +129,8 @@ object Bench {
     // artifact caches and measure cold again, keeping the per-query MIN
     // (min across runs under varying load is the best estimator of true
     // cost; codegen stays JIT-compiled, which is the once-per-JVM share)
-    val coldRerun = warmTotals.max > 1.5 * warmTotals.min || loadGuardTripped
+    // contention detection reads the FULL-set spread (more signal)
+    val coldRerun = warmFullTotals.max > 1.5 * warmFullTotals.min || loadGuardTripped
     val coldFinal =
       if (!coldRerun) coldResults
       else {
@@ -140,10 +143,12 @@ object Bench {
           else if (ok1) (n, v1, true) else (n, v2, ok2)
         }
       }
-    val coldTotal = coldFinal.collect { case (_, v, true) => v }.sum
+    // cold keeps the same r1-subset continuity as `value`
+    val coldTotal = coldFinal.collect { case (k, v, true) if r1Set(k) => v }.sum
+    val coldFull = coldFinal.collect { case (_, v, true) => v }.sum
     val spins = (spinCold +: spinWarm).map(s => f"$s%.1f").mkString("[", ",", "]")
     val loads = (loadStart +: loadWarm).map(l => f"$l%.2f").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$warmTotal,"unit":"sec","warm_r1_subset":$warmR1,"cold":$coldTotal,"cold_rerun":$coldRerun,"spin_ms":$spins,"loadavg":$loads,"load_guard":$loadGuardTripped,"warm_passes":$warmPassCount,"warm_min":${warmTotals.min},"warm_max":${warmTotals.max},"queries":${fmt(warmResults)},"queries_cold":${fmt(coldFinal)},"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$warmTotal,"unit":"sec","warm_full":$warmFull,"cold":$coldTotal,"cold_full":$coldFull,"cold_rerun":$coldRerun,"spin_ms":$spins,"loadavg":$loads,"load_guard":$loadGuardTripped,"warm_passes":$warmPassCount,"warm_min":${warmTotals.min},"warm_max":${warmTotals.max},"queries":${fmt(warmResults)},"queries_cold":${fmt(coldFinal)},"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -19,64 +19,49 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // every export timed to stderr ([vtime] lines — NOT the [verify]
+    // failure tag) so a slow round is diagnosable from the driver log
+    def timed(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      try f catch { case e: Throwable =>
+        System.err.println(s"[verify] $name export failed: ${e.getMessage}")
+      }
+      System.err.println(f"[vtime] $name export ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
     // raw-corpus export first: the mat_* oracle SQL reads this fixed-path
     // parquet to recompute the materials queries independently in DuckDB
-    try graft.materials.Materials.exportRaw(spark)
-    catch { case e: Throwable =>
-      System.err.println(s"[verify] materials raw export failed: ${e.getMessage}")
-    }
-    // golden-parity export next: ml_golden_gate (Spark AND its DuckDB
-    // oracle) reads these fixed-path parquets
-    try graft.ml.DielectricModel.exportGoldenParity(spark)
-    catch { case e: Throwable =>
-      System.err.println(s"[verify] ml golden-parity export failed: ${e.getMessage}")
-    }
-    // quality-classifier export: ml_quality_score (Spark AND its DuckDB
-    // oracle) recomputes sigmoid scores from these fixed-path parquets
-    try graft.ml.QualityClassifier.exportScored(spark, sfDir)
-    catch { case e: Throwable =>
-      System.err.println(s"[verify] quality-classifier export failed: ${e.getMessage}")
-    }
-    // semdedup cell export: dd_semdedup (Spark AND its DuckDB oracle)
-    // computes the prune from this fitted (vec_id, cell) assignment
-    try graft.operators.SemDedup.exportCells(spark, sfDir)
-    catch { case e: Throwable =>
-      System.err.println(s"[verify] semdedup cell export failed: ${e.getMessage}")
-    }
-    // BPE round-state export: tx_bpe_merges (Spark AND its DuckDB oracle)
-    // recomputes each round's winning pair from these states
-    try graft.operators.Bpe.exportStates(spark, sfDir)
-    catch { case e: Throwable =>
-      System.err.println(s"[verify] bpe state export failed: ${e.getMessage}")
-    }
-    // HLL estimate export: ds_hll_distinct (Spark AND its DuckDB oracle)
-    // gates the same exported sketch estimates against exact distincts
-    try graft.operators.Sketches.exportEstimates(spark, sfDir)
-    catch { case e: Throwable =>
-      System.err.println(s"[verify] hll estimate export failed: ${e.getMessage}")
-    }
+    timed("materials-raw")(graft.materials.Materials.exportRaw(spark))
+    // golden-parity export: ml_golden_gate (Spark AND its DuckDB oracle)
+    // reads these fixed-path parquets
+    timed("ml-golden-parity")(graft.ml.DielectricModel.exportGoldenParity(spark))
+    // quality-classifier export: ml_quality_score recomputes sigmoid
+    // scores from these fixed-path parquets in both engines
+    timed("quality-classifier")(graft.ml.QualityClassifier.exportScored(spark, sfDir))
+    // semdedup cell export: dd_semdedup computes the prune from this
+    // fitted (vec_id, cell) assignment in both engines
+    timed("semdedup-cells")(graft.operators.SemDedup.exportCells(spark, sfDir))
+    // BPE round-state export: tx_bpe_merges recomputes each round's
+    // winning pair from these states (tx_bpe re-encodes from them)
+    timed("bpe-states")(graft.operators.Bpe.exportStates(spark, sfDir))
+    // HLL/KLL/Theta estimate exports: the ds_* gates compare the same
+    // exported sketch estimates against exact recomputes
+    timed("sketches")(graft.operators.Sketches.exportEstimates(spark, sfDir))
     // recurrence exports: ds_doremi / q32_pagerank are export-gates (both
     // engines read these doubles and check their own recurrence replay
     // within a tolerance — CORRECTNESS_r06 proved decimal emission does
     // not absorb cross-engine drift at rounding boundaries)
-    try graft.operators.Doremi.exportWeights(spark, sfDir)
-    catch { case e: Throwable =>
-      System.err.println(s"[verify] doremi weight export failed: ${e.getMessage}")
-    }
-    try graft.operators.Graphs.exportRanks(spark, sfDir)
-    catch { case e: Throwable =>
-      System.err.println(s"[verify] pagerank export failed: ${e.getMessage}")
-    }
+    timed("doremi-weights")(graft.operators.Doremi.exportWeights(spark, sfDir))
+    timed("pagerank-ranks")(graft.operators.Graphs.exportRanks(spark, sfDir))
     // recall-gate exports: the approximate shortlists/pair sets/bloom
     // counts both engines gate against independent exact recomputes
-    try graft.operators.RecallGates.exportAll(spark, sfDir)
-    catch { case e: Throwable =>
-      System.err.println(s"[verify] recall-gate export failed: ${e.getMessage}")
-    }
+    timed("recall-gates")(graft.operators.RecallGates.exportAll(spark, sfDir))
     SparkEntry.queries.filter(q => wanted(q._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        System.err.println(f"[vtime] $name ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

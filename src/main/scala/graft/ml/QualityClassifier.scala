@@ -31,18 +31,14 @@ import graft.sources.Tables
   */
 object QualityClassifier {
 
-  /** The feature columns over a `text` column (shared with scoring). */
-  def featureCols: Seq[(String, Column)] = {
+  /** Per-row feature columns over a `text` column. The two top-n-gram
+    * features are NOT here: computed per row they are O(grams²)
+    * interpreted HOFs (the tx_repetition lesson — 123 s of the sf0.01
+    * Verify wall on this doubled corpus); [[withFeatures]] derives them
+    * with explode + hash aggregates instead, linear and codegen'd. */
+  private def simpleFeatureCols: Seq[(String, Column)] = {
     val t = split(col("text"), " ")
     val nt = size(t)
-    def gramShare(n: Int): Column = {
-      val grams = transform(sequence(lit(1), nt - lit(n - 1)),
-        i => concat_ws(" ", (0 until n).map(k => element_at(t, i + lit(k))): _*))
-      val top = coalesce(array_max(transform(array_distinct(grams),
-        g => size(filter(grams, x => x === g)))), lit(0))
-      when(nt < lit(n), lit(0.0))
-        .otherwise(least(top * n, nt).cast("double") / nt)
-    }
     Seq(
       "f_avg_tok_len" -> aggregate(transform(t, x => length(x).cast("double")),
         lit(0.0), _ + _) / nt,
@@ -51,10 +47,12 @@ object QualityClassifier {
       "f_alpha_ratio" -> length(regexp_replace(col("text"), "[^A-Za-z]", ""))
         .cast("double") / length(col("text")),
       "f_dup_tok" -> (lit(1.0) - size(array_distinct(t)).cast("double") / nt),
-      "f_top_bigram" -> gramShare(2),
-      "f_top_trigram" -> gramShare(3),
     )
   }
+
+  /** Feature names in weight-index order (exports + assembler). */
+  def featureNames: Seq[String] =
+    simpleFeatureCols.map(_._1) ++ Seq("f_top_bigram", "f_top_trigram")
 
   /** Deterministic negative: first 3 tokens cycled to the doc's length. */
   private def corrupt: Column = {
@@ -71,10 +69,35 @@ object QualityClassifier {
       .unionByName(docs.withColumn("text", corrupt).withColumn("label", lit(0.0)))
   }
 
+  /** Top n-gram coverage share per keyed row — explode + two hash
+    * aggregates (same numbers as the old per-row HOF: max gram
+    * multiplicity, occurrences-overlap cap at nt). Rows shorter than the
+    * gram have no n-grams; the left join restores them at 0.0. Keys are
+    * doc_id (scoring frames) or (doc_id, label) (the labeled frame,
+    * where every doc appears once per class). */
+  private def topShare(df: DataFrame, keys: Seq[String], n: Int, out: String): DataFrame = {
+    val t = split(col("text"), " ")
+    val grams = when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - lit(n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(t, i + lit(k))): _*)))
+      .otherwise(array().cast("array<string>"))
+    val kc = keys.map(col)
+    df.select(kc :+ size(t).as("nt") :+ explode(grams).as("g"): _*)
+      .groupBy(kc :+ col("nt") :+ col("g"): _*).agg(count(lit(1)).as("c"))
+      .groupBy(kc :+ col("nt"): _*).agg(max(col("c")).as("top"))
+      .select(kc :+
+        (least(col("top") * n, col("nt").cast("long")).cast("double") / col("nt")).as(out): _*)
+  }
+
   private def withFeatures(df: DataFrame): DataFrame = {
-    val feats = featureCols.foldLeft(df) { case (d, (name, c)) => d.withColumn(name, c) }
+    val keys = if (df.columns.contains("label")) Seq("doc_id", "label") else Seq("doc_id")
+    val simple = simpleFeatureCols.foldLeft(df) { case (d, (name, c)) => d.withColumn(name, c) }
+    val feats = simple
+      .join(topShare(df, keys, 2, "f_top_bigram"), keys, "left")
+      .join(topShare(df, keys, 3, "f_top_trigram"), keys, "left")
+      .na.fill(0.0, Seq("f_top_bigram", "f_top_trigram"))
     new VectorAssembler()
-      .setInputCols(featureCols.map(_._1).toArray)
+      .setInputCols(featureNames.toArray)
       .setOutputCol("features")
       .transform(feats)
   }
@@ -102,18 +125,22 @@ object QualityClassifier {
     * path of the trained filter a full per-row equality oracle (same
     * recipe as DielectricModel.exportGoldenParity). */
   def exportScored(spark: SparkSession, dir: String): Unit = {
-    val all = withFeatures(labeled(spark, dir))
-    val model = fitOn(all)
-    val names = featureCols.map(_._1)
-    all.select(col("doc_id"), col("label"),
-        posexplode(array(names.map(col): _*)).as(Seq("idx", "x")))
-      .unionByName(all.select(col("doc_id"), col("label"),
-        lit(-1).as("idx"), lit(1.0).as("x")))
-      .coalesce(1).write.mode("overwrite").parquet(FeatsExportPath)
-    val w = model.coefficients.toArray.zipWithIndex.map { case (v, i) => (i, v) } :+
-      (-1 -> model.intercept)
-    spark.createDataFrame(w.toSeq).toDF("idx", "w")
-      .coalesce(1).write.mode("overwrite").parquet(WeightsExportPath)
+    // persisted: the frame feeds the LR fit AND the long-form export —
+    // unpersisted, every consumer re-runs the featurization joins
+    val all = withFeatures(labeled(spark, dir)).persist()
+    try {
+      val model = fitOn(all)
+      val names = featureNames
+      all.select(col("doc_id"), col("label"),
+          posexplode(array(names.map(col): _*)).as(Seq("idx", "x")))
+        .unionByName(all.select(col("doc_id"), col("label"),
+          lit(-1).as("idx"), lit(1.0).as("x")))
+        .coalesce(1).write.mode("overwrite").parquet(FeatsExportPath)
+      val w = model.coefficients.toArray.zipWithIndex.map { case (v, i) => (i, v) } :+
+        (-1 -> model.intercept)
+      spark.createDataFrame(w.toSeq).toDF("idx", "w")
+        .coalesce(1).write.mode("overwrite").parquet(WeightsExportPath)
+    } finally all.unpersist()
   }
 
   /** The model serve path, recomputed from the exported bytes: margin =

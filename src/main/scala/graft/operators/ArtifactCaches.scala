@@ -11,5 +11,6 @@ object ArtifactCaches {
     Similarity.clearLshCache()
     Similarity.clearIvfCache()
     Similarity.clearPqCache()
+    Bpe.clearTrainCache()
   }
 }

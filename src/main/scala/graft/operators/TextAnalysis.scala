@@ -83,25 +83,38 @@ object TextAnalysis {
     * operator is scan-bound at any corpus size. */
   def repetition(spark: SparkSession, dir: String): DataFrame = {
     val t = toks
-    val nt = size(t)
-    def topNgramShare(n: Int): Column = {
-      val grams = transform(sequence(lit(1), nt - lit(n - 1)),
-        i => concat_ws(" ", (0 until n).map(k => element_at(t, i + lit(k))): _*))
-      val top = coalesce(array_max(transform(array_distinct(grams),
-        g => size(filter(grams, x => x === g)))), lit(0))
-      // occurrences overlap, so count·n can exceed the doc: cap the
-      // covered-token estimate at nt (an all-one-token doc scores 1.0).
-      // Docs shorter than the gram have no n-grams at all: sequence(1, nt-n+1)
-      // would otherwise step DOWNWARD (start > stop defaults to step -1) and
-      // element_at(t, 0) throws — short-circuit to 0.0 before building it.
-      when(nt < lit(n), lit(0.0))
-        .otherwise(round(least(top * n, nt).cast("double") / nt, 4))
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), t.as("t"))
+    // top n-gram count per doc as explode → two hash aggregates keyed by
+    // (doc, gram) then (doc) — codegen'd, LINEAR in tokens. The previous
+    // form (array_max over filter-counts per distinct gram, all
+    // interpreted HOFs) was O(grams²) PER DOCUMENT — 80 s of the sf0.01
+    // Verify wall, and a per-row quadratic at any scale.
+    // Docs shorter than the gram have no n-grams: sequence(1, nt-n+1)
+    // would step DOWNWARD (start > stop defaults to step -1), so the
+    // gram array short-circuits to empty; explode then drops the doc and
+    // the left join below restores it with share 0.0.
+    def topShare(n: Int, out: String): DataFrame = {
+      val grams = when(size(col("t")) >= n,
+        transform(sequence(lit(1), size(col("t")) - lit(n - 1)),
+          i => concat_ws(" ", (0 until n).map(k => element_at(col("t"), i + lit(k))): _*)))
+        .otherwise(array().cast("array<string>"))
+      docs.select(col("doc_id"), size(col("t")).as("nt"), explode(grams).as("g"))
+        .groupBy(col("doc_id"), col("nt"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"), col("nt")).agg(max(col("c")).as("top"))
+        // occurrences overlap, so count·n can exceed the doc: cap the
+        // covered-token estimate at nt (an all-one-token doc scores 1.0)
+        .select(col("doc_id"),
+          round(least(col("top") * n, col("nt").cast("long")).cast("double")
+            / col("nt"), 4).as(out))
     }
-    Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        round(lit(1.0) - size(array_distinct(t)).cast("double") / nt, 4).as("dup_tok_ratio"),
-        topNgramShare(2).as("top_bigram_frac"),
-        topNgramShare(3).as("top_trigram_frac"))
+    docs.select(col("doc_id"),
+        round(lit(1.0) - size(array_distinct(col("t"))).cast("double")
+          / size(col("t")), 4).as("dup_tok_ratio"))
+      .join(topShare(2, "top_bigram_frac"), Seq("doc_id"), "left")
+      .join(topShare(3, "top_trigram_frac"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_tok_ratio"),
+        coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"),
+        coalesce(col("top_trigram_frac"), lit(0.0)).as("top_trigram_frac"))
       .orderBy("doc_id")
   }
 
