@@ -78,5 +78,11 @@ object SparkEntry {
     "q32_pagerank" -> ((s, d) => graft.operators.Graphs.pagerankRaw(s, d)),
     "ds_hll_range" -> ((s, d) => graft.operators.Sketches.rangeEstimates(s, d)),
     "dd_embed_cos_lsh" -> ((s, d) => Dedup.embeddingCosineBucketed(s, d)),
+    // the RAW ANN miner, not the RecallGates gate form: the gate
+    // recomputes the exact X×Y cartesian Mining.mineBitext on every
+    // pass — the one headline number that would grow quadratically
+    // with SF (VERDICT r7 #1). PlanAuditSpec pins the invariant that
+    // every benched gate-form query carries a raw override.
+    "mine_bitext_ann" -> ((s, d) => Mining.mineBitextAnn(s, d)),
   )
 }

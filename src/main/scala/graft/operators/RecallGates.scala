@@ -33,23 +33,38 @@ import org.apache.spark.sql.functions._
   */
 object RecallGates {
 
-  /** ANN recall@k floor. Measured at sf0.01: lsh 0.97, ivf 0.88,
-    * ivfpq 0.88, pca 0.98 — a single tie-flip moves recall by 1/60,
-    * leaving ≥ 13 flips of margin to the bound. */
-  val AnnRecallBound = 0.6
+  /** Per-family recall@k floors, set at measured-minus-margin (VERDICT
+    * r7 #2 — a uniform 0.6 floor against measured 0.88–0.98 would sleep
+    * through a genuine index collapse to 0.65). Each bound sits a
+    * handful of flip granularities (1/exact_rows per tie-break flip —
+    * 1/60 for the sf0.01 top-k gates) under the measured value, so a
+    * boolean flip needs a real regression, not an ulp; RecallGatesSpec
+    * recomputes the live recall per family and asserts it clears the
+    * bound with ≥3 flips of headroom, so the floor can be tightened
+    * mechanically each round. Measured: lsh 0.97 (sf0.01) / 0.933
+    * (sf0.001 — the coarser fixture binds the floor), ivf 0.88,
+    * ivfpq 0.88, pca 0.98. */
+  val AnnRecallBounds: Map[String, Double] = Map(
+    "ann_lsh_topk" -> 0.85,
+    "ann_ivf_topk" -> 0.8,
+    "ann_ivfpq_topk" -> 0.8,
+    "ann_pca_topk" -> 0.88,
+  )
 
   /** Bitext ANN: pair recall floor (measured 0.92) and the max ratio of
     * mined pairs the exact miner rejects (measured 0.11; candidate-list
     * margins can only shift, not improve, cosines). */
-  val BitextRecallBound = 0.6
-  val BitextExtraBound = 0.5
+  val BitextRecallBound = 0.8
+  val BitextExtraBound = 0.25
 
   /** Bucketed embedding near-dup recall floor (measured 0.86; precision
     * is exactly 1 by construction — gated as subset_ok). */
-  val EmbedLshRecallBound = 0.6
+  val EmbedLshRecallBound = 0.75
 
   private final case class Fam(name: String, tag: String,
-      raw: (SparkSession, String) => DataFrame)
+      raw: (SparkSession, String) => DataFrame) {
+    def bound: Double = AnnRecallBounds(name)
+  }
 
   private val annFams = Seq(
     Fam("ann_lsh_topk", "annlsh", (s, d) => Similarity.lshTopK(s, d)),
@@ -94,7 +109,7 @@ object RecallGates {
     val e = exact.agg(count(lit(1)).as("exact_rows"))
     a.crossJoin(e).crossJoin(hits) // 1-row aggs (the dq_checks allowance)
       .select(col("n_q"), col("ann_rows"), col("exact_rows"),
-        (col("hits").cast("double") / col("exact_rows") >= AnnRecallBound).as("recall_ok"))
+        (col("hits").cast("double") / col("exact_rows") >= fam.bound).as("recall_ok"))
   }
 
   private def bitextGate(spark: SparkSession, dir: String): DataFrame = {
@@ -161,14 +176,14 @@ object RecallGates {
       |FROM scored),
       |ex AS (SELECT q_id, nbr_id FROM ranked WHERE rank <= ${Similarity.TopK})""".stripMargin
 
-  private def annGateSql(tag: String): String =
-    s"""WITH ann AS (SELECT q_id, nbr_id FROM '${exportPath(tag, exportedDir)}/*.parquet'),
+  private def annGateSql(fam: Fam): String =
+    s"""WITH ann AS (SELECT q_id, nbr_id FROM '${exportPath(fam.tag, exportedDir)}/*.parquet'),
       |$exactTopKCte
       |SELECT (SELECT CAST(COUNT(DISTINCT q_id) AS BIGINT) FROM ann) AS n_q,
       |(SELECT CAST(COUNT(*) AS BIGINT) FROM ann) AS ann_rows,
       |(SELECT CAST(COUNT(*) AS BIGINT) FROM ex) AS exact_rows,
       |(SELECT COUNT(*) FROM ann JOIN ex USING (q_id, nbr_id))::DOUBLE
-      |/ (SELECT COUNT(*) FROM ex) >= $AnnRecallBound AS recall_ok"""
+      |/ (SELECT COUNT(*) FROM ex) >= ${fam.bound} AS recall_ok"""
       .stripMargin.replaceAll("\n", " ")
 
   /** Exact bitext pair set — the mine_bitext oracle's CTEs. */
@@ -203,7 +218,7 @@ object RecallGates {
       |FROM test t LEFT JOIN train tr ON t.s = tr.s GROUP BY 1)""".stripMargin
 
   def oracleSql: Map[String, String] =
-    annFams.map(f => f.name -> annGateSql(f.tag)).toMap ++ Map(
+    annFams.map(f => f.name -> annGateSql(f)).toMap ++ Map(
       "mine_bitext_ann" ->
         s"""WITH ann AS (SELECT x_id, y_id FROM '${exportPath("bitextann", exportedDir)}/*.parquet'),
           |$bitextExactCte

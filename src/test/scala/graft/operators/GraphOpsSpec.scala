@@ -59,7 +59,7 @@ class GraphOpsSpec extends SparkSpec {
     for (_ <- 1 to Graphs.PrIters) {
       val inflow = scala.collection.mutable.Map(nodes.map(_ -> 0.0): _*)
       e.foreach { case (s, d) => inflow(d) += r(s) / outdeg(s) }
-      r = nodes.map(v => v -> (0.15 / n + 0.85 * inflow(v))).toMap
+      r = nodes.map(v => v -> ((1 - Graphs.Damping) / n + Graphs.Damping * inflow(v))).toMap
     }
     val engine = edges.collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
     val maxDrift = nodes.map(v => math.abs(engine(v) - r(v))).max

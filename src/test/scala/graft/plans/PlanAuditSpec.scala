@@ -82,6 +82,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(unknown.isEmpty, s"allow-list entries for unregistered queries: $unknown")
   }
 
+  test("benched gate-form queries all carry a raw bench override") {
+    // A RecallGates entry embeds the brute-force exact reference (the
+    // X×Y cartesian / full top-k recompute) — timing the gate form in
+    // Bench records the oracle harness's quadratic cost as the
+    // operator's headline number (BENCH_r07's mine_bitext_ann did
+    // exactly that). Any headline query registered through RecallGates
+    // must therefore be re-pointed at its raw operator.
+    val benchedGates = SparkEntry.benchQueries.toSet
+      .intersect(graft.operators.RecallGates.queries.keySet)
+    val missing = benchedGates -- SparkEntry.benchOverrides.keySet
+    assert(missing.isEmpty,
+      s"benched gate-form queries without a raw override: $missing")
+    // and overrides must not rot: every key names a registered headline
+    val stale = SparkEntry.benchOverrides.keySet -- SparkEntry.benchQueries.toSet
+    assert(stale.isEmpty, s"bench overrides for non-headline queries: $stale")
+  }
+
   test("funnel/retention carry no broadcast hints on per-user frames") {
     // An explicit broadcast() hint on a user-cardinality frame overrides
     // the size-based planner and kills the job past the 8 GB broadcast
