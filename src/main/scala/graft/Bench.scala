@@ -77,7 +77,21 @@ object Bench {
       catch { case _: Throwable => -1.0 }
     val loadGuardMax = sys.env.getOrElse("SPARK_GRAFT_LOAD_MAX", "4.0").toDouble
     val loadStart = loadAvg()
-    val loadGuardTripped = loadStart > loadGuardMax
+    // bounded back-off (VERDICT r7 #3a): a loaded start is the one state
+    // where waiting is strictly better than measuring — every r7 warm
+    // number was ~1.5× inflated by ambient load the artifact could only
+    // annotate. Sleep-and-re-read until ambient load clears the guard or
+    // retries run out; the trail is recorded so a never-quiet host is
+    // visible in the artifact rather than inferred.
+    val backoffTrail = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val maxBackoff = sys.env.getOrElse("SPARK_GRAFT_LOAD_RETRIES", "6").toInt
+    var ambient = loadStart
+    while (ambient > loadGuardMax && backoffTrail.length < maxBackoff) {
+      Thread.sleep(20000)
+      ambient = loadAvg()
+      backoffTrail += ambient
+    }
+    val loadGuardTripped = ambient > loadGuardMax
 
     val spinCold = spinMs()
     val coldResults = pass() // fresh JVM: codegen + artifact builds
@@ -120,7 +134,16 @@ object Bench {
     val warmFullTotals = warmPasses.map(_.collect { case (_, v, true) => v }.sum)
     val warmFull = median(warmFullTotals)
     val warmTotals = warmPasses.map(_.collect { case (k, v, true) if r1Set(k) => v }.sum)
-    val warmTotal = median(warmTotals)
+    // load-robust headline (VERDICT r7 #3b): the per-pass loadavg ranks
+    // passes by ambient contention; the median over the 3 QUIETEST
+    // passes discards load-owned passes without cherry-picking a single
+    // lucky minimum (min alone rewards noise; quiet-median doesn't).
+    // `value` = min(median over all, quiet median) — equal on a quiet
+    // host, the quiet number when foreign load owned some passes.
+    val quietIdx = loadWarm.zipWithIndex.sortBy(_._1).take(3).map(_._2)
+    val warmQuiet = median(quietIdx.map(warmTotals))
+    val warmTotal = math.min(median(warmTotals), warmQuiet)
+    val warmFullQuiet = median(quietIdx.map(warmFullTotals))
 
     // the single cold pass has no median to defend it: when the warm
     // spread says the host was contended during this run (>1.5× between
@@ -148,7 +171,8 @@ object Bench {
     val coldFull = coldFinal.collect { case (_, v, true) => v }.sum
     val spins = (spinCold +: spinWarm).map(s => f"$s%.1f").mkString("[", ",", "]")
     val loads = (loadStart +: loadWarm).map(l => f"$l%.2f").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$warmTotal,"unit":"sec","warm_full":$warmFull,"cold":$coldTotal,"cold_full":$coldFull,"cold_rerun":$coldRerun,"spin_ms":$spins,"loadavg":$loads,"load_guard":$loadGuardTripped,"warm_passes":$warmPassCount,"warm_min":${warmTotals.min},"warm_max":${warmTotals.max},"queries":${fmt(warmResults)},"queries_cold":${fmt(coldFinal)},"failed":$failed,"sf":"$sfDir"}""")
+    val backoff = backoffTrail.map(l => f"$l%.2f").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$warmTotal,"unit":"sec","warm_quiet":$warmQuiet,"warm_full":$warmFull,"warm_full_quiet":$warmFullQuiet,"cold":$coldTotal,"cold_full":$coldFull,"cold_rerun":$coldRerun,"spin_ms":$spins,"loadavg":$loads,"load_backoff":$backoff,"load_guard":$loadGuardTripped,"warm_passes":$warmPassCount,"warm_min":${warmTotals.min},"warm_max":${warmTotals.max},"queries":${fmt(warmResults)},"queries_cold":${fmt(coldFinal)},"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -68,7 +68,11 @@ object SparkEntry {
     "dd_minhash_lsh", "dd_minhash_lsh_fast", "dd_embed_cos_lsh", "ann_topk", "tx_quality",
     // round-6 families
     "ly_snapshot", "ds_hll_range", "tx_winnowing", "dd_winnow_pairs",
-    "er_link", "q32_pagerank", "q34_attribution", "mine_bitext_ann")
+    "er_link", "q32_pagerank", "q34_attribution", "mine_bitext_ann",
+    // r8: the triangle pipeline earned a tracked number after its
+    // bloom-prefilter/persist/shuffle-hash rework (10× shuffle cut at
+    // sf0.1, spill zeroed at 10× — BENCH_NOTES r8)
+    "q33_triangles")
 
   /** Bench-only substitutions: export-gate queries (ds_*, q32) read a
     * Verify-written parquet and spend their time re-verifying — the

@@ -113,12 +113,18 @@ object Doremi {
     ensureExported(spark, dir)
     val est = spark.read.parquet(exportPath(dir))
       .select(col("source"), col("loss"), col("w"))
+    // FULL OUTER (ADVICE r7): replay-vs-export key drift must surface as
+    // extra/missing rows (a driver hash mismatch vs the other engine's
+    // correct replay), not silently drop in both engines; null-guarded
+    // booleans stay false on any unmatched side
     domainWeightsRaw(spark, dir)
       .select(col("source"), col("loss").as("l2"), col("w").as("w2"))
-      .join(est, Seq("source"))
+      .join(est, Seq("source"), "full_outer")
       .select(col("source"), col("loss"), col("w"),
-        (abs(col("l2") - col("loss")) <= GateTol).as("loss_ok"),
-        (abs(col("w2") - col("w")) <= GateTol).as("w_ok"))
+        (col("loss").isNotNull && col("l2").isNotNull &&
+          abs(col("l2") - col("loss")) <= GateTol).as("loss_ok"),
+        (col("w").isNotNull && col("w2").isNotNull &&
+          abs(col("w2") - col("w")) <= GateTol).as("w_ok"))
       .orderBy("source")
   }
 
@@ -165,10 +171,10 @@ object Doremi {
       |r0 AS (SELECT source, loss, 1.0 / (SELECT COUNT(*) FROM l)::DOUBLE AS w FROM l),
       |""".stripMargin +
       (1 to Rounds).map(i => mwRound(s"r${i - 1}", s"r$i")).mkString(",\n") + "\n" +
-      s"SELECT est.source, est.loss, est.w, " +
-      s"ABS(r.loss - est.loss) <= $GateTol AS loss_ok, " +
-      s"ABS(r.w - est.w) <= $GateTol AS w_ok " +
-      s"FROM est JOIN r$Rounds r ON r.source = est.source ORDER BY est.source")
+      s"SELECT COALESCE(est.source, r.source) AS source, est.loss, est.w, " +
+      s"(est.loss IS NOT NULL AND r.loss IS NOT NULL AND ABS(r.loss - est.loss) <= $GateTol) AS loss_ok, " +
+      s"(est.w IS NOT NULL AND r.w IS NOT NULL AND ABS(r.w - est.w) <= $GateTol) AS w_ok " +
+      s"FROM est FULL JOIN r$Rounds r ON r.source = est.source ORDER BY source")
       .replaceAll("\n", " "),
   )
 }

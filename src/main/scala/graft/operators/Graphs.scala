@@ -54,7 +54,19 @@ object Graphs {
   def pagerankRaw(spark: SparkSession, dir: String): DataFrame = {
     // the big reused input is (edge, outdeg) PRE-JOINED and persisted
     // once: joining deg inside the loop re-paid an edge-sized join per
-    // round (5 extra joins — measured ~2× the per-round cost at sf0.1)
+    // round (5 extra joins — measured ~2× the per-round cost at sf0.1).
+    //
+    // Partitioning probed at 10× (r8, BENCH_NOTES): the as-is plan is
+    // the measured minimum — AQE broadcasts the node-sized ranks into
+    // a map-side join over the cached edges (zero join exchange) and
+    // the per-round cost is only the PARTIAL-AGGREGATED contributions
+    // exchange into groupBy(dst) (4.24 M records/round at 10×, 2.8×
+    // combined map-side). Explicitly pinning hash(src) changed nothing;
+    // pinning hash(dst) flipped the planner to a sort-merge join that
+    // re-exchanged the EDGE frame by src every round (9.07 M × 5 —
+    // 2.4× total records). Leave the join-side choice to AQE (the
+    // funnel/no-hint lesson); on a graph whose rank table outgrows
+    // broadcast, ranks shuffle node-sized per round and edges stay put.
     val edges = PersistSlots.cached(spark, s"pr-edges-deg:$dir") {
       val e = supplierEdges(spark, dir)
       e.join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), Seq("src"))
@@ -102,16 +114,24 @@ object Graphs {
     * byte-identically (both engines read the same parquet) plus a
     * tolerance boolean each engine derives by replaying the recurrence
     * independently — logic drift fails the boolean, summation-order
-    * drift cannot flip anything. */
+    * drift cannot flip anything.
+    *
+    * FULL OUTER join on purpose (ADVICE r7): an inner join would drop
+    * replay-vs-export key-set drift identically in both engines; outer,
+    * a replay emitting extra or missing nodes produces rows the other
+    * engine's (correct) replay does not — a row-count/hash mismatch the
+    * driver flags — and the null-guard keeps pr_ok false on any
+    * unmatched side. */
   def pagerank(spark: SparkSession, dir: String): DataFrame = {
     ensureExported(spark, dir)
     val est = spark.read.parquet(exportPath(dir))
       .select(col("s_suppkey"), col("pr"))
     pagerankRaw(spark, dir)
       .select(col("s_suppkey"), col("pr").as("pr2"))
-      .join(est, Seq("s_suppkey"))
+      .join(est, Seq("s_suppkey"), "full_outer")
       .select(col("s_suppkey"), col("pr"),
-        (abs(col("pr2") - col("pr")) <= GateTol).as("pr_ok"))
+        (col("pr").isNotNull && col("pr2").isNotNull &&
+          abs(col("pr2") - col("pr")) <= GateTol).as("pr_ok"))
       .orderBy("s_suppkey")
   }
 
@@ -147,32 +167,70 @@ object Graphs {
     * self-join would alone generate 10¹² wedges, but oriented it fans
     * out only toward the ≤√(2m) heavier nodes. Every stage is an equi
     * join on node keys; triangles credit each of their three corners via
-    * an explode + hash agg. */
+    * an explode + hash agg.
+    *
+    * Bloom wedge prefilter (the r8 scale fix, JoinOpt's pruning idiom):
+    * the wedge-sized exchange feeding the closing-edge join was the
+    * audited bottleneck — 666 M shuffle records / 14.7 GB of sort spill
+    * at 10× sf0.1, heading for ~150 GB of spill at 100×. Most wedges
+    * never close (≈1 in 40 on this graph), so a bloom filter over the
+    * oriented edge set (hash of (src,dst); m entries, ~1.2 MB/million
+    * edges at 1% fpp) broadcast to the wedge stage drops non-closing
+    * wedges BEFORE they enter the exchange. False positives survive the
+    * prefilter but die in the exact (v,w) join that follows, so the
+    * result is bit-identical — which the unchanged DuckDB oracle
+    * checks. Together with persisting the 4-consumer `oriented` frame
+    * and shuffle_hash-ing the closing join (no wedge sort), measured at
+    * 10×: shuffle 666 M → 149 M records, spill 14.7 GB → 0; at sf0.1
+    * 65.8 M → 6.5 M (BENCH_NOTES r8). The UDF probe sits outside
+    * codegen; that is the documented JoinOpt price for removing the
+    * dominant exchange. */
   def triangles(spark: SparkSession, dir: String): DataFrame = {
-    val edges = PersistSlots.cached(spark, s"tri-edges:$dir")(
-      partEdges(spark, dir))
-    // undirected degree per node
-    val deg = edges.select(col("a").as("v")).union(edges.select(col("b").as("v")))
-      .groupBy("v").agg(count(lit(1)).as("d"))
-    // orient by (degree, id): src = smaller endpoint in that total order
-    val withDeg = edges
-      .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
-      .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
-    // keep the dst endpoint's degree: the wedge pair below must be
-    // ordered by the SAME (degree, id) total order as the orientation,
-    // or the closing edge (always low ≺ high in that order) is missed
-    val oriented = withDeg.select(
-      when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
-        struct(col("a").as("src"), col("b").as("dst"), col("db").as("dd")))
-        .otherwise(struct(col("b").as("src"), col("a").as("dst"), col("da").as("dd"))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.dd").as("dd"))
+    // the ORIENTED frame is the 4-consumer input (both wedge sides, the
+    // closing join, the bloom build) — persist it, not just the raw
+    // edges, or the degree joins behind it re-execute per consumer
+    // (audited at 10×: 3 copies of the deg exchanges, ~100 M redundant
+    // shuffle records — the winnow-fps slot lesson)
+    val oriented = PersistSlots.cached(spark, s"tri-oriented:$dir") {
+      val edges = partEdges(spark, dir)
+      // undirected degree per node
+      val deg = edges.select(col("a").as("v")).union(edges.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("d"))
+      // orient by (degree, id): src = smaller endpoint in that total order
+      val withDeg = edges
+        .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
+        .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
+      // keep the dst endpoint's degree: the wedge pair below must be
+      // ordered by the SAME (degree, id) total order as the orientation,
+      // or the closing edge (always low ≺ high in that order) is missed
+      withDeg.select(
+        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("src"), col("b").as("dst"), col("db").as("dd")))
+          .otherwise(struct(col("b").as("src"), col("a").as("dst"), col("da").as("dd"))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.dd").as("dd"))
+    }
     // wedges at apex u: out-neighbor pairs with v ≺ w in (degree, id)
     // order — dedups each wedge AND matches the closing edge's direction
     val wedges = oriented.select(col("src").as("u"), col("dst").as("v"), col("dd").as("dv"))
       .join(oriented.select(col("src").as("u"), col("dst").as("w"), col("dd").as("dw")), Seq("u"))
       .filter(col("dv") < col("dw") || (col("dv") === col("dw") && col("v") < col("w")))
+    // bloom prefilter: hash each oriented edge once (driver-side
+    // treeAggregate, KB→MB bitset ∝ m), probe every wedge map-side so
+    // only plausibly-closing wedges enter the (v,w) exchange; the exact
+    // join below removes bloom false positives
+    val m = oriented.count() // scalar: edge count (the pagerank-n discipline)
+    val bf = oriented.select(xxhash64(col("src"), col("dst")).as("ek"))
+      .stat.bloomFilter("ek", math.max(m, 1L), 0.01)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val mightClose = udf((k: Long) => bfB.value.mightContain(k))
+    // shuffle_hash on the EDGE side: SMJ would sort the wedge stream
+    // (the big side — 3.8 GB of sort spill at 10× even after the bloom
+    // prune); hashing the m-sized edge side per partition skips that
+    // sort entirely
     val tris = wedges
-      .join(oriented.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+      .filter(mightClose(xxhash64(col("v"), col("w"))))
+      .join(oriented.select(col("src").as("v"), col("dst").as("w")).hint("shuffle_hash"),
+        Seq("v", "w"))
       .select(col("u"), col("v"), col("w"))
     tris.select(explode(array(col("u"), col("v"), col("w"))).as("p_partkey"))
       .groupBy("p_partkey").agg(count(lit(1)).as("tri"))
@@ -203,8 +261,9 @@ object Graphs {
       edgeCte.replaceFirst("WITH ", "") + ",\n" +
       "r0 AS (SELECT DISTINCT src AS v, 1.0 / nn.n AS r FROM e CROSS JOIN nn),\n" +
       (1 to PrIters).map(i => prRound(s"r${i - 1}", s"r$i")).mkString(",\n") + "\n" +
-      s"SELECT est.s_suppkey, est.pr, ABS(r.r - est.pr) <= $GateTol AS pr_ok " +
-      s"FROM est JOIN r$PrIters r ON r.v = est.s_suppkey ORDER BY est.s_suppkey")
+      s"SELECT COALESCE(est.s_suppkey, r.v) AS s_suppkey, est.pr, " +
+      s"(est.pr IS NOT NULL AND r.r IS NOT NULL AND ABS(r.r - est.pr) <= $GateTol) AS pr_ok " +
+      s"FROM est FULL JOIN r$PrIters r ON r.v = est.s_suppkey ORDER BY s_suppkey")
       .replaceAll("\n", " "),
     "q33_triangles" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

@@ -191,10 +191,35 @@ object Snapshots {
         // read-path probe were empty parts). A batch with no rows at
         // all keeps its listing (stats-free) so the version stays
         // readable.
+        //
+        // Fail-loud guards (ADVICE r7): a basename mismatch between the
+        // input_file_name() URIs and the FS listing (URI-encoding skew)
+        // would otherwise silently drop a CONTENT-BEARING file from the
+        // table forever. (a) every grouped name must be a listed batch
+        // file; (b) every file about to be dropped must truly hold zero
+        // rows (the check reads only the dropped files — normally empty
+        // parts, so the scan is footer-cheap).
         if (byName.isEmpty) batchFiles.map(ManifestEntry(_, None))
-        else batchFiles.flatMap { rel =>
-          val name = rel.substring(rel.lastIndexOf('/') + 1)
-          byName.get(name).map(st => ManifestEntry(rel, st.map { case (lo, hi) => (c, lo, hi) }))
+        else {
+          val baseNames = batchFiles.map(r => r.substring(r.lastIndexOf('/') + 1)).toSet
+          val unmatched = byName.keySet -- baseNames
+          require(unmatched.isEmpty,
+            s"snapshot commit: stats scan saw files absent from the batch listing " +
+              s"(URI/name skew?): ${unmatched.take(3).mkString(", ")}")
+          val dropped = batchFiles.filterNot(rel =>
+            byName.contains(rel.substring(rel.lastIndexOf('/') + 1)))
+          if (dropped.nonEmpty) {
+            val nonEmpty = spark.read.parquet(
+                dropped.map(rel => s"$dir/$rel"): _*).limit(1).count()
+            require(nonEmpty == 0,
+              s"snapshot commit: refusing to drop ${dropped.size} manifest entries — " +
+                s"a file slated as zero-row holds data (name-matching bug): " +
+                s"${dropped.take(3).mkString(", ")}")
+          }
+          batchFiles.flatMap { rel =>
+            val name = rel.substring(rel.lastIndexOf('/') + 1)
+            byName.get(name).map(st => ManifestEntry(rel, st.map { case (lo, hi) => (c, lo, hi) }))
+          }
         }
     }
   }

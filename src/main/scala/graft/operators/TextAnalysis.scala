@@ -486,6 +486,16 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_winnowing" -> winnowing _,
     "dd_winnow_pairs" -> winnowPairs _,
+    // the streaming MOSS twin replayed in batch mode (VERDICT r7 #7):
+    // same two keyed-state stages the stream runs, handed the static
+    // corpus — the driver's oracle (the dd_winnow_pairs SQL) now gates
+    // the streaming code path, not just its spec
+    "dd_moss_stream" -> ((s: SparkSession, d: String) =>
+      graft.streaming.MossStreams.confirmedPairs(s,
+          Tables.documents(s, d).select("doc_id", "text"))
+        .filter(col("ok"))
+        .select(col("a_id"), col("b_id"), col("shared"))
+        .orderBy("a_id", "b_id")),
     "tx_boilerplate" -> boilerplate _,
     "tx_quality_adaptive" -> ((s: SparkSession, d: String) => adaptiveQuality(s, d)),
     "tx_pii" -> piiScrub _,
@@ -520,20 +530,25 @@ object TextAnalysis {
       |WHERE wm.wlen = $WinW OR wm.j = 1
       |GROUP BY 1, 2, 3)""".stripMargin
 
+  /** Shared by dd_winnow_pairs and its streaming-replay twin
+    * dd_moss_stream — identical semantics, one SQL. */
+  private val winnowPairsSql: String =
+    s"""$winnowCte,
+      |fps AS (SELECT DISTINCT doc_id, winmin AS fp FROM sel),
+      |ok AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= $WinMaxFpDf),
+      |j AS (SELECT doc_id, fp FROM fps WHERE fp IN (SELECT fp FROM ok))
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared
+      |FROM j a JOIN j b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2 HAVING COUNT(*) >= $WinMinShared
+      |ORDER BY a_id, b_id""".stripMargin.replaceAll("\n", " ")
+
   val oracleSql: Map[String, String] = Map(
     "tx_winnowing" ->
       s"""$winnowCte
         |SELECT DISTINCT doc_id, CAST(pos AS INT) AS pos, winmin AS fp
         |FROM sel ORDER BY doc_id, pos""".stripMargin.replaceAll("\n", " "),
-    "dd_winnow_pairs" ->
-      s"""$winnowCte,
-        |fps AS (SELECT DISTINCT doc_id, winmin AS fp FROM sel),
-        |ok AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= $WinMaxFpDf),
-        |j AS (SELECT doc_id, fp FROM fps WHERE fp IN (SELECT fp FROM ok))
-        |SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared
-        |FROM j a JOIN j b ON a.fp = b.fp AND a.doc_id < b.doc_id
-        |GROUP BY 1, 2 HAVING COUNT(*) >= $WinMinShared
-        |ORDER BY a_id, b_id""".stripMargin.replaceAll("\n", " "),
+    "dd_winnow_pairs" -> winnowPairsSql,
+    "dd_moss_stream" -> winnowPairsSql,
     "tx_boilerplate" ->
       s"""WITH toks AS (SELECT doc_id, source, string_split(text, ' ') t FROM documents),
         |seg AS (SELECT doc_id, source, i - 1 AS seg_idx,

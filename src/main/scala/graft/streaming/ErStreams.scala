@@ -35,12 +35,22 @@ import graft.operators.EntityResolution
   *
   * Scale notes: per-block work is |new| × |block| — the same block²
   * bound as the batch join, paid incrementally; nothing is ever
-  * all-pairs. State is block-sized and permanent here (NoTimeout — the
-  * exact-parity configuration for bounded replays); an unbounded
-  * production registry bounds it with the [[DocStreams.nearDupCandidates]]
-  * horizon idiom (ProcessingTimeTimeout eviction) or by compacting
-  * resident dirty records once their link distance hits 0, which no
-  * later arrival can improve.
+  * all-pairs. State is block-sized and permanent in the DEFAULT
+  * configuration (NoTimeout — exact parity for bounded replays). The
+  * production configuration passes `horizonMs` (VERDICT r7 #5), which
+  * bounds state two ways, both spec-pinned in ErStreamSpec:
+  *
+  *   - horizon eviction ([[DocStreams.nearDupCandidates]]'s
+  *     ProcessingTimeTimeout idiom): a block idle past the horizon is
+  *     dropped whole — registry entries AND resident dirty records —
+  *     so state size tracks the ACTIVE key range, not the full history;
+  *   - dist-0 compaction: a resident dirty record whose best link hits
+  *     distance 0 leaves the resident set — its link can only be
+  *     re-ranked by ANOTHER exact-name registry duplicate with a
+  *     smaller key, a tie-break nicety the production mode trades for
+  *     never rescoring exact matches again (the trade is the one
+  *     departure from batch parity, and only under registry-duplicate
+  *     names; the default mode keeps exact semantics).
   */
 object ErStreams {
 
@@ -79,47 +89,73 @@ object ErStreams {
 
   /** Link a unified (side, key, name) stream — side "a" = clean registry
     * record, side "b" = dirty record — emitting per-dirty-record link
-    * improvements as either side grows. */
-  def linkGrowing(spark: SparkSession, records: DataFrame): Dataset[ErLink] = {
+    * improvements as either side grows.
+    *
+    * @param horizonMs production state bound: a block idle longer than
+    *                  this is evicted whole (ProcessingTimeTimeout), and
+    *                  resident dirty records leave the state once their
+    *                  best link reaches distance 0 (compaction — no
+    *                  rescoring of exact matches). None = NoTimeout, no
+    *                  compaction: the exact batch-parity configuration. */
+  def linkGrowing(spark: SparkSession, records: DataFrame,
+      horizonMs: Option[Long] = None): Dataset[ErLink] = {
     import spark.implicits._
     val maxDist = EntityResolution.MaxDist
+    val timeoutConf = if (horizonMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    val compact = horizonMs.isDefined
     records
       .select(substring(col("name"), -EntityResolution.BlockSuffix,
           EntityResolution.BlockSuffix).as("blk"),
         col("side"), col("key"), col("name"))
       .as[(String, String, Long, String)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf) {
         (_: String, rows: Iterator[(String, String, Long, String)],
             state: GroupState[BlockState]) =>
-          val st = state.getOption.getOrElse(BlockState(Seq.empty, Seq.empty))
-          val batch = rows.toSeq
-          val newReg = batch.collect { case (_, "a", k, n) => (k, n) }
-          val newDirty = batch.collect { case (_, "b", k, n) => (k, n) }
-          val reg = st.reg ++ newReg
-          val out = scala.collection.mutable.ArrayBuffer.empty[ErLink]
-          // resident dirty records: can only improve via NEW registry rows
-          val improved = st.dirty.map { case (bk, bn, bd, ba) =>
-            var (d, a) = (bd, ba)
-            newReg.foreach { case (ak, an) =>
-              val nd = levenshtein(an, bn)
-              if (nd <= maxDist && (nd < d || (nd == d && ak < a))) { d = nd; a = ak }
+          if (state.hasTimedOut) { // block idle past the horizon
+            state.remove()
+            Iterator.empty
+          } else {
+            val st = state.getOption.getOrElse(BlockState(Seq.empty, Seq.empty))
+            val batch = rows.toSeq
+            val newReg = batch.collect { case (_, "a", k, n) => (k, n) }
+            val newDirty = batch.collect { case (_, "b", k, n) => (k, n) }
+            val reg = st.reg ++ newReg
+            val out = scala.collection.mutable.ArrayBuffer.empty[ErLink]
+            // resident dirty records: can only improve via NEW registry rows
+            val improved = st.dirty.map { case (bk, bn, bd, ba) =>
+              var (d, a) = (bd, ba)
+              newReg.foreach { case (ak, an) =>
+                val nd = levenshtein(an, bn)
+                if (nd <= maxDist && (nd < d || (nd == d && ak < a))) { d = nd; a = ak }
+              }
+              if ((d, a) != ((bd, ba))) out += ErLink(bk, a, bn, d)
+              (bk, bn, d, a)
             }
-            if ((d, a) != ((bd, ba))) out += ErLink(bk, a, bn, d)
-            (bk, bn, d, a)
-          }
-          // new dirty records: score against the full block registry
-          val fresh = newDirty.map { case (bk, bn) =>
-            var (d, a) = (Int.MaxValue, Long.MaxValue)
-            reg.foreach { case (ak, an) =>
-              val nd = levenshtein(an, bn)
-              if (nd <= maxDist && (nd < d || (nd == d && ak < a))) { d = nd; a = ak }
+            // new dirty records: score against the full block registry
+            val fresh = newDirty.map { case (bk, bn) =>
+              var (d, a) = (Int.MaxValue, Long.MaxValue)
+              reg.foreach { case (ak, an) =>
+                val nd = levenshtein(an, bn)
+                if (nd <= maxDist && (nd < d || (nd == d && ak < a))) { d = nd; a = ak }
+              }
+              if (d != Int.MaxValue) out += ErLink(bk, a, bn, d)
+              (bk, bn, d, a)
             }
-            if (d != Int.MaxValue) out += ErLink(bk, a, bn, d)
-            (bk, bn, d, a)
+            // production compaction: a dist-0 link cannot be IMPROVED
+            // (only re-ranked by a duplicate-name registry entry with a
+            // smaller key) — drop the record from the resident set so
+            // every future registry arrival skips rescoring it
+            val resident =
+              if (compact) (improved ++ fresh).filter(_._3 > 0)
+              else improved ++ fresh
+            state.update(BlockState(reg, resident))
+            // every batch with activity extends the block's lease
+            if (horizonMs.isDefined && state.exists)
+              state.setTimeoutDuration(horizonMs.get)
+            out.iterator
           }
-          state.update(BlockState(reg, improved ++ fresh))
-          out.iterator
       }
   }
 }

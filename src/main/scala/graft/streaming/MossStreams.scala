@@ -37,6 +37,18 @@ object MossStreams {
   final case class FpState(ids: Seq[Long])
   final case class CandidatePair(a_id: Long, b_id: Long)
 
+  /** Shared-count delta from the per-fingerprint stage: +1 when a
+    * fingerprint newly co-occurs on a pair, −1 retractions when its
+    * bucket crosses the df cap (see [[pairDeltas]]). */
+  final case class PairDelta(a_id: Long, b_id: Long, delta: Int)
+  final case class FpDeltaState(ids: Seq[Long], frozen: Boolean)
+  final case class PairCount(shared: Long, wasOk: Boolean)
+
+  /** Confirmed-pair emission: latest row per (a_id, b_id) is the pair's
+    * current status — `ok` iff shared ≥ [[TextAnalysis.WinMinShared]]
+    * (the ErStreams latest-emission-wins discipline). */
+  final case class MossPair(a_id: Long, b_id: Long, shared: Long, ok: Boolean)
+
   /** Row-wise winnowing fingerprints: (doc_id, pos, fp) — exactly
     * [[TextAnalysis.winnowing]]'s selection (window min, rightmost tie,
     * full windows plus the clamped j = 1 window of gram-poor docs,
@@ -94,6 +106,81 @@ object MossStreams {
               a <- seenSeq ++ fresh.take(i)
             } yield CandidatePair(math.min(a, b), math.max(a, b))).iterator
           }
+      }
+  }
+
+  /** Per-fingerprint shared-count DELTAS — the exact-parity feed for
+    * [[confirmedPairs]]. Differs from [[candidatePairs]]'s sieve in cap
+    * semantics: the batch [[TextAnalysis.winnowPairs]] drops a
+    * fingerprint ENTIRELY once its final doc frequency exceeds
+    * [[TextAnalysis.WinMaxFpDf]], so the arrival that pushes a bucket
+    * past the cap RETRACTS every pair the bucket credited (−1 each,
+    * ≤ cap² bounded) and freezes it — the fingerprint's net
+    * contribution collapses to the batch df-filter's zero. Sub-cap
+    * buckets emit +1 per new co-resident pair, exactly the batch
+    * per-fp pair count. */
+  def pairDeltas(spark: SparkSession, docs: DataFrame): Dataset[PairDelta] = {
+    import spark.implicits._
+    val cap = TextAnalysis.WinMaxFpDf
+    fingerprints(docs)
+      .select(col("fp").as[String], col("doc_id").as[Long])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[(String, Long)], state: GroupState[FpDeltaState]) =>
+          val st = state.getOption.getOrElse(FpDeltaState(Seq.empty, frozen = false))
+          if (st.frozen) Iterator.empty
+          else {
+            val seen = st.ids.toSet
+            val fresh = rows.map(_._2).toSeq.distinct.filterNot(seen)
+            if (fresh.isEmpty) Iterator.empty
+            else if (st.ids.length + fresh.length > cap) {
+              // df crosses the cap: the batch form excludes this fp —
+              // retract every pair it credited, keep only the frozen marker
+              state.update(FpDeltaState(Seq.empty, frozen = true))
+              (for {
+                (b, i) <- st.ids.zipWithIndex
+                a <- st.ids.take(i)
+              } yield PairDelta(math.min(a, b), math.max(a, b), -1)).iterator
+            } else {
+              state.update(FpDeltaState(st.ids ++ fresh, frozen = false))
+              (for {
+                (b, i) <- fresh.zipWithIndex
+                a <- st.ids ++ fresh.take(i)
+              } yield PairDelta(math.min(a, b), math.max(a, b), 1)).iterator
+            }
+          }
+      }
+  }
+
+  /** Streaming twin of [[TextAnalysis.winnowPairs]] (VERDICT r7 #6):
+    * a second keyed stage — per-PAIR state over [[pairDeltas]] — nets
+    * the shared-fingerprint count and emits a status row whenever the
+    * pair is at or past [[TextAnalysis.WinMinShared]] (or drops back
+    * below after a retraction, so latest-per-pair stays truthful). Once
+    * both stages drain, the `ok` rows equal the batch winnowPairs
+    * result exactly — same df-cap, same floor (MossStreamSpec, plus
+    * feed-split invariance).
+    *
+    * Topology: fingerprint-keyed stage → pair-keyed stage, two
+    * shuffles, both on uniform hash keys; per-pair state is two fields.
+    * Spark ≥3.4 runs both stateful operators in one streaming query
+    * (verified on this build); the same code is the batch replay when
+    * handed a static frame — the registered dd_moss_stream row. */
+  def confirmedPairs(spark: SparkSession, docs: DataFrame): Dataset[MossPair] = {
+    import spark.implicits._
+    val minShared = TextAnalysis.WinMinShared
+    pairDeltas(spark, docs)
+      .groupByKey(p => (p.a_id, p.b_id))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: (Long, Long), rows: Iterator[PairDelta], state: GroupState[PairCount]) =>
+          val st = state.getOption.getOrElse(PairCount(0L, wasOk = false))
+          val shared = st.shared + rows.map(_.delta).sum
+          val ok = shared >= minShared
+          state.update(PairCount(shared, ok))
+          // emit on any change visible through the floor: crossing up,
+          // growing while qualified, or dropping back out
+          if (ok || st.wasOk) Iterator(MossPair(key._1, key._2, shared, ok))
+          else Iterator.empty
       }
   }
 }

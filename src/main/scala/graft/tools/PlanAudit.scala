@@ -44,9 +44,23 @@ object PlanAudit {
     )
   }
 
+  /** Per-exchange breakdown (verbose mode): which node moved the rows. */
+  def auditVerbose(df: org.apache.spark.sql.DataFrame): Unit = {
+    df.queryExecution.toRdd.foreach(_ => ())
+    allNodes(df.queryExecution.executedPlan).foreach { n =>
+      val rec = n.metrics.get("shuffleRecordsWritten").map(_.value).getOrElse(0L)
+      val spill = n.metrics.get("spillSize").map(_.value).getOrElse(0L) +
+        n.metrics.get("diskBytesSpilled").map(_.value).getOrElse(0L)
+      if (rec > 0 || spill > 0)
+        println(f"[auditv] ${n.getClass.getSimpleName}%-28s rec=$rec%12d spill=${spill / 1e6}%10.1fMB ${n.simpleString(60).take(90)}")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
-    val dir = args(0)
-    val names = if (args.length > 1) args.drop(1).toSeq else SparkEntry.benchQueries
+    val verbose = args.contains("-v")
+    val dir = args.filterNot(_ == "-v").head
+    val rest = args.filterNot(_ == "-v").drop(1).toSeq
+    val names = if (rest.nonEmpty) rest else SparkEntry.benchQueries
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -58,9 +72,13 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("WARN")
     println(f"[audit] ${"query"}%-22s ${"scan_rows"}%12s ${"shuffle_rec"}%12s ${"shuffle_MB"}%10s ${"spill_MB"}%8s")
     names.foreach { n =>
-      val m = audit(SparkEntry.queries(n)(spark, dir))
-      println(f"[audit] $n%-22s ${m("scan_rows")}%12d ${m("shuffle_records")}%12d " +
-        f"${m("shuffle_bytes") / 1e6}%10.1f ${m("spill_bytes") / 1e6}%8.1f")
+      val fn = (SparkEntry.queries ++ ExtraQueries.extras)(n)
+      if (verbose) { println(s"[auditv] == $n =="); auditVerbose(fn(spark, dir)) }
+      else {
+        val m = audit(fn(spark, dir))
+        println(f"[audit] $n%-22s ${m("scan_rows")}%12d ${m("shuffle_records")}%12d " +
+          f"${m("shuffle_bytes") / 1e6}%10.1f ${m("spill_bytes") / 1e6}%8.1f")
+      }
     }
     spark.stop()
   }

@@ -4,33 +4,11 @@ import org.apache.spark.sql.SparkSession
 
 import graft.SparkEntry
 
-/** Ad-hoc wall-clock timing for named SparkEntry queries against any data
-  * dir (the scale-evidence companion to Bench: point it at the ScaleUp
-  * output to see how an operator's cost moves with 10× rows). Two passes
-  * per query — pass 1 is cold (plan compile + any artifact build), pass 2
-  * warm. Results sink to the noop format so the full plan executes
-  * without measuring local-disk write throughput.
-  *
-  * Usage: runMain graft.tools.QueryTime <dir> <query> [query ...]
-  */
-object QueryTime {
-  def main(args: Array[String]): Unit = {
-    val dir = args(0)
-    val names = args.drop(1).toSeq
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
-      // scale-probe headroom: big shuffles open at 512 partitions and AQE
-      // coalesces small ones back to ~32 — the local stand-in for sizing
-      // shuffle partitions to the data (the 100× probe's 336M-row pair
-      // dedup sort-spilled to disk exhaustion at a fixed 32)
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", 512)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // non-contract variants worth timing (not registered driver queries)
-    val extras: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+/** Non-contract query variants worth timing/auditing (not registered
+  * driver queries) — shared by [[QueryTime]] and [[PlanAudit]] so scale
+  * probes can reach raw forms of the export-gate rows. */
+object ExtraQueries {
+  val extras: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
       "dd_substring_spans_fast" ->
         ((s, d) => graft.operators.SubstringDedup.duplicatedSpans(s, d, fastHash = true)),
       // the fitted end-to-end SemDeDup (the driver query reads a fixed
@@ -63,8 +41,35 @@ object QueryTime {
       "ds_doremi_raw" ->
         ((s, d) => graft.operators.Doremi.domainWeightsRaw(s, d)),
     )
+}
+
+/** Ad-hoc wall-clock timing for named SparkEntry queries against any data
+  * dir (the scale-evidence companion to Bench: point it at the ScaleUp
+  * output to see how an operator's cost moves with 10× rows). Two passes
+  * per query — pass 1 is cold (plan compile + any artifact build), pass 2
+  * warm. Results sink to the noop format so the full plan executes
+  * without measuring local-disk write throughput.
+  *
+  * Usage: runMain graft.tools.QueryTime <dir> <query> [query ...]
+  */
+object QueryTime {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val names = args.drop(1).toSeq
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      // scale-probe headroom: big shuffles open at 512 partitions and AQE
+      // coalesces small ones back to ~32 — the local stand-in for sizing
+      // shuffle partitions to the data (the 100× probe's 336M-row pair
+      // dedup sort-spilled to disk exhaustion at a fixed 32)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", 512)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
     names.foreach { n =>
-      val fn = (SparkEntry.queries ++ extras).getOrElse(n,
+      val fn = (SparkEntry.queries ++ ExtraQueries.extras).getOrElse(n,
         sys.error(s"unknown query: $n (see SparkEntry.queries)"))
       (1 to 2).foreach { pass =>
         val t0 = System.nanoTime()

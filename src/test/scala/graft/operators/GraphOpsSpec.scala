@@ -87,6 +87,59 @@ class GraphOpsSpec extends SparkSpec {
     assert(got.values.sum % 3 == 0) // every triangle credits 3 corners
   }
 
+  test("graph shuffle volume stays within the edge/wedge bounds (no quadratic regression)") {
+    // the 100 TB contract, asserted on real SQLMetrics (VERDICT r7 #4):
+    // pagerank's per-round exchanges stay ∝ edges + nodes, and the
+    // triangle pipeline's total shuffle stays under the oriented wedge
+    // bound Σ outdeg² plus linear terms. A regression to an unoriented
+    // wedge join or an in-loop degree re-join overshoots these bounds by
+    // orders of magnitude; generous constants keep the assertion
+    // insensitive to planner-version noise.
+    graft.operators.ArtifactCaches.clear()
+    spark.catalog.clearCache()
+    // supplier co-occurrence graph (pagerank's input), independently
+    val eo = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("o"), col("l_suppkey").as("s")).distinct()
+    val se = eo.select(col("o"), col("s").as("src"))
+      .join(eo.select(col("o"), col("s").as("dst")), Seq("o"))
+      .filter(col("src") =!= col("dst")).select("src", "dst").distinct()
+    val mPr = se.count(); val nPr = se.select("src").distinct().count()
+    val prM = graft.tools.PlanAudit.audit(Graphs.pagerankRaw(spark, sf))
+    val prBound = (Graphs.PrIters + 4) * 2 * (mPr + nPr)
+    assert(prM("shuffle_records") <= prBound,
+      s"pagerank shuffled ${prM("shuffle_records")} records > bound $prBound (m=$mPr n=$nPr)")
+    // part co-purchase graph (triangles' input): Σ outdeg² under the
+    // (degree, id) orientation, plus edge/triangle linear terms
+    val op = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val pe = op.select(col("o"), col("p").as("a"))
+      .join(op.select(col("o"), col("p").as("b")), Seq("o"))
+      .filter(col("a") < col("b")).select("a", "b").distinct()
+    val deg = pe.select(col("a").as("v")).union(pe.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val od = pe
+      .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
+      .select(when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+        col("a")).otherwise(col("b")).as("src"))
+      .groupBy("src").agg(count(lit(1)).as("od"))
+    val sumOd2 = od.agg(sum(col("od") * col("od"))).collect()(0).getLong(0)
+    val mTri = pe.count()
+    graft.operators.ArtifactCaches.clear()
+    spark.catalog.clearCache()
+    val trDf = Graphs.triangles(spark, sf)
+    val trM = graft.tools.PlanAudit.audit(trDf)
+    val tris3 = trDf.agg(sum("tri")).collect()(0).getLong(0) // 3 × triangle count
+    val trBound = sumOd2 / 2 + 8 * (mTri + tris3)
+    assert(trM("shuffle_records") <= trBound,
+      s"triangles shuffled ${trM("shuffle_records")} records > bound $trBound " +
+        s"(Σod²=$sumOd2 m=$mTri 3·tri=$tris3)")
+    info(s"pagerank shuffle=${prM("shuffle_records")} bound=$prBound; " +
+      s"triangles shuffle=${trM("shuffle_records")} bound=$trBound")
+    graft.operators.ArtifactCaches.clear()
+    spark.catalog.clearCache()
+  }
+
   test("ppjoin pair set equals the exact ngram-jaccard pair set (lossless prefix filter)") {
     val exact = Dedup.ngramJaccard(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet

@@ -53,6 +53,93 @@ class MossStreamSpec extends SparkSpec {
       s"missed batch pairs: ${(pairs -- streamed).take(5)}")
   }
 
+  test("confirmed pairs drain to the batch winnowPairs rows exactly (feed-split invariant)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => Doc(r.getLong(0), r.getString(1))).sortBy(_.doc_id).toSeq
+    val batch = TextAnalysis.winnowPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def drained(nSplits: Int): Set[(Long, Long, Long)] = {
+      val input = MemoryStream[Doc]
+      val name = s"mossconf_${System.nanoTime()}"
+      val q = MossStreams.confirmedPairs(spark, input.toDF())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      docs.grouped(math.max(1, docs.size / nSplits)).foreach { c =>
+        input.addData(c); q.processAllAvailable()
+      }
+      q.stop()
+      // latest emission per pair is its final status (the ErStreams
+      // latest-wins discipline; memory sink appends in batch order)
+      spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getBoolean(3)))
+        .foldLeft(Map.empty[(Long, Long), (Long, Boolean)])(_ + _)
+        .collect { case ((a, b), (s, true)) => (a, b, s) }.toSet
+    }
+    val threeWay = drained(3)
+    assert(batch.nonEmpty && threeWay == batch,
+      s"stream ${threeWay.size} vs batch ${batch.size}: missing=${(batch -- threeWay).take(3)} extra=${(threeWay -- batch).take(3)}")
+    assert(drained(7) == threeWay, "emissions depend on the feed split")
+  }
+
+  test("cap-crossing retraction: a hot fingerprint's pairs net to the batch exclusion") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // two doc families: (a) a boilerplate 10-token run shared by cap+5
+    // docs — enough shared fps (>= WinMinShared) that pairs QUALIFY
+    // while the buckets are sub-cap, then must retract to nothing when
+    // the buckets cross the cap; (b) a clean copied pair that must
+    // survive. Batch winnowPairs on the same frame is the ground truth.
+    // 30 tokens → ~28 grams → ~11 selected fps at density 2/(WinW+1):
+    // comfortably past the WinMinShared=5 floor for both families
+    val boiler = (1 to 30).map(i => s"boil$i").mkString(" ")
+    val copied = (1 to 30).map(i => s"uniq$i").mkString(" ")
+    val n = TextAnalysis.WinMaxFpDf + 5
+    val docs = (0 until n).map(i => Doc(i.toLong, boiler)) ++
+      Seq(Doc(900L, copied), Doc(901L, copied))
+    // tuples, not the inner case class: a local Seq[Doc] can't resolve
+    // the inner-class encoder's outer scope at toDF time
+    val staticDf = docs.map(d => (d.doc_id, d.text)).toDF("doc_id", "text")
+    val batch = {
+      // winnowPairs reads from a dir; replicate its pipeline on the
+      // constructed frame via the row-wise fps (spec'd equal) + the
+      // same df-cap + floor
+      val fps = MossStreams.fingerprints(staticDf)
+        .select("doc_id", "fp").distinct()
+      val okFp = fps.groupBy("fp").count()
+        .filter(org.apache.spark.sql.functions.col("count") <= TextAnalysis.WinMaxFpDf)
+        .select("fp")
+      val j = fps.join(okFp, Seq("fp"))
+      j.toDF("fp", "a_id").join(j.toDF("fp", "b_id"), Seq("fp"))
+        .filter(org.apache.spark.sql.functions.col("a_id") <
+          org.apache.spark.sql.functions.col("b_id"))
+        .groupBy("a_id", "b_id").count()
+        .filter(org.apache.spark.sql.functions.col("count") >= TextAnalysis.WinMinShared)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    assert(batch == Set((900L, 901L, batch.headOption.map(_._3).getOrElse(0L))),
+      s"fixture must reduce to the one clean pair: $batch")
+    val input = MemoryStream[Doc]
+    val name = s"mossretr_${System.nanoTime()}"
+    val q = MossStreams.confirmedPairs(spark, input.toDF())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    docs.grouped(20).foreach { c => input.addData(c); q.processAllAvailable() }
+    q.stop()
+    val finalRows = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getBoolean(3)))
+      .foldLeft(Map.empty[(Long, Long), (Long, Boolean)])(_ + _)
+    val stillOk = finalRows.collect { case ((a, b), (s, true)) => (a, b, s) }.toSet
+    assert(stillOk == batch,
+      s"after cap-crossing retraction stream must equal batch: got $stillOk vs $batch")
+    // the boilerplate pairs must have been retracted via explicit
+    // disqualification rows, not silently: some (i, j) pair with i,j in
+    // the boiler family appears with ok=false as its final status
+    val retracted = finalRows.collect { case ((a, b), (_, false)) if a < n && b < n => (a, b) }
+    assert(retracted.nonEmpty, "expected explicit disqualification emissions for the hot family")
+  }
+
   test("hot-fingerprint bucket freezes at the state cap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
