@@ -152,8 +152,13 @@ object Bench {
     // artifact caches and measure cold again, keeping the per-query MIN
     // (min across runs under varying load is the best estimator of true
     // cost; codegen stays JIT-compiled, which is the once-per-JVM share)
-    // contention detection reads the FULL-set spread (more signal)
-    val coldRerun = warmFullTotals.max > 1.5 * warmFullTotals.min || loadGuardTripped
+    // contention detection reads the FULL-set spread (more signal), and
+    // since r8 also the PER-PASS loadavg trail: a quiet start does not
+    // protect the single cold pass from load that arrives mid-run (r8
+    // observed start 2.35 → mid-run 9.1 with warm spread still < 1.5×,
+    // leaving a 2× inflated cold with no defense)
+    val coldRerun = warmFullTotals.max > 1.5 * warmFullTotals.min || loadGuardTripped ||
+      (loadStart +: loadWarm).max > loadGuardMax
     val coldFinal =
       if (!coldRerun) coldResults
       else {
