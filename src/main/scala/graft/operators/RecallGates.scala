@@ -18,8 +18,9 @@ import org.apache.spark.sql.functions._
   *      cross-engine determinism is already established), and each
   *      derives the same integers + margin-protected booleans.
   *
-  * What each gate pins: ANN families — recall@k ≥ [[AnnRecallBound]]
-  * (measured 0.88–0.98 at sf0.01, so a boolean flip needs a real
+  * What each gate pins: ANN families — recall@k above the per-family
+  * floor in [[AnnRecallBounds]] (measured 0.87–0.98, floors set at
+  * measured-minus-a-few-flips, so a boolean flip needs a real
   * regression, not a tie-break ulp); bitext ANN — pair recall plus a
   * bounded non-exact-pair ratio; bucketed embedding near-dup — recall
   * AND the subset property (the in-bucket verify uses the exact cosine
