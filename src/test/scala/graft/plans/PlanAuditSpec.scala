@@ -97,6 +97,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // and overrides must not rot: every key names a registered headline
     val stale = SparkEntry.benchOverrides.keySet -- SparkEntry.benchQueries.toSet
     assert(stale.isEmpty, s"bench overrides for non-headline queries: $stale")
+    // every headline name must resolve: Bench silently FILTERS unknown
+    // names (a typo'd entry would vanish from the artifact, shrinking
+    // warm_full with no failure anywhere)
+    val unresolved = SparkEntry.benchQueries.toSet --
+      (SparkEntry.queries ++ SparkEntry.benchOverrides).keySet
+    assert(unresolved.isEmpty, s"headline queries that resolve nowhere: $unresolved")
   }
 
   test("funnel/retention carry no broadcast hints on per-user frames") {
