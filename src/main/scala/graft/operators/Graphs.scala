@@ -190,8 +190,14 @@ object Graphs {
     // closing join, the bloom build) — persist it, not just the raw
     // edges, or the degree joins behind it re-execute per consumer
     // (audited at 10×: 3 copies of the deg exchanges, ~100 M redundant
-    // shuffle records — the winnow-fps slot lesson)
-    val oriented = PersistSlots.cached(spark, s"tri-oriented:$dir") {
+    // shuffle records — the winnow-fps slot lesson). CHECKPOINTED, not
+    // just persisted (r8): the edge-build shuffles (the raw co-purchase
+    // fan-out's pre-distinct exchange dominates) stay on disk for the
+    // whole wedge job while a plain persist keeps their lineage alive —
+    // a large share of the cumulative footprint behind the 100× one-box
+    // ENOSPC (BENCH_NOTES r8); cutting lineage lets the ContextCleaner
+    // reclaim them before the wedge exchange needs the disk.
+    val oriented = PersistSlots.cachedCheckpoint(spark, s"tri-oriented:$dir") {
       val edges = partEdges(spark, dir)
       // undirected degree per node
       val deg = edges.select(col("a").as("v")).union(edges.select(col("b").as("v")))

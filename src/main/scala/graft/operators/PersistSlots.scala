@@ -17,7 +17,37 @@ import org.apache.spark.storage.StorageLevel
 private[operators] object PersistSlots {
   private val slots = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
-  def cached(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+  def cached(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    slot(spark, key) {
+      val p = build.persist(StorageLevel.MEMORY_AND_DISK)
+      p.count() // materialize once, eagerly — callers rely on it
+      p
+    }
+
+  /** Like [[cached]], but materializes via `localCheckpoint` — same
+    * storage level, same memoization, lineage CUT. For a frame whose
+    * build chain ends in large shuffles that nothing downstream should
+    * keep alive: Spark retains a stage's shuffle files for as long as
+    * its ShuffleDependency is reachable, and a plain persist keeps the
+    * whole build lineage reachable (for block-loss recompute) until the
+    * frame is unpersisted — so a multi-stage consumer job holds the
+    * build's shuffle footprint on disk for its entire runtime on top of
+    * its own. Checkpointing makes the build's dependencies unreachable
+    * the moment materialization finishes; the ContextCleaner reclaims
+    * their files at the next driver GC (the scale probes run with
+    * `spark.cleaner.periodicGC.interval=30s` for exactly this).
+    * Motivating case: q33_triangles at 100× on one box, where the
+    * persisted edge-build's retained shuffle files were a large share of
+    * the disk footprint behind the recorded ENOSPC (BENCH_NOTES r8).
+    * The trade is the documented
+    * localCheckpoint one — blocks are non-reproducible, so an executor
+    * loss fails the job instead of recomputing; a cluster deployment
+    * that needs fault tolerance uses reliable `checkpoint` to a shared
+    * store instead. */
+  def cachedCheckpoint(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    slot(spark, key)(build.localCheckpoint()) // eager by default
+
+  private def slot(spark: SparkSession, key: String)(materialize: => DataFrame): DataFrame = {
     val appId = spark.sparkContext.applicationId
     // drop slots belonging to other (stopped) applications so a
     // long-lived JVM cycling SparkSessions can't accumulate stale
@@ -27,11 +57,7 @@ private[operators] object PersistSlots {
       slots.remove(k).foreach(df =>
         try df.unpersist(false) catch { case _: Throwable => () })
     }
-    slots.getOrElseUpdate(s"$appId|$key", {
-      val p = build.persist(StorageLevel.MEMORY_AND_DISK)
-      p.count() // materialize once, eagerly — callers rely on it
-      p
-    })
+    slots.getOrElseUpdate(s"$appId|$key", materialize)
   }
 
   /** Release every memoized frame (after an in-place data rewrite). */
@@ -39,5 +65,11 @@ private[operators] object PersistSlots {
     slots.values.foreach(df =>
       try df.unpersist(false) catch { case _: Throwable => () })
     slots.clear()
+    // checkpointed slots ([[cachedCheckpoint]]) hold their blocks via the
+    // checkpoint RDD, which Dataset.unpersist cannot reach — dropping the
+    // reference + a GC lets the ContextCleaner release them (occupancy
+    // only: a cleared slot always REBUILDS, so cold-pass honesty does not
+    // depend on this)
+    System.gc()
   }
 }

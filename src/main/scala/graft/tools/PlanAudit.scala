@@ -66,6 +66,10 @@ object PlanAudit {
       .config("spark.sql.shuffle.partitions", 32)
       // see QueryTime: shuffle-partition headroom for the scale probes
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", 512)
+      // reclaim shuffle files of lineage-cut builds mid-probe (the
+      // PersistSlots.cachedCheckpoint contract; default 30min GC never
+      // fires inside a single probe run)
+      .config("spark.cleaner.periodicGC.interval", "30s")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -64,6 +64,10 @@ object QueryTime {
       // shuffle partitions to the data (the 100× probe's 336M-row pair
       // dedup sort-spilled to disk exhaustion at a fixed 32)
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", 512)
+      // reclaim shuffle files of lineage-cut builds mid-probe (the
+      // PersistSlots.cachedCheckpoint contract; default 30min GC never
+      // fires inside a single probe run)
+      .config("spark.cleaner.periodicGC.interval", "30s")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
