@@ -24,8 +24,10 @@ import graft.sources.Tables
   *   - Errors are ONE-SIDED: no false negatives ever (a contaminated
   *     shingle is always flagged — DecontamSpec asserts flagged ⊇ exact
   *     per document), false positives bounded by fpp.
-  * Spark's `stat.bloomFilter` hashes with a fixed Murmur3 seed, so the
-  * sketch — and this operator's output — is bit-reproducible. No SQL
+  * The sketch library hashes with a fixed Murmur3 seed and the merge is
+  * a bitset OR, so the sketch — and this operator's output — is
+  * bit-reproducible regardless of partitioning (built via [[Blooms]],
+  * which also avoids `stat.bloomFilter`'s silent 4M-item clamp). No SQL
   * expression exists for the sketch (rows-only driver check; the exact
   * join tx_contamination is the oracled sibling).
   */
@@ -41,7 +43,12 @@ object Decontam {
     // pass with map-side partials) — the exact count would cost a shuffle
     val est = train.agg(approx_count_distinct("s").as("n"))
       .collect()(0).getLong(0)
-    val bloom = train.stat.bloomFilter("s", math.max(est, 1024L), fpp)
+    // Blooms, not stat.bloomFilter: the SQL aggregate's silent 4M-item /
+    // 67M-bit clamp would saturate on a real train split (billions of
+    // shingles) and flag EVERY test gram — a correctness cliff here, not
+    // just lost pruning (the one-sided-error contract survives only
+    // because fp→1 keeps it vacuous)
+    val bloom = Blooms.ofStrings(train, col("s"), est, fpp)
     val bc = spark.sparkContext.broadcast(bloom)
     val might = udf((s: String) => bc.value.mightContainString(s))
     sh.filter(col("doc_id") % 10 === 0)

@@ -172,17 +172,23 @@ object Graphs {
     * Bloom wedge prefilter (the r8 scale fix, JoinOpt's pruning idiom):
     * the wedge-sized exchange feeding the closing-edge join was the
     * audited bottleneck — 666 M shuffle records / 14.7 GB of sort spill
-    * at 10× sf0.1, heading for ~150 GB of spill at 100×. Most wedges
-    * never close (≈1 in 40 on this graph), so a bloom filter over the
-    * oriented edge set (hash of (src,dst); m entries, ~1.2 MB/million
-    * edges at 1% fpp) broadcast to the wedge stage drops non-closing
-    * wedges BEFORE they enter the exchange. False positives survive the
-    * prefilter but die in the exact (v,w) join that follows, so the
-    * result is bit-identical — which the unchanged DuckDB oracle
-    * checks. Together with persisting the 4-consumer `oriented` frame
-    * and shuffle_hash-ing the closing join (no wedge sort), measured at
-    * 10×: shuffle 666 M → 149 M records, spill 14.7 GB → 0; at sf0.1
-    * 65.8 M → 6.5 M (BENCH_NOTES r8). The UDF probe sits outside
+    * at 10× sf0.1, heading for ~150 GB of spill at 100×. Almost no
+    * wedge closes (tri/wedges ≈ 2.3% on this graph), so a bloom filter
+    * over the oriented edge set (hash of (src,dst); m entries,
+    * ~1.2 MB/million edges at 1% fpp) broadcast to the wedge stage
+    * drops non-closing wedges BEFORE they enter the exchange. False
+    * positives survive the prefilter but die in the exact (v,w) join
+    * that follows, so the result is bit-identical — which the unchanged
+    * DuckDB oracle checks. Built via [[Blooms]], NOT `stat.bloomFilter`:
+    * the SQL aggregate silently clamps to 4M items / 67M bits, and the
+    * saturated sketch passed the FULL wedge stream at 100× (fp→1; the
+    * per-node shuffle audit caught it — 4.11 B records on the wedge
+    * exchange, exactly the unpruned volume — no correctness gate could,
+    * since false positives are legal). Together with persisting the
+    * 4-consumer `oriented` frame and shuffle_hash-ing the closing join
+    * (no wedge sort), the audited shuffle totals are 5.35 M / 53.6 M /
+    * 600 M records across sf0.1 / 10× / 100× — linear per decade, zero
+    * spill at every decade (BENCH_NOTES r8). The UDF probe sits outside
     * codegen; that is the documented JoinOpt price for removing the
     * dominant exchange. */
   def triangles(spark: SparkSession, dir: String): DataFrame = {
@@ -220,13 +226,17 @@ object Graphs {
     val wedges = oriented.select(col("src").as("u"), col("dst").as("v"), col("dd").as("dv"))
       .join(oriented.select(col("src").as("u"), col("dst").as("w"), col("dd").as("dw")), Seq("u"))
       .filter(col("dv") < col("dw") || (col("dv") === col("dw") && col("v") < col("w")))
-    // bloom prefilter: hash each oriented edge once (driver-side
-    // treeAggregate, KB→MB bitset ∝ m), probe every wedge map-side so
+    // bloom prefilter: hash each oriented edge once (treeAggregate,
+    // ~1.2 MB bitset per million edges), probe every wedge map-side so
     // only plausibly-closing wedges enter the (v,w) exchange; the exact
-    // join below removes bloom false positives
+    // join below removes bloom false positives. Built via [[Blooms]],
+    // NOT stat.bloomFilter — the SQL aggregate silently clamps to 4M
+    // items / 67M bits and the saturated sketch passed the FULL 4.11B-
+    // wedge stream at 100× (fp→1; caught by the shuffle audit, not by
+    // any correctness gate — BENCH_NOTES r8).
     val m = oriented.count() // scalar: edge count (the pagerank-n discipline)
-    val bf = oriented.select(xxhash64(col("src"), col("dst")).as("ek"))
-      .stat.bloomFilter("ek", math.max(m, 1L), 0.01)
+    val bf = Blooms.ofLongs(oriented,
+      xxhash64(col("src"), col("dst")), math.max(m, 1L), 0.01)
     val bfB = spark.sparkContext.broadcast(bf)
     val mightClose = udf((k: Long) => bfB.value.mightContain(k))
     // shuffle_hash on the EDGE side: SMJ would sort the wedge stream

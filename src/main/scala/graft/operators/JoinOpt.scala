@@ -81,7 +81,11 @@ object JoinOpt {
   def bloomPrunedOrders(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir)
       .filter(col("c_mktsegment") === "BUILDING")
-    val bf = cust.stat.bloomFilter("c_custkey", 100000L, 0.01)
+    // sized from the actual filtered-dim count (a fixed guess stops
+    // fitting at some SF) and built via Blooms — stat.bloomFilter's
+    // silent 4M-item clamp saturates exactly when the dim outgrows it
+    val bf = Blooms.ofLongs(cust, col("c_custkey"),
+      math.max(cust.count(), 1024L), 0.01)
     val bfB = spark.sparkContext.broadcast(bf)
     val might = udf((k: Long) => bfB.value.mightContain(k))
     Tables.orders(spark, dir).filter(might(col("o_custkey")))

@@ -76,7 +76,10 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("WARN")
     println(f"[audit] ${"query"}%-22s ${"scan_rows"}%12s ${"shuffle_rec"}%12s ${"shuffle_MB"}%10s ${"spill_MB"}%8s")
     names.foreach { n =>
-      val fn = (SparkEntry.queries ++ ExtraQueries.extras)(n)
+      // benchOverrides LAST: a gate-form name probes its RAW operator,
+      // exactly what Bench times — probing the gate would re-run the
+      // exact quadratic oracle recompute at scale (the r7 bench lesson)
+      val fn = (SparkEntry.queries ++ ExtraQueries.extras ++ SparkEntry.benchOverrides)(n)
       if (verbose) { println(s"[auditv] == $n =="); auditVerbose(fn(spark, dir)) }
       else {
         val m = audit(fn(spark, dir))

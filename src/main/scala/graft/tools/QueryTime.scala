@@ -73,7 +73,10 @@ object QueryTime {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { n =>
-      val fn = (SparkEntry.queries ++ ExtraQueries.extras).getOrElse(n,
+      // benchOverrides LAST: a gate-form name probes its RAW operator,
+      // exactly what Bench times — probing the gate would re-run the
+      // exact quadratic oracle recompute at scale (the r7 bench lesson)
+      val fn = (SparkEntry.queries ++ ExtraQueries.extras ++ SparkEntry.benchOverrides).getOrElse(n,
         sys.error(s"unknown query: $n (see SparkEntry.queries)"))
       (1 to 2).foreach { pass =>
         val t0 = System.nanoTime()
