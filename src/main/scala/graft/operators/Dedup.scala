@@ -539,10 +539,20 @@ object Dedup {
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id")
       .distinct()
+    // the join-backs BROADCAST the vector table (ship the table to the
+    // candidate stream, not the stream to the table): a shuffle join
+    // re-exchanges every candidate carrying the 512-byte payload on the
+    // second join-back — the term that made this row "disk-bound on one
+    // box" at 100× (and ENOSPC'd the bitext sibling, BENCH_NOTES r8) —
+    // while the table itself is N·528B, orders smaller than the stream.
+    // Past per-executor memory the branch falls back to the shuffle form
+    // (the FilteredAnn cardinality-branch idiom).
     val vecs = e
+    val joinBack: DataFrame => DataFrame =
+      if (vecs.count() * 528L < (4L << 30)) df => broadcast(df) else identity
     cand
-      .join(vecs.select(col("vec_id").as("a_id"), col("v").as("va")), Seq("a_id"))
-      .join(vecs.select(col("vec_id").as("b_id"), col("v").as("vb")), Seq("b_id"))
+      .join(joinBack(vecs.select(col("vec_id").as("a_id"), col("v").as("va"))), Seq("a_id"))
+      .join(joinBack(vecs.select(col("vec_id").as("b_id"), col("v").as("vb"))), Seq("b_id"))
       .withColumn("cs", graft.plans.VectorOps.dot(col("va"), col("vb")))
       .filter(col("cs") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("cs"), 4).as("cs"))

@@ -99,9 +99,22 @@ object Mining {
     val ys = sides.filter(!col("isX")).select(col("vec_id").as("y_id"),
       col("tbl"), col("bucket"))
     val cand = xs.join(ys, Seq("tbl", "bucket")).select("x_id", "y_id").distinct()
+    // vector join-backs ship the TABLE to the candidates (broadcast),
+    // never the candidates to the table: a shuffle join here re-exchanges
+    // the candidate stream carrying the 512-byte vector payload — ~70 GB
+    // at 100× (2M vectors, ~0.5B distinct candidates), measured ENOSPC on
+    // one box (BENCH_NOTES r8) — while the embedding table itself is
+    // N·528B (1 GB at 2M): orders smaller than the stream probing it,
+    // the FAISS shard-the-index-in-RAM shape. Map-side joins attach
+    // vx/vy inside the candidate stage, the dot computes there, and only
+    // 24-byte (x_id, y_id, cs) rows shuffle afterwards. Past per-executor
+    // memory the branch falls back to the plain shuffle join-back (the
+    // FilteredAnn cardinality-branch idiom).
+    val joinBack: DataFrame => DataFrame =
+      if (e.count() * 528L < (4L << 30)) df => broadcast(df) else identity
     val scored = cand
-      .join(e.select(col("vec_id").as("x_id"), col("v").as("vx")), Seq("x_id"))
-      .join(e.select(col("vec_id").as("y_id"), col("v").as("vy")), Seq("y_id"))
+      .join(joinBack(e.select(col("vec_id").as("x_id"), col("v").as("vx"))), Seq("x_id"))
+      .join(joinBack(e.select(col("vec_id").as("y_id"), col("v").as("vy"))), Seq("y_id"))
       .select(col("x_id"), col("y_id"),
         graft.plans.VectorOps.dot(col("vx"), col("vy")).as("cs"))
     val wx = Window.partitionBy("x_id").orderBy(desc("cs"), col("y_id"))

@@ -44,22 +44,33 @@ object ScaleUp {
     // dims: copy as-is
     Seq("region", "nation").foreach(t => write(read(t), t))
 
-    def shifted(t: String, keys: Seq[String]): DataFrame = {
+    def shifted(t: String, keys: Seq[String], strides: Map[String, Long] = Map.empty): DataFrame = {
       val base = read(t)
       (0 until factor).map { rep =>
-        keys.foldLeft(base)((df, k) => df.withColumn(k, col(k) + lit(rep * Stride)))
+        keys.foldLeft(base)((df, k) =>
+          df.withColumn(k, col(k) + lit(rep * strides.getOrElse(k, Stride))))
       }.reduce(_ unionAll _)
     }
     // c_name is derived from c_custkey in the generator; re-derive it
     // from the SHIFTED key or every replica carries an identical name —
     // which both multiplies er_link's blocking buckets by the factor and
     // plants cross-replica exact-name matches, a corpus artifact (an
-    // 8.3× wall blow-up at 10× that vanished with faithful names)
-    write(shifted("customer", Seq("c_custkey"))
+    // 8.3× wall blow-up at 10× that vanished with faithful names).
+    // The custkey domain shifts DENSELY (stride = base max key), the way
+    // the real generator lays out keys at a larger SF: the generic 10^7
+    // stride is ≡ 0 mod 10^6, so the name's trailing digits stay frozen
+    // at the base corpus' 15k values at ANY factor — blocking-suffix
+    // cardinality stops growing and every suffix-blocked operator turns
+    // quadratic (measured: er_link 100× warm 93 s aliased; a real dense
+    // registry grows suffix entropy with n). Same stride on o_custkey
+    // keeps the FK consistent.
+    val custStride = read("customer").agg(max("c_custkey")).head.getLong(0) + 1
+    val custStrides = Map("c_custkey" -> custStride, "o_custkey" -> custStride)
+    write(shifted("customer", Seq("c_custkey"), custStrides)
       .withColumn("c_name", format_string("Customer#%09d", col("c_custkey"))), "customer")
     write(shifted("supplier", Seq("s_suppkey")), "supplier")
     write(shifted("part", Seq("p_partkey")), "part")
-    write(shifted("orders", Seq("o_orderkey", "o_custkey")), "orders")
+    write(shifted("orders", Seq("o_orderkey", "o_custkey"), custStrides), "orders")
     write(shifted("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey")), "lineitem")
 
     // events ships as TIMESTAMP(NANOS) — read through Tables.events (which
