@@ -41,7 +41,12 @@ object EntityResolution {
     * er_link 8× slower; 6 chars keeps blocks at the duplicate-cluster
     * size across every probe decade — Christen 2012's block-size
     * control, the same reason real systems block on phone last-N/zip
-    * with N sized to the population). */
+    * with N sized to the population). The knob only works when the
+    * key's ENTROPY actually grows with the registry: the r8 100× probe
+    * measured a fake quadratic (93 s) because ScaleUp's 10⁷ key stride
+    * froze the name's 6-digit tail at the base corpus' 15k values —
+    * a generator artifact, fixed by dense key replication (2.4 s flat
+    * across two decades; BENCH_NOTES r8 finding 1). */
   val BlockSuffix = 6
 
   /** The deterministic dirty registry: custkey mod 3 = 0 keeps the name
