@@ -26,6 +26,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // the PersistSlots.cachedCheckpoint contract (q33's lineage-cut
+      // edge build): checkpointed builds' shuffle files are reclaimed by
+      // the ContextCleaner at driver GC — the default 30 min periodic GC
+      // never fires inside a run, leaving reclamation to incidental GCs
+      .config("spark.cleaner.periodicGC.interval", "30s")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -540,16 +540,16 @@ object Dedup {
       .select("a_id", "b_id")
       .distinct()
     // the join-backs BROADCAST the vector table (ship the table to the
-    // candidate stream, not the stream to the table): a shuffle join
-    // re-exchanges every candidate carrying the 512-byte payload on the
-    // second join-back — the term that made this row "disk-bound on one
-    // box" at 100× (and ENOSPC'd the bitext sibling, BENCH_NOTES r8) —
-    // while the table itself is N·528B, orders smaller than the stream.
-    // Past per-executor memory the branch falls back to the shuffle form
-    // (the FilteredAnn cardinality-branch idiom).
+    // candidate stream, not the stream to the table — [[JoinBacks]]): a
+    // shuffle join re-exchanges every candidate carrying the vector
+    // payload on the second join-back — the term that made this row
+    // "disk-bound on one box" at 100× (and ENOSPC'd the bitext sibling,
+    // BENCH_NOTES r8). Sized from the index's corpus count (no extra
+    // count() job) against a memory-conf-derived budget that prices both
+    // broadcast projections at once; past it the branch falls back to
+    // the shuffle form (the FilteredAnn cardinality-branch idiom).
     val vecs = e
-    val joinBack: DataFrame => DataFrame =
-      if (vecs.count() * 528L < (4L << 30)) df => broadcast(df) else identity
+    val joinBack = JoinBacks.vectorJoinBack(spark, idx.nVectors, Similarity.Dim)
     cand
       .join(joinBack(vecs.select(col("vec_id").as("a_id"), col("v").as("va"))), Seq("a_id"))
       .join(joinBack(vecs.select(col("vec_id").as("b_id"), col("v").as("vb"))), Seq("b_id"))

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.broadcast
+
+/** The shared cardinality branch for vector JOIN-BACKS — the "ship the
+  * table to the candidate stream, not the stream to the table" rule used
+  * by [[Dedup.embeddingCosineBucketed]] and [[Mining.mineBitextAnn]]: a
+  * shuffle join re-exchanges the id-only candidate stream carrying the
+  * full vector payload (~70 GB at the 100× probe, measured ENOSPC —
+  * BENCH_NOTES r8), while the embedding table itself is N·(8·dim) bytes,
+  * orders smaller than the stream probing it (the FAISS
+  * shard-the-index-in-RAM shape). Broadcast when it fits; fall back to
+  * the plain shuffle join-back when it does not.
+  *
+  * Centralized (ADVICE r8) because the two call sites had drifted into a
+  * duplicated literal threshold with three hidden wrongs:
+  *   - the 4 GiB constant was untied to any memory conf, so between the
+  *     constant and real executor memory the branch OOM'd instead of
+  *     degrading;
+  *   - each call site broadcasts TWO projections of the table (the a-side
+  *     and b-side join-backs are distinct broadcast relations), so peak
+  *     footprint was 2× what the guard priced;
+  *   - the 528 B/row estimate hard-coded 64-dim vectors.
+  */
+object JoinBacks {
+
+  /** Spark refuses any single broadcast relation over 8 GB; branch to the
+    * shuffle form with ~10% margin before hitting that wall. */
+  private val SparkBroadcastCap = (8L << 30) - (8L << 30) / 10
+
+  /** Estimated in-memory bytes of one (id: long, vec: array<double>) row
+    * inside a broadcast HashedRelation: 8·dim vector payload + the id +
+    * UnsafeRow/UnsafeArrayData headers and map slot overhead. */
+  def vectorRowBytes(dim: Int): Long = 8L * dim + 64L
+
+  /** Per-JVM heap budget for the SUM of simultaneously-live broadcast
+    * relations: `graft.broadcast.budget` (bytes) when set, else a quarter
+    * of executor memory (`spark.executor.memory`; in local mode the
+    * driver heap IS the executor heap, so `Runtime.maxMemory` is the
+    * honest default). A quarter, because the broadcast relations share
+    * the heap with the candidate stream's own task memory, and the
+    * driver additionally holds the collected copy while broadcasting. */
+  def broadcastBudget(spark: SparkSession): Long =
+    spark.conf.getOption("graft.broadcast.budget").map(_.toLong).getOrElse {
+      val heap = spark.conf.getOption("spark.executor.memory")
+        .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+        .getOrElse(Runtime.getRuntime.maxMemory)
+      heap / 4
+    }
+
+  /** Join-side transform for `sides` simultaneous vector join-backs over
+    * an `nRows` × `dim`-double table: `broadcast` when ALL sides fit the
+    * budget together (and each fits Spark's hard relation cap), else
+    * identity — the plain shuffle join-back, slower but never OOM. */
+  def vectorJoinBack(spark: SparkSession, nRows: Long, dim: Int,
+      sides: Int = 2): DataFrame => DataFrame = {
+    val perSide = nRows * vectorRowBytes(dim)
+    if (perSide <= SparkBroadcastCap && sides * perSide <= broadcastBudget(spark))
+      df => broadcast(df)
+    else identity
+  }
+}

@@ -79,13 +79,19 @@ object JoinOpt {
   /** Orders pruned by a bloom filter over the filtered customers' keys —
     * exposed for the spec (pruning ratio + plan shape). */
   def bloomPrunedOrders(spark: SparkSession, dir: String): DataFrame = {
+    // persist the filtered dim's KEY column before sizing: the bloom
+    // must be sized from the actual filtered count (a fixed guess stops
+    // fitting at some SF), which needs an action BEFORE the build — the
+    // persist turns count + build into one parquet scan instead of two
+    // (ADVICE r8). Built via Blooms — stat.bloomFilter's silent 4M-item
+    // clamp saturates exactly when the dim outgrows it.
     val cust = Tables.customer(spark, dir)
       .filter(col("c_mktsegment") === "BUILDING")
-    // sized from the actual filtered-dim count (a fixed guess stops
-    // fitting at some SF) and built via Blooms — stat.bloomFilter's
-    // silent 4M-item clamp saturates exactly when the dim outgrows it
-    val bf = Blooms.ofLongs(cust, col("c_custkey"),
-      math.max(cust.count(), 1024L), 0.01)
+    val keys = cust.select(col("c_custkey"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bf = try Blooms.ofLongs(keys, col("c_custkey"),
+      math.max(keys.count(), 1024L), 0.01)
+    finally keys.unpersist(false)
     val bfB = spark.sparkContext.broadcast(bf)
     val might = udf((k: Long) => bfB.value.mightContain(k))
     Tables.orders(spark, dir).filter(might(col("o_custkey")))

@@ -107,11 +107,11 @@ object Mining {
     // N·528B (1 GB at 2M): orders smaller than the stream probing it,
     // the FAISS shard-the-index-in-RAM shape. Map-side joins attach
     // vx/vy inside the candidate stage, the dot computes there, and only
-    // 24-byte (x_id, y_id, cs) rows shuffle afterwards. Past per-executor
-    // memory the branch falls back to the plain shuffle join-back (the
-    // FilteredAnn cardinality-branch idiom).
-    val joinBack: DataFrame => DataFrame =
-      if (e.count() * 528L < (4L << 30)) df => broadcast(df) else identity
+    // 24-byte (x_id, y_id, cs) rows shuffle afterwards. The branch lives
+    // in [[JoinBacks]] (memory-conf budget, both projections priced,
+    // shuffle fallback past it) and sizes from the index's corpus count —
+    // no per-invocation count() job (VERDICT r8 #3).
+    val joinBack = JoinBacks.vectorJoinBack(spark, idx.nVectors, Similarity.Dim)
     val scored = cand
       .join(joinBack(e.select(col("vec_id").as("x_id"), col("v").as("vx"))), Seq("x_id"))
       .join(joinBack(e.select(col("vec_id").as("y_id"), col("v").as("vy"))), Seq("y_id"))

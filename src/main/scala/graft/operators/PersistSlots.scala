@@ -34,18 +34,33 @@ private[operators] object PersistSlots {
     * build's shuffle footprint on disk for its entire runtime on top of
     * its own. Checkpointing makes the build's dependencies unreachable
     * the moment materialization finishes; the ContextCleaner reclaims
-    * their files at the next driver GC (the scale probes run with
-    * `spark.cleaner.periodicGC.interval=30s` for exactly this).
-    * Motivating case: q33_triangles at 100× on one box, where the
+    * their files at the next driver GC (Bench/Verify and the scale
+    * probes run with `spark.cleaner.periodicGC.interval=30s` for exactly
+    * this). Motivating case: q33_triangles at 100× on one box, where the
     * persisted edge-build's retained shuffle files were a large share of
     * the disk footprint behind the recorded ENOSPC (BENCH_NOTES r8).
-    * The trade is the documented
-    * localCheckpoint one — blocks are non-reproducible, so an executor
-    * loss fails the job instead of recomputing; a cluster deployment
-    * that needs fault tolerance uses reliable `checkpoint` to a shared
-    * store instead. */
+    *
+    * Two checkpoint modes (VERDICT r8 #2), picked by whether a
+    * checkpoint dir is configured (`SparkContext.setCheckpointDir` or
+    * the `spark.checkpoint.dir` conf): */
   def cachedCheckpoint(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    slot(spark, key)(build.localCheckpoint()) // eager by default
+    slot(spark, key) {
+      val dir = spark.sparkContext.getCheckpointDir
+        .orElse(spark.conf.getOption("spark.checkpoint.dir").map { d =>
+          spark.sparkContext.setCheckpointDir(d); d
+        })
+      if (dir.isDefined)
+        // RELIABLE checkpoint: blocks land in the configured (shared)
+        // store, so on a real cluster an executor loss re-reads them
+        // instead of failing the consumer job — the cluster-deployment
+        // mode; costs one extra materialization write to that store
+        build.checkpoint() // eager by default
+      else
+        // LOCAL checkpoint: executor-local blocks, no external write —
+        // the single-box default. Blocks are non-reproducible, so an
+        // executor loss fails the job instead of recomputing
+        build.localCheckpoint() // eager by default
+    }
 
   private def slot(spark: SparkSession, key: String)(materialize: => DataFrame): DataFrame = {
     val appId = spark.sparkContext.applicationId

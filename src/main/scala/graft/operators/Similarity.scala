@@ -184,7 +184,7 @@ object Similarity {
     * parquet, like IvfIndex. nBits/nTables are baked in: the probe
     * expansion must use the width the buckets were hashed with, and
     * appends must hash into the same table family. */
-  final case class LshIndex(nBits: Int, nTables: Int, buckets: DataFrame)
+  final case class LshIndex(nBits: Int, nTables: Int, nVectors: Long, buckets: DataFrame)
 
   // whole-index memo (bucket frame AND the corpus-derived bits/tables):
   // without it every index-less lshTopK/embeddingCosineBucketed call pays
@@ -200,7 +200,7 @@ object Similarity {
       val nTables = lshTablesFor(n)
       val b = PersistSlots.cached(spark, s"lsh-index:$dir")(
         withBuckets(raw, nBits, nTables).select(col("vec_id"), col("tbl"), col("bucket")))
-      LshIndex(nBits, nTables, b)
+      LshIndex(nBits, nTables, n, b)
     })
 
   /** Persist the index: bucket rows as tbl-partitioned parquet plus a
@@ -212,7 +212,7 @@ object Similarity {
     val spark = idx.buckets.sparkSession
     commitDataManifest(spark, path, "buckets", "buckets_v0")
     import spark.implicits._
-    Seq((idx.nBits, idx.nTables)).toDF("n_bits", "n_tables")
+    Seq((idx.nBits, idx.nTables, idx.nVectors)).toDF("n_bits", "n_tables", "n_vectors")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
@@ -223,8 +223,14 @@ object Similarity {
     val nTables = // legacy artifacts predate the table-count column
       if (meta.columns.contains("n_tables")) row.getInt(row.fieldIndex("n_tables"))
       else LshTables
-    LshIndex(nBits, nTables, spark.read.parquet(dataLocation(spark, path, "buckets"))
-      .select(col("vec_id"), col("tbl"), col("bucket")))
+    val buckets = spark.read.parquet(dataLocation(spark, path, "buckets"))
+      .select(col("vec_id"), col("tbl"), col("bucket"))
+    val nVectors = // corpus size rides in meta so downstream join-back
+      // sizing never re-counts the corpus (one bucket-count job only on
+      // legacy artifacts that predate the column)
+      if (meta.columns.contains("n_vectors")) row.getLong(row.fieldIndex("n_vectors"))
+      else buckets.count() / math.max(1, nTables)
+    LshIndex(nBits, nTables, nVectors, buckets)
   }
 
   /** Hash NEW vectors into bucket rows with the index's own bit width —
@@ -238,11 +244,29 @@ object Similarity {
       .select(col("vec_id"), col("tbl"), col("bucket"))
 
   /** Append bucket rows (bucketsForAppend output) to a persisted LSH
-    * index — new tbl-partitioned files beside the existing ones. */
-  def appendToLshIndex(path: String, newBuckets: DataFrame): Unit =
+    * index — new tbl-partitioned files beside the existing ones. Also
+    * advances meta's corpus count (the broadcast join-back sizing input;
+    * the distinct-count job is ∝ the appended batch, the maintenance-op
+    * allowance). */
+  def appendToLshIndex(path: String, newBuckets: DataFrame): Unit = {
+    val spark = newBuckets.sparkSession
     newBuckets.select(col("vec_id"), col("tbl"), col("bucket"))
       .write.mode("append").partitionBy("tbl")
-      .parquet(dataLocation(newBuckets.sparkSession, path, "buckets"))
+      .parquet(dataLocation(spark, path, "buckets"))
+    val appended = newBuckets.select("vec_id").distinct().count()
+    val row = spark.read.parquet(s"$path/meta").head()
+    val nBits = row.getInt(row.fieldIndex("n_bits"))
+    val nTables = if (row.schema.fieldNames.contains("n_tables"))
+      row.getInt(row.fieldIndex("n_tables")) else LshTables
+    val newTotal = // legacy meta has no base count: rebuild from the artifact
+      if (row.schema.fieldNames.contains("n_vectors"))
+        row.getLong(row.fieldIndex("n_vectors")) + appended
+      else spark.read.parquet(dataLocation(spark, path, "buckets"))
+        .select("vec_id").distinct().count()
+    import spark.implicits._
+    Seq((nBits, nTables, newTotal)).toDF("n_bits", "n_tables", "n_vectors")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
 
   /** Compact an appended-to buckets artifact (see compactPqIndex). */
   def compactLshIndex(spark: SparkSession, path: String): Unit =

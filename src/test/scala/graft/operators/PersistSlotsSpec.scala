@@ -46,4 +46,37 @@ class PersistSlotsSpec extends SparkSpec {
       s"persisted frame lost its logical build lineage:\n$analyzed2")
     PersistSlots.clear()
   }
+
+  test("reliable-checkpoint mode: a configured checkpoint dir switches to durable blocks, same scan-only plan") {
+    // VERDICT r8 #2 — the cluster-deployment mode: with a checkpoint dir
+    // set, cachedCheckpoint must use reliable checkpoint() (blocks in
+    // the shared store survive executor loss) and still serve a plan
+    // with zero exchanges; without one, the single-box localCheckpoint
+    // default (covered above). Both modes must return the same values.
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val expect = shuffleBuild().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    spark.sparkContext.setCheckpointDir(ckptDir)
+    try {
+      val key = s"spec-ckpt-reliable-${System.nanoTime()}"
+      val df = PersistSlots.cachedCheckpoint(spark, key)(shuffleBuild())
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"reliable-checkpointed frame still carries its build exchanges:\n$plan")
+      assert(df.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap == expect)
+      // durable evidence: the checkpoint actually landed in the dir
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckptDir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, "reliable mode must write checkpoint blocks to the configured dir")
+    } finally {
+      // scrub (best-effort): later suites in this shared session should
+      // get the local default back. SparkContext has no unset API; the
+      // private var's setter is reachable reflectively. If the reset
+      // ever stops working the only effect is other suites running the
+      // (equally correct, durable) reliable mode.
+      spark.sparkContext.getClass.getMethods
+        .find(_.getName == "checkpointDir_$eq")
+        .foreach(_.invoke(spark.sparkContext, Option.empty[String]))
+      PersistSlots.clear()
+    }
+  }
 }
