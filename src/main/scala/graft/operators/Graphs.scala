@@ -236,10 +236,12 @@ object Graphs {
     // wedge stream at 100× (fp→1; caught by the shuffle audit, not by
     // any correctness gate — BENCH_NOTES r8).
     val m = oriented.count() // scalar: edge count (the pagerank-n discipline)
-    val bf = Blooms.ofLongs(oriented,
-      xxhash64(col("src"), col("dst")), math.max(m, 1L), 0.01)
+    val bf = edgeBloom(oriented, m)
     val bfB = spark.sparkContext.broadcast(bf)
-    val mightClose = udf((k: Long) => bfB.value.mightContain(k))
+    // named so the plan-level selectivity audit (GraphOpsSpec /
+    // PlanAudit.markedExchangeRecords) can find the exchange ABOVE this
+    // probe — the one whose record count proves the prefilter pruned
+    val mightClose = udf((k: Long) => bfB.value.mightContain(k)).withName("might_close")
     // shuffle_hash on the EDGE side: SMJ would sort the wedge stream
     // (the big side — 3.8 GB of sort spill at 10× even after the bloom
     // prune); hashing the m-sized edge side per partition skips that
@@ -253,6 +255,21 @@ object Graphs {
       .groupBy("p_partkey").agg(count(lit(1)).as("tri"))
       .orderBy("p_partkey")
   }
+
+  /** Wedge-prefilter false-positive rate. The SELECTIVITY this buys is an
+    * executable assertion (VERDICT r8 #1, GraphOpsSpec): the (v,w)
+    * closing exchange must carry ≤ closing_wedges + 2·fpp·total_wedges
+    * records — the bound a saturated sketch (the r8 stat.bloomFilter
+    * clamp) blows by the full wedge volume, which no correctness gate
+    * can see (false positives are legal). */
+  val WedgeFpp = 0.01
+
+  /** The oriented-edge membership bloom behind the wedge prefilter —
+    * exposed so the spec can assert the built sketch's bit size is the
+    * UNCLAMPED optimum for m at [[WedgeFpp]] (the one-line guard against
+    * any regression to a clamped builder). */
+  private[operators] def edgeBloom(oriented: DataFrame, m: Long): org.apache.spark.util.sketch.BloomFilter =
+    Blooms.ofLongs(oriented, xxhash64(col("src"), col("dst")), math.max(m, 1L), WedgeFpp)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_pagerank" -> pagerank _,

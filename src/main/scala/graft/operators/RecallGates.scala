@@ -42,25 +42,28 @@ object RecallGates {
     * boolean flip needs a real regression, not an ulp; RecallGatesSpec
     * recomputes the live recall per family and asserts it clears the
     * bound with ≥3 flips of headroom, so the floor can be tightened
-    * mechanically each round. Measured: lsh 0.97 (sf0.01) / 0.933
-    * (sf0.001 — the coarser fixture binds the floor), ivf 0.88,
-    * ivfpq 0.88, pca 0.98. */
+    * mechanically each round. r9 ratchet (VERDICT r8 #5), floors =
+    * binding-SF measured − 3 flips: lsh 0.9333 (sf0.001; 0.97 at
+    * sf0.01) → 0.88; ivf 0.8667/0.88 → 0.81; ivfpq 0.8667/0.88 → 0.81;
+    * pca 0.95/0.98 → 0.89. */
   val AnnRecallBounds: Map[String, Double] = Map(
-    "ann_lsh_topk" -> 0.85,
-    "ann_ivf_topk" -> 0.8,
-    "ann_ivfpq_topk" -> 0.8,
-    "ann_pca_topk" -> 0.88,
+    "ann_lsh_topk" -> 0.88,
+    "ann_ivf_topk" -> 0.81,
+    "ann_ivfpq_topk" -> 0.81,
+    "ann_pca_topk" -> 0.89,
   )
 
-  /** Bitext ANN: pair recall floor (measured 0.92) and the max ratio of
-    * mined pairs the exact miner rejects (measured 0.11; candidate-list
-    * margins can only shift, not improve, cosines). */
-  val BitextRecallBound = 0.8
+  /** Bitext ANN: pair recall floor (measured 0.9160 at sf0.001 / 0.92 at
+    * sf0.01; r9 ratchet → 0.87) and the max ratio of mined pairs the
+    * exact miner rejects (measured 0.11; candidate-list margins can only
+    * shift, not improve, cosines). */
+  val BitextRecallBound = 0.87
   val BitextExtraBound = 0.25
 
-  /** Bucketed embedding near-dup recall floor (measured 0.86; precision
-    * is exactly 1 by construction — gated as subset_ok). */
-  val EmbedLshRecallBound = 0.75
+  /** Bucketed embedding near-dup recall floor (measured 0.86 at sf0.01,
+    * 1.0 at sf0.001; r9 ratchet → 0.80; precision is exactly 1 by
+    * construction — gated as subset_ok). */
+  val EmbedLshRecallBound = 0.80
 
   private final case class Fam(name: String, tag: String,
       raw: (SparkSession, String) => DataFrame) {

@@ -81,12 +81,20 @@ object MossStreams {
       .select(col("doc_id"), col("s.pos").as("pos"), col("s.fp").as("fp"))
   }
 
-  /** Copy-detection candidate pairs, emitted incrementally: keyed state
+  /** Copy-detection candidate SIEVE, emitted incrementally: keyed state
     * per fingerprint, capped at [[TextAnalysis.WinMaxFpDf]] resident
     * ids (the batch stop-list's streaming twin — a boilerplate-hot
     * fingerprint's bucket freezes instead of fanning out quadratically
-    * forever). Works identically on a static frame (spec parity). */
-  def candidatePairs(spark: SparkSession, docs: DataFrame): Dataset[CandidatePair] = {
+    * forever). Works identically on a static frame (spec parity).
+    *
+    * CAP SEMANTICS — superset feed, NOT batch parity: a bucket freezes
+    * AT the cap, so pairs credited before the freeze stay emitted even
+    * though the batch df-filter would drop that fingerprint entirely.
+    * Consumers get a SUPERSET of the batch candidate pairs, to be
+    * verified downstream (the LSH-candidate discipline). For exact
+    * winnowPairs parity — retraction when a bucket crosses the cap —
+    * use [[pairDeltas]]/[[confirmedPairs]], the driver-oracled twin. */
+  def candidateSieve(spark: SparkSession, docs: DataFrame): Dataset[CandidatePair] = {
     import spark.implicits._
     val cap = TextAnalysis.WinMaxFpDf
     fingerprints(docs)
@@ -110,7 +118,7 @@ object MossStreams {
   }
 
   /** Per-fingerprint shared-count DELTAS — the exact-parity feed for
-    * [[confirmedPairs]]. Differs from [[candidatePairs]]'s sieve in cap
+    * [[confirmedPairs]]. Differs from [[candidateSieve]] in cap
     * semantics: the batch [[TextAnalysis.winnowPairs]] drops a
     * fingerprint ENTIRELY once its final doc frequency exceeds
     * [[TextAnalysis.WinMaxFpDf]], so the arrival that pushes a bucket

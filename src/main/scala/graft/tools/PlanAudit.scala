@@ -44,6 +44,27 @@ object PlanAudit {
     )
   }
 
+  /** Record count of the DEEPEST shuffle exchange whose subtree contains
+    * `marker` in its string form — the per-NODE form of [[audit]], for
+    * asserting a specific exchange's volume (VERDICT r8 #1: the triangle
+    * wedge exchange, marked by the `might_close` bloom-probe UDF name,
+    * must carry ≤ closing + 2·fpp·total wedges; the aggregate
+    * shuffle_records bound cannot see a dead prefilter because it
+    * CONTAINS the unpruned volume). "Deepest" = a marked exchange none
+    * of whose descendants is itself a marked exchange, so enclosing
+    * aggregation/sort exchanges above the probe don't shadow it. Runs
+    * the plan; returns -1 if no exchange matches. */
+  def markedExchangeRecords(df: org.apache.spark.sql.DataFrame, marker: String): Long = {
+    df.queryExecution.toRdd.foreach(_ => ())
+    val nodes = allNodes(df.queryExecution.executedPlan)
+    val marked = nodes.filter(n => n.metrics.contains("shuffleRecordsWritten") &&
+      allNodes(n).exists(_.simpleString(Int.MaxValue).contains(marker)))
+    val deepest = marked.filter(n =>
+      !allNodes(n).drop(1).exists(d => marked.exists(_ eq d)))
+    if (deepest.isEmpty) -1L
+    else deepest.map(_.metrics("shuffleRecordsWritten").value).max
+  }
+
   /** Per-exchange breakdown (verbose mode): which node moved the rows. */
   def auditVerbose(df: org.apache.spark.sql.DataFrame): Unit = {
     df.queryExecution.toRdd.foreach(_ => ())

@@ -31,7 +31,7 @@ class MossStreamSpec extends SparkSpec {
       .map(r => Doc(r.getLong(0), r.getString(1))).sortBy(_.doc_id).toSeq
     val input = MemoryStream[Doc]
     val name = s"moss_${System.nanoTime()}"
-    val q = MossStreams.candidatePairs(spark, input.toDF())
+    val q = MossStreams.candidateSieve(spark, input.toDF())
       .writeStream.format("memory").queryName(name)
       .outputMode("append").start()
     docs.grouped(math.max(1, docs.size / 3)).foreach { c =>
@@ -41,7 +41,7 @@ class MossStreamSpec extends SparkSpec {
     val streamed = spark.table(name).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     // static single-pass run of the same operator — split invariance
-    val static = MossStreams.candidatePairs(spark,
+    val static = MossStreams.candidateSieve(spark,
         Tables.documents(spark, sf).select("doc_id", "text")).collect()
       .map(p => (p.a_id, p.b_id)).toSet
     assert(streamed == static, s"stream ${streamed.size} vs static ${static.size}")
@@ -150,7 +150,7 @@ class MossStreamSpec extends SparkSpec {
     val docs = (0 until n).map(i => Doc(i.toLong, boiler))
     val input = MemoryStream[Doc]
     val name = s"mosshot_${System.nanoTime()}"
-    val q = MossStreams.candidatePairs(spark, input.toDF())
+    val q = MossStreams.candidateSieve(spark, input.toDF())
       .writeStream.format("memory").queryName(name)
       .outputMode("append").start()
     docs.grouped(25).foreach { c => input.addData(c); q.processAllAvailable() }
