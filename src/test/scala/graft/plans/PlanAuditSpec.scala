@@ -105,6 +105,60 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(unresolved.isEmpty, s"headline queries that resolve nowhere: $unresolved")
   }
 
+  test("ANN join-back construction fires no sizing job against a warm index") {
+    // VERDICT r8 #3's done-criterion, executable: building the
+    // mine_bitext_ann / dd_embed_cos_lsh frames against a warm LshIndex
+    // must fire ZERO Spark jobs — the old broadcast branch paid a
+    // full-table count() action per invocation (every bench pass, every
+    // production call) just to pick the join strategy; the corpus count
+    // now rides in the index. Listener events are FIFO, so a sentinel
+    // action posted AFTER construction bounds the wait: once the
+    // sentinel's job-start lands, any construction-time job would
+    // already have been counted.
+    val idx = graft.operators.Similarity.buildLshIndex(spark, sf) // warm the memo
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val descs = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        descs.add(Option(j.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description"))).getOrElse("") +
+          " | " + j.stageInfos.map(_.name).mkString("; "))
+        ()
+      }
+    }
+    def await(n: Int): Unit = {
+      val t0 = System.currentTimeMillis
+      while (jobs.get < n && System.currentTimeMillis - t0 < 30000) Thread.sleep(20)
+      assert(jobs.get >= n, s"listener saw ${jobs.get} of $n expected job(s)")
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // wiring control — an RDD action (NOT a Dataset one): its stage
+      // name carries THIS file's callsite, so sentinels are tellable
+      // apart from any Dataset action the operators might fire (those
+      // all run through the opaque SQL-execution thread-pool wrapper)
+      spark.sparkContext.parallelize(1 to 2, 1).count()
+      await(1)
+      descs.clear()
+      val before = jobs.get
+      graft.operators.Mining.mineBitextAnn(spark, sf, Some(idx))
+      graft.operators.Dedup.embeddingCosineBucketed(spark, sf, index = Some(idx))
+      spark.sparkContext.parallelize(1 to 2, 1).count() // sentinel
+      await(before + 1)
+      // allowed in the construction window: the sentinel itself, and the
+      // O(one-footer) parquet schema-inference job every read of the
+      // path pays (pre-existing, not a sizing action). ANY other job —
+      // in particular any Dataset action (count/head/collect show as the
+      // SQL-execution wrapper) — is a construction-time sizing job.
+      val offenders = descs.toArray.map(_.toString).filterNot(d =>
+        d.contains("PlanAuditSpec") || d.contains("parquet at Tables.scala"))
+      assert(offenders.isEmpty,
+        s"join-back plan construction fired sizing job(s):\n${offenders.mkString("\n")}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("funnel/retention carry no broadcast hints on per-user frames") {
     // An explicit broadcast() hint on a user-cardinality frame overrides
     // the size-based planner and kills the job past the 8 GB broadcast
