@@ -48,5 +48,13 @@ class JoinOptSpec extends SparkSpec {
         col("o_custkey") === col("c_custkey"))
       .count()
     assert(keptMatching == matching, s"bloom dropped matches: $keptMatching < $matching")
+    // ...and the survivor count matches the DESIGNED false-positive rate
+    // (the r8 lesson made executable, as in GraphOpsSpec's wedge gate):
+    // kept ≤ matching + 2·fpp·total — a ratio-style "pruned something"
+    // check sleeps through a half-saturated sketch; this bound cannot.
+    // 0.01 = the fpp bloomPrunedOrders requests from Blooms.
+    val bound = matching + (2 * 0.01 * total).toLong
+    assert(kept <= bound,
+      s"bloom selectivity off its designed fpp: kept $kept > bound $bound (matching=$matching total=$total)")
   }
 }
