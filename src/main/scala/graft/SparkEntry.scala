@@ -72,7 +72,11 @@ object SparkEntry {
     // r8: the triangle pipeline earned a tracked number after its
     // bloom-prefilter/persist/shuffle-hash rework (10× shuffle cut at
     // sf0.1, spill zeroed at 10× — BENCH_NOTES r8)
-    "q33_triangles")
+    "q33_triangles",
+    // r9: the exact set-similarity join earned a tracked number after
+    // its positional-filter/packed-verify rework (the decade probe
+    // caught the fan-out verify at 221× growth — BENCH_NOTES r9)
+    "dd_ppjoin")
 
   /** Bench-only substitutions: export-gate queries (ds_*, q32) read a
     * Verify-written parquet and spend their time re-verifying — the

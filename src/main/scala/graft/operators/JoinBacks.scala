@@ -49,15 +49,19 @@ object JoinBacks {
       heap / 4
     }
 
+  /** True when `sides` simultaneous broadcast relations of `perSideBytes`
+    * each fit: every side under Spark's hard relation cap AND the sum
+    * under the conf-derived budget. */
+  def fits(spark: SparkSession, perSideBytes: Long, sides: Int = 2): Boolean =
+    perSideBytes <= SparkBroadcastCap &&
+      sides.toLong * perSideBytes <= broadcastBudget(spark)
+
   /** Join-side transform for `sides` simultaneous vector join-backs over
     * an `nRows` × `dim`-double table: `broadcast` when ALL sides fit the
     * budget together (and each fits Spark's hard relation cap), else
     * identity — the plain shuffle join-back, slower but never OOM. */
   def vectorJoinBack(spark: SparkSession, nRows: Long, dim: Int,
-      sides: Int = 2): DataFrame => DataFrame = {
-    val perSide = nRows * vectorRowBytes(dim)
-    if (perSide <= SparkBroadcastCap && sides * perSide <= broadcastBudget(spark))
-      df => broadcast(df)
+      sides: Int = 2): DataFrame => DataFrame =
+    if (fits(spark, nRows * vectorRowBytes(dim), sides)) df => broadcast(df)
     else identity
-  }
 }

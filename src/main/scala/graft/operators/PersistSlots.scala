@@ -16,13 +16,22 @@ import org.apache.spark.storage.StorageLevel
   * in-place mid-process, call clear(). */
 private[operators] object PersistSlots {
   private val slots = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val counts = scala.collection.concurrent.TrieMap.empty[String, Long]
 
   def cached(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
     slot(spark, key) {
       val p = build.persist(StorageLevel.MEMORY_AND_DISK)
-      p.count() // materialize once, eagerly — callers rely on it
+      // materialize once, eagerly — callers rely on it; the count is
+      // memoized so size-branch callers (JoinBacks users) never pay a
+      // second action just to re-learn the cardinality
+      counts.put(s"${spark.sparkContext.applicationId}|$key", p.count())
       p
     }
+
+  /** The row count recorded when [[cached]] materialized `key` (None if
+    * the slot was never built in this application). */
+  def rowCount(spark: SparkSession, key: String): Option[Long] =
+    counts.get(s"${spark.sparkContext.applicationId}|$key")
 
   /** Like [[cached]], but materializes via `localCheckpoint` — same
     * storage level, same memoization, lineage CUT. For a frame whose
@@ -72,6 +81,7 @@ private[operators] object PersistSlots {
       slots.remove(k).foreach(df =>
         try df.unpersist(false) catch { case _: Throwable => () })
     }
+    counts.keys.filterNot(_.startsWith(s"$appId|")).foreach(counts.remove)
     slots.getOrElseUpdate(s"$appId|$key", materialize)
   }
 
@@ -80,6 +90,7 @@ private[operators] object PersistSlots {
     slots.values.foreach(df =>
       try df.unpersist(false) catch { case _: Throwable => () })
     slots.clear()
+    counts.clear()
     // checkpointed slots ([[cachedCheckpoint]]) hold their blocks via the
     // checkpoint RDD, which Dataset.unpersist cannot reach — dropping the
     // reference + a GC lets the ContextCleaner release them (occupancy

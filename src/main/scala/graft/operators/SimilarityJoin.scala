@@ -26,51 +26,113 @@ import org.apache.spark.sql.functions._
   * Scale shape at 100 TB: document-frequency table (hash agg), one
   * per-doc window for the frequency ordering (state ∝ document shingle
   * count), prefix-posting self-join on the rare-shingle key (short
-  * lists), a length filter (τ·max ≤ min is necessary for j ≥ τ), then
-  * exact verification ∝ candidates. Registered as dd_ppjoin with the
-  * SAME exact-pair-set oracle as dd_ngram_jaccard: a single missed
-  * candidate fails the gate, making the lossless-ness a tested claim,
-  * not a comment.
+  * lists), a length filter (τ·max ≤ min is necessary for j ≥ τ), the
+  * POSITIONAL filter (PPJoin's own candidate prune — overlap bounded by
+  * the first shared shingle's positions), then exact verification ∝
+  * candidates — in-row over broadcast packed shingle arrays while the
+  * corpus fits the JoinBacks budget (the r9 rework: the per-shingle
+  * fan-out verify re-exchanged cand × |A| rows by (b_id, s) — 211 M
+  * records at 10×, 87% of the operator's shuffle and 221× the sf0.1
+  * volume, caught by the r9 decade probe), per-shingle fan-out past it.
+  * Registered as dd_ppjoin with the SAME exact-pair-set oracle as
+  * dd_ngram_jaccard: a single missed candidate fails the gate, making
+  * the lossless-ness a tested claim, not a comment.
   */
 object SimilarityJoin {
 
   /** Jaccard threshold shared with the Dedup family. */
   val Tau = 0.5
 
-  /** Exact j ≥ τ near-dup pairs via prefix filtering + exact verify. */
+  /** Conservative in-memory bytes per packed shingle row (a ~20-char
+    * 3-gram string + array-element and hash-slot overhead) — the sizing
+    * input for broadcasting the packed verify tables. */
+  val PackedShingleBytes = 64L
+
+  /** Exact j ≥ τ near-dup pairs via prefix filtering + positional filter
+    * + exact verify. */
   def ppjoinPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = PersistSlots.cached(spark, s"ppjoin-shingles:$dir")(
-      Dedup.shingles(spark, dir))
+    val shKey = s"ppjoin-shingles:$dir"
+    val sh = PersistSlots.cached(spark, shKey)(Dedup.shingles(spark, dir))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
 
     // global document frequency per shingle — the ordering key that makes
     // prefixes rare-first (and posting lists short where it matters)
     val freq = sh.groupBy("s").agg(count(lit(1)).as("df"))
 
-    // per-doc ascending (df, s) order; prefix = first n − ceil(τ·n) + 1
+    // per-doc ascending (df, s) order; prefix = first n − ceil(τ·n) + 1.
+    // pos (the shingle's rank in the doc's FULL ordered list) and df ride
+    // along: the positional filter below needs both. Slot-materialized
+    // (the winnow-fps lesson): the self-join consumes it twice, and
+    // un-persisted the whole df-join + window pipeline executes once per
+    // side — 4 extra shingle-keyed exchanges measured at 10×
     val pos = row_number().over(Window.partitionBy("doc_id").orderBy("df", "s"))
-    val prefix = sh.join(freq, Seq("s"))
-      .join(sizes, Seq("doc_id"))
-      .withColumn("pos", pos)
-      .filter(col("pos") <= col("n") - ceil(col("n") * lit(Tau)).cast("long") + 1)
-      .select(col("doc_id"), col("s"), col("n"))
+    val prefix = PersistSlots.cached(spark, s"ppjoin-prefix:$dir")(
+      sh.join(freq, Seq("s"))
+        .join(sizes, Seq("doc_id"))
+        .withColumn("pos", pos)
+        .filter(col("pos") <= col("n") - ceil(col("n") * lit(Tau)).cast("long") + 1)
+        .select(col("doc_id"), col("s"), col("df"), col("pos"), col("n")))
 
     // candidates: pairs sharing a prefix shingle, plus the length filter
-    // (j ≥ τ ⇒ τ·max(|A|,|B|) ≤ min(|A|,|B|)); distinct before verify so
-    // a pair sharing k prefix shingles is verified once, not k times
-    val cand = prefix.select(col("doc_id").as("a_id"), col("s"), col("n").as("na"))
-      .join(prefix.select(col("doc_id").as("b_id"), col("s"), col("n").as("nb")), Seq("s"))
+    // (j ≥ τ ⇒ τ·max(|A|,|B|) ≤ min(|A|,|B|))
+    val shared = prefix
+      .select(col("doc_id").as("a_id"), col("s"), col("df"),
+        col("pos").as("ia"), col("n").as("na"))
+      .join(prefix.select(col("doc_id").as("b_id"), col("s"), col("df").as("dfb"),
+        col("pos").as("ib"), col("n").as("nb")), Seq("s"))
       .filter(col("a_id") < col("b_id") &&
         least(col("na"), col("nb")) >= lit(Tau) * greatest(col("na"), col("nb")))
-      .select("a_id", "b_id", "na", "nb")
-      .distinct()
 
-    // exact verification ∝ candidates: fan each candidate out over A's
-    // shingles, count matches against B's shingle set
-    val inter = cand
-      .join(sh.select(col("doc_id").as("a_id"), col("s")), Seq("a_id"))
-      .join(sh.select(col("doc_id").as("b_id"), col("s")), Seq("b_id", "s"))
-      .groupBy("a_id", "b_id", "na", "nb").agg(count(lit(1)).as("c"))
+    // POSITIONAL filter (the "PP" of Xiao et al. §3.2, relational form à
+    // la Vernica et al. SIGMOD 2010): both docs' shingle lists follow the
+    // same global (df, s) total order, so the pair's FIRST shared prefix
+    // shingle — min (df, s) — has no shared shingle before it in either
+    // list, and total overlap ≤ 1 + min(na − ia, nb − ib) at its
+    // positions. j ≥ τ needs overlap ≥ ⌈τ/(1+τ)·(na+nb)⌉; pairs whose
+    // bound falls short are pruned BEFORE the verify step ever sees
+    // them. The groupBy replaces the previous distinct() — same
+    // pair-keyed exchange, strictly fewer survivors. Losslessness stays
+    // oracle-gated (equality vs the exact pair set).
+    val cand = shared
+      .groupBy("a_id", "b_id", "na", "nb")
+      .agg(min_by(struct(col("ia"), col("ib")), struct(col("df"), col("s"))).as("fst"))
+      // integer-vs-real comparison (k ≥ x ⟺ k ≥ ⌈x⌉) with the constant
+      // τ/(1+τ) rounding DOWN in IEEE — borderline pairs are kept, never
+      // lost, so FP cannot break the losslessness the oracle checks
+      .filter(lit(1) + least(col("na") - col("fst.ia"), col("nb") - col("fst.ib")) >=
+        (col("na") + col("nb")) * lit(Tau / (1 + Tau)))
+      .select("a_id", "b_id", "na", "nb")
+
+    // exact verification ∝ candidates. Two shapes (the JoinBacks branch):
+    //   - packed broadcast (default while the corpus fits): per-doc
+    //     sorted shingle arrays ship TO the candidate stream and the
+    //     intersection computes in-row — no verify exchange at all. The
+    //     per-shingle fan-out alternative exchanged cand × |A| rows
+    //     re-keyed by (b_id, s): 211 M records at 10×, 87% of the
+    //     operator's total shuffle (BENCH_NOTES r9);
+    //   - fan-out (past the broadcast budget): the id-keyed per-shingle
+    //     join — linear in candidate-shingle rows, never wide rows
+    //     through an exchange, the 100 TB fallback.
+    val shRows = PersistSlots.rowCount(spark, shKey).getOrElse(Long.MaxValue)
+    val inter =
+      if (JoinBacks.fits(spark, shRows * PackedShingleBytes, sides = 2)) {
+        val packed = sh.groupBy("doc_id")
+          .agg(sort_array(collect_list(col("s"))).as("ss"))
+        // the intersection scalar runs as a codegen two-pointer walk over
+        // the sorted arrays (graft_sorted_intersect_count) — the
+        // array_intersect HOF builds a per-row hash set + output array,
+        // which dominated the operator once the exchanges were gone
+        cand
+          .join(broadcast(packed.select(col("doc_id").as("a_id"), col("ss").as("sa"))), Seq("a_id"))
+          .join(broadcast(packed.select(col("doc_id").as("b_id"), col("ss").as("sb"))), Seq("b_id"))
+          .select(col("a_id"), col("b_id"), col("na"), col("nb"),
+            graft.plans.SetOps.sortedIntersectCount(col("sa"), col("sb")).as("c"))
+      } else {
+        cand
+          .join(sh.select(col("doc_id").as("a_id"), col("s")), Seq("a_id"))
+          .join(sh.select(col("doc_id").as("b_id"), col("s")), Seq("b_id", "s"))
+          .groupBy("a_id", "b_id", "na", "nb").agg(count(lit(1)).as("c"))
+      }
 
     inter
       .withColumn("j", col("c") / (col("na") + col("nb") - col("c")))
