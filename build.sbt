@@ -31,4 +31,22 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // the ContextCleaner's periodic System.gc() (the 30s cadence Bench/
+  // Verify/probes set for cachedCheckpoint shuffle-file reclamation)
+  // must run as a G1 CONCURRENT cycle: as a stop-the-world full GC on a
+  // large heap with cached corpora it randomly taxed identical probe
+  // passes by up to 30s (measured: tx_contamination 3.6s steady vs
+  // 33-56s GC-hit passes on a 96g heap). Weak-ref processing — the
+  // cleaner's actual need — happens in the concurrent cycle's remark.
+  // Xms=Xmx + AlwaysPreTouch because the LARGER half of those swings
+  // was not GC at all: on a 96g heap, G1's eden wanders through
+  // never-touched regions for tens of GB (gc log: 27-39 GB young
+  // before first collection), and the mutator pays the OS page-zeroing
+  // on first touch — identical warm 10x passes read 1.8-118s with ~98s
+  // cumulative excess ~= zeroing 96 GB once (r9 A/B; zero Full GCs and
+  // <1s total pause in the same runs). Pre-touching moves that cost to
+  // JVM startup, outside every measured pass.
+  "-XX:+ExplicitGCInvokesConcurrent",
+  "-XX:+AlwaysPreTouch",
+) ++ sys.env.get("GRAFT_GC_LOG").map(f => s"-Xlog:gc*:file=$f:time,uptime").toSeq
