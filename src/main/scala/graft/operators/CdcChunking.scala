@@ -56,8 +56,11 @@ object CdcChunking {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  // spread: the window-md5 map stage is the whole cost and is narrow —
+  // an under-split fixture scan serializes it (measured: a FLAT ~13 s
+  // wall at sf0.1 and 10× on one/ten cores; ~1 s spread across 32)
   def cdcChunks(spark: SparkSession, dir: String): DataFrame =
-    chunksFor(Tables.documents(spark, dir))
+    chunksFor(Tables.spread(spark, Tables.documents(spark, dir)))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_cdc_chunks" -> cdcChunks _,

@@ -24,17 +24,10 @@ object Dedup {
   /** Word tokens of documents.text. */
   private def tokens: Column = split(col("text"), " ")
 
-  /** Unlock parallelism for CPU-heavy narrow stages ONLY when the scan
-    * arrives under-split: the LOCAL FIXTURE is one small parquet file
-    * (one input split), so without a repartition every downstream hash
-    * runs on one core. A 100 TB corpus arrives with thousands of natural
-    * splits — there the repartition would be a full shuffle of the raw
-    * text bought for nothing, so it is skipped (PlanSpec asserts the
-    * no-Exchange plan for a pre-split input). The probe is metadata-only
-    * (partition count of the scan, no job). */
+  /** Conditional under-split repartition — see [[Tables.spread]] (hoisted
+    * there so every CPU-heavy narrow doc scan shares one rule). */
   private def spread(spark: SparkSession, df: DataFrame): DataFrame =
-    if (df.rdd.getNumPartitions >= spark.sparkContext.defaultParallelism) df
-    else df.repartition(col("doc_id"))
+    Tables.spread(spark, df)
 
   /** Distinct word-level 3-gram shingles per document: (doc_id, s).
     * Package-visible: TextAnalysis.contamination reuses the same shingle

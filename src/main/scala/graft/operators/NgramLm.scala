@@ -45,7 +45,9 @@ object NgramLm {
 
   /** Per-document bigram cross entropy (nats) and perplexity. */
   def perplexity(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    // spread: the bigram explode + scoring joins are the narrow heavy
+    // stage and run at scan parallelism (Tables.spread scaladoc)
+    val docs = Tables.spread(spark, Tables.documents(spark, dir))
     val t = split(col("text"), " ")
 
     val bigrams = bigramsOf(docs)
@@ -140,7 +142,7 @@ object NgramLm {
     * probability is one fixed parenthesization of IEEE ops, and the
     * final −avg(ln·) rounds to 4dp (the tx_perplexity discipline). */
   def perplexityKn(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.spread(spark, Tables.documents(spark, dir))
     val bigrams = bigramsOf(docs)
     val bi = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     // the KN count tables: the denominator is the LEFT-CONTEXT count
@@ -187,7 +189,7 @@ object NgramLm {
     * and a global top-k (TakeOrdered — partial top-k per partition,
     * never a full sort). */
   def collocations(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.spread(spark, Tables.documents(spark, dir))
     val uni = docs.select(explode(split(col("text"), " ")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
     // T: one scalar off the vocabulary-sized frame (the NgramLm V discipline)

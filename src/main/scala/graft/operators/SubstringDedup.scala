@@ -56,7 +56,9 @@ object SubstringDedup {
     val starts = when(nt >= lit(L), sequence(lit(1), nt - lit(L - 1)))
       .otherwise(array().cast("array<int>"))
     def shingleKey(c: Column): Column = if (fastHash) xxhash64(c) else md5(c)
-    val shingles = Tables.documents(spark, dir)
+    // spread: the per-position shingle hash is the heavy narrow stage
+    // and runs at scan parallelism (Tables.spread scaladoc)
+    val shingles = Tables.spread(spark, Tables.documents(spark, dir))
       .select(col("doc_id"), explode(starts).as("pos"),
         split(col("text"), " ").as("t"))
       .select(col("doc_id"), col("pos"),

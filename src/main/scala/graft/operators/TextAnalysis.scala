@@ -45,7 +45,7 @@ object TextAnalysis {
     * usual pre-tokenizer shape, and ceil(len/4) approximates subword
     * fan-out for long words. */
   def tokenCounts(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.spread(spark, Tables.documents(spark, dir))
       .select(col("doc_id"),
         size(toks).cast("long").as("nt"),
         size(filter(split(col("text"), "[^A-Za-z0-9]+"), x => length(x) > 0))

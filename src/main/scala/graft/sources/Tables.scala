@@ -52,6 +52,31 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
+  /** Unlock parallelism for CPU-heavy NARROW stages only when the scan
+    * arrives under-split: a small local fixture is one parquet file (one
+    * input split), so a scan-bound operator — per-window md5, regex
+    * tokenization — runs its whole map stage on one core no matter how
+    * many sit idle (measured: tx_cdc_chunks read a FLAT ~13 s wall at
+    * sf0.1 AND 10× — the decade's extra work hid entirely inside idle
+    * cores the base run never used). A 100 TB corpus arrives with
+    * thousands of natural splits, where this repartition would be a full
+    * shuffle of the raw text bought for nothing — so it is skipped
+    * whenever the scan already has ≥ defaultParallelism splits (PlanSpec
+    * pins the no-Exchange plan for a pre-split input). The probe is
+    * metadata-only (the scan's partition count; no job runs).
+    *
+    * The partition count is EXPLICIT: a keyed `repartition(col)` without
+    * one takes the session shuffle number and AQE's small-partition
+    * coalescing then folds a KB-sized text shuffle straight back to one
+    * partition (advisory size 64 MB ≫ any local fixture) — measured: the
+    * un-counted form left tx_cdc_chunks' 13 s single-core wall exactly
+    * where it was. An explicit count is exempt from AQE coalescing, and
+    * the data volumes here are by definition tiny (the branch only runs
+    * on under-split scans). */
+  def spread(spark: SparkSession, df: DataFrame, key: String = "doc_id"): DataFrame =
+    if (df.rdd.getNumPartitions >= spark.sparkContext.defaultParallelism) df
+    else df.repartition(spark.sparkContext.defaultParallelism, col(key))
+
   /** Register all tables as temp views for the SQL surface. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))

@@ -40,9 +40,21 @@ class NewOpsPlanSpec extends AnyFunSuite {
     assert(nonSortExchanges(plan) == 0, s"chunking shuffles:\n${plan.take(900)}")
   }
 
-  test("tx_cdc_chunks: scan-bound — no Exchange except the final sort") {
+  test("tx_cdc_chunks: scan-bound — the only non-sort Exchange is the under-split spread") {
+    // the fixture is one parquet file (one input split), so Tables.spread
+    // legitimately adds exactly ONE keyed repartition to unlock the
+    // window-md5 map stage (the flat-13 s-wall find, BENCH_NOTES r9);
+    // a pre-split input takes none (PlanSpec pins that branch) and the
+    // operator itself stays shuffle-free
     val plan = planOf(CdcChunking.cdcChunks(spark, sf))
-    assert(nonSortExchanges(plan) == 0, s"CDC chunking shuffles:\n${plan.take(900)}")
+    assert(nonSortExchanges(plan) == 1, s"CDC chunking shuffles:\n${plan.take(900)}")
+    // and the spread frame must have REAL width: the whole point is that
+    // the md5 stage runs at defaultParallelism, which AQE's coalescing
+    // silently defeated for an un-counted repartition (the r9 find)
+    val parts = graft.sources.Tables.spread(spark,
+      graft.sources.Tables.documents(spark, sf)).rdd.getNumPartitions
+    assert(parts == spark.sparkContext.defaultParallelism,
+      s"spread produced $parts partitions")
   }
 
   test("ds_shards: deterministic assignment is a pure scan projection") {
