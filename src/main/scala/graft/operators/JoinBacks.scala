@@ -35,14 +35,18 @@ object JoinBacks {
   def vectorRowBytes(dim: Int): Long = 8L * dim + 64L
 
   /** Per-JVM heap budget for the SUM of simultaneously-live broadcast
-    * relations: `graft.broadcast.budget` (bytes) when set, else a quarter
-    * of executor memory (`spark.executor.memory`; in local mode the
-    * driver heap IS the executor heap, so `Runtime.maxMemory` is the
-    * honest default). A quarter, because the broadcast relations share
-    * the heap with the candidate stream's own task memory, and the
-    * driver additionally holds the collected copy while broadcasting. */
+    * relations: `graft.broadcast.budget` (bytes) when set (or the
+    * `GRAFT_BROADCAST_BUDGET` env var — forked probe JVMs like QueryTime
+    * build their own session, and a non-`spark.*` conf can't reach them
+    * any other way), else a quarter of executor memory
+    * (`spark.executor.memory`; in local mode the driver heap IS the
+    * executor heap, so `Runtime.maxMemory` is the honest default). A
+    * quarter, because the broadcast relations share the heap with the
+    * candidate stream's own task memory, and the driver additionally
+    * holds the collected copy while broadcasting. */
   def broadcastBudget(spark: SparkSession): Long =
-    spark.conf.getOption("graft.broadcast.budget").map(_.toLong).getOrElse {
+    spark.conf.getOption("graft.broadcast.budget")
+      .orElse(sys.env.get("GRAFT_BROADCAST_BUDGET")).map(_.toLong).getOrElse {
       val heap = spark.conf.getOption("spark.executor.memory")
         .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
         .getOrElse(Runtime.getRuntime.maxMemory)
