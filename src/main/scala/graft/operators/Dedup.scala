@@ -24,17 +24,12 @@ object Dedup {
   /** Word tokens of documents.text. */
   private def tokens: Column = split(col("text"), " ")
 
-  /** Conditional under-split repartition — see [[Tables.spread]] (hoisted
-    * there so every CPU-heavy narrow doc scan shares one rule). */
-  private def spread(spark: SparkSession, df: DataFrame): DataFrame =
-    Tables.spread(spark, df)
-
   /** Distinct word-level 3-gram shingles per document: (doc_id, s).
     * Package-visible: TextAnalysis.contamination reuses the same shingle
     * family so both operators agree on what "an n-gram" is. */
   private[operators] def shingles(spark: SparkSession, dir: String): DataFrame = {
     val t = tokens
-    spread(spark, Tables.documents(spark, dir))
+    Tables.spread(spark, Tables.documents(spark, dir))
       .select(col("doc_id"),
         explode(array_distinct(
           when(size(t) >= 3,
@@ -119,7 +114,7 @@ object Dedup {
     * already absorbed on the build side. */
   def spanDedup(spark: SparkSession, dir: String): DataFrame = {
     val t = tokens
-    val chunks = spread(spark, Tables.documents(spark, dir))
+    val chunks = Tables.spread(spark, Tables.documents(spark, dir))
       .select(col("doc_id"), posexplode(
         transform(sequence(lit(0L), ceil(size(t) / lit(SpanTokens.toDouble)) - 1),
           i => array_join(slice(t, (i * SpanTokens + 1).cast("int"), lit(SpanTokens)), " ")))
@@ -338,7 +333,7 @@ object Dedup {
     * over tokens (with multiplicity) of ±1 by the high bit of the j-th
     * md5 nibble. Emitted as a bitstring so the oracle compares exactly. */
   def simhash(spark: SparkSession, dir: String): DataFrame =
-    spread(spark, Tables.documents(spark, dir))
+    Tables.spread(spark, Tables.documents(spark, dir))
       .select(col("doc_id"), explode(tokens).as("tok"))
       .select(col("doc_id"), md5(col("tok")).as("h"))
       .select(col("doc_id"), col("h"), explode(sequence(lit(1), lit(32))).as("j"))
@@ -402,7 +397,7 @@ object Dedup {
     * engine-side the bitstring packs to BIGINT in one conv() select if
     * storage dominates. */
   def simhash64(spark: SparkSession, dir: String): DataFrame =
-    spread(spark, Tables.documents(spark, dir))
+    Tables.spread(spark, Tables.documents(spark, dir))
       .select(col("doc_id"), explode(tokens).as("tok"))
       .select(col("doc_id"), md5(col("tok")).as("h"))
       .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(63))).as("j"))

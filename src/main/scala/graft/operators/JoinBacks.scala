@@ -43,21 +43,30 @@ object JoinBacks {
     * executor heap, so `Runtime.maxMemory` is the honest default). A
     * quarter, because the broadcast relations share the heap with the
     * candidate stream's own task memory, and the driver additionally
-    * holds the collected copy while broadcasting. */
+    * holds the collected copy while broadcasting. The binding heap is
+    * the SMALLER of driver and executor (r9 review find): a 64 g-executor
+    * / 4 g-driver cluster must budget off the driver that collects, and
+    * in local mode a spark-defaults `spark.executor.memory` larger than
+    * the real JVM heap must not inflate the budget past the one heap
+    * everything actually shares (`Runtime.maxMemory` IS the driver heap
+    * in every deployment, so it always participates in the min). */
   def broadcastBudget(spark: SparkSession): Long =
     spark.conf.getOption("graft.broadcast.budget")
       .orElse(sys.env.get("GRAFT_BROADCAST_BUDGET")).map(_.toLong).getOrElse {
-      val heap = spark.conf.getOption("spark.executor.memory")
+      val executor = spark.conf.getOption("spark.executor.memory")
         .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
-        .getOrElse(Runtime.getRuntime.maxMemory)
-      heap / 4
+        .getOrElse(Long.MaxValue)
+      math.min(executor, Runtime.getRuntime.maxMemory) / 4
     }
 
   /** True when `sides` simultaneous broadcast relations of `perSideBytes`
     * each fit: every side under Spark's hard relation cap AND the sum
-    * under the conf-derived budget. */
+    * under the conf-derived budget. A NEGATIVE size means a caller's
+    * row-count × row-bytes estimate overflowed Long (an unknown-size
+    * sentinel times any width does) — that must read as "does not fit",
+    * never as a free pass to broadcast an arbitrarily large relation. */
   def fits(spark: SparkSession, perSideBytes: Long, sides: Int = 2): Boolean =
-    perSideBytes <= SparkBroadcastCap &&
+    perSideBytes >= 0 && perSideBytes <= SparkBroadcastCap &&
       sides.toLong * perSideBytes <= broadcastBudget(spark)
 
   /** Join-side transform for `sides` simultaneous vector join-backs over

@@ -58,13 +58,23 @@ private[operators] object PersistSlots {
         .orElse(spark.conf.getOption("spark.checkpoint.dir").map { d =>
           spark.sparkContext.setCheckpointDir(d); d
         })
-      if (dir.isDefined)
+      if (dir.isDefined) {
         // RELIABLE checkpoint: blocks land in the configured (shared)
         // store, so on a real cluster an executor loss re-reads them
         // instead of failing the consumer job — the cluster-deployment
-        // mode; costs one extra materialization write to that store
-        build.checkpoint() // eager by default
-      else
+        // mode; costs one extra materialization write to that store.
+        // Dataset.checkpoint does NOT persist (r9 review find): without
+        // the pre-persist the eager count and the checkpoint-file write
+        // are two full computations of the build, and without the
+        // post-persist every consumer job re-reads the full frame from
+        // the shared store — silently un-caching the slot contract.
+        val built = build.persist(StorageLevel.MEMORY_AND_DISK)
+        val cp = try built.checkpoint() // eager; writes from cached blocks
+        finally built.unpersist(false)
+        val served = cp.persist(StorageLevel.MEMORY_AND_DISK)
+        served.count() // fill the cache from the checkpoint files once
+        served
+      } else
         // LOCAL checkpoint: executor-local blocks, no external write —
         // the single-box default. Blocks are non-reproducible, so an
         // executor loss fails the job instead of recomputing

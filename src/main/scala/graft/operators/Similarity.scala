@@ -217,6 +217,13 @@ object Similarity {
   }
 
   def loadLshIndex(spark: SparkSession, path: String): LshIndex = {
+    // recovery for an append interrupted between meta delete and rename
+    // (appendToLshIndex's flip): the fully-written meta_next IS the
+    // committed state — complete the rename and read it
+    val fs = fsFor(spark, path)
+    val live = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val next = new org.apache.hadoop.fs.Path(s"$path/meta_next")
+    if (!fs.exists(live) && fs.exists(next)) fs.rename(next, live)
     val meta = spark.read.parquet(s"$path/meta")
     val row = meta.head()
     val nBits = row.getInt(row.fieldIndex("n_bits"))
@@ -244,28 +251,57 @@ object Similarity {
       .select(col("vec_id"), col("tbl"), col("bucket"))
 
   /** Append bucket rows (bucketsForAppend output) to a persisted LSH
-    * index — new tbl-partitioned files beside the existing ones. Also
-    * advances meta's corpus count (the broadcast join-back sizing input;
-    * the distinct-count job is ∝ the appended batch, the maintenance-op
-    * allowance). */
+    * index — new tbl-partitioned files beside the existing ones — and
+    * advance meta's corpus count (the broadcast join-back sizing input).
+    *
+    * Idempotent on vec_id (r9 review find): a RETRIED append (the
+    * realistic maintenance failure — parquet append is not atomic) or an
+    * overlapping batch would both duplicate bucket rows and drift
+    * n_vectors upward, so the batch is first anti-joined against the
+    * artifact's existing ids. The membership probe broadcasts the BATCH
+    * ids against the tbl=0 slice (each id appears exactly once per
+    * table), so nothing corpus-sized shuffles and the duplicate set is
+    * bounded by the batch. Residual non-atomicity: a crash that
+    * committed an id's tbl=0 file but not all tables leaves that id with
+    * a partial table family after the retry skips it — an approximate-
+    * recall dent for those ids, repaired by compactLshIndex + the legacy
+    * rebuild branch, never a correctness break.
+    *
+    * Meta is committed via the same scratch-dir + delete/rename flip as
+    * the data manifests (a plain mode=overwrite deletes the live meta
+    * BEFORE writing — a crash in that window bricks the artifact);
+    * [[loadLshIndex]] completes an interrupted flip from `meta_next`. */
   def appendToLshIndex(path: String, newBuckets: DataFrame): Unit = {
     val spark = newBuckets.sparkSession
-    newBuckets.select(col("vec_id"), col("tbl"), col("bucket"))
-      .write.mode("append").partitionBy("tbl")
-      .parquet(dataLocation(spark, path, "buckets"))
-    val appended = newBuckets.select("vec_id").distinct().count()
-    val row = spark.read.parquet(s"$path/meta").head()
-    val nBits = row.getInt(row.fieldIndex("n_bits"))
-    val nTables = if (row.schema.fieldNames.contains("n_tables"))
-      row.getInt(row.fieldIndex("n_tables")) else LshTables
-    val newTotal = // legacy meta has no base count: rebuild from the artifact
-      if (row.schema.fieldNames.contains("n_vectors"))
-        row.getLong(row.fieldIndex("n_vectors")) + appended
-      else spark.read.parquet(dataLocation(spark, path, "buckets"))
-        .select("vec_id").distinct().count()
-    import spark.implicits._
-    Seq((nBits, nTables, newTotal)).toDF("n_bits", "n_tables", "n_vectors")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    val existingIds = spark.read.parquet(dataLocation(spark, path, "buckets"))
+      .filter(col("tbl") === 0).select("vec_id")
+    val dupIds = existingIds
+      .join(broadcast(newBuckets.select("vec_id").distinct()), Seq("vec_id"), "left_semi")
+    val fresh = newBuckets.select(col("vec_id"), col("tbl"), col("bucket"))
+      .join(broadcast(dupIds), Seq("vec_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val appended = fresh.select("vec_id").distinct().count()
+      if (appended > 0)
+        fresh.write.mode("append").partitionBy("tbl")
+          .parquet(dataLocation(spark, path, "buckets"))
+      val row = spark.read.parquet(s"$path/meta").head()
+      val nBits = row.getInt(row.fieldIndex("n_bits"))
+      val nTables = if (row.schema.fieldNames.contains("n_tables"))
+        row.getInt(row.fieldIndex("n_tables")) else LshTables
+      val newTotal = // legacy meta has no base count: rebuild from the artifact
+        if (row.schema.fieldNames.contains("n_vectors"))
+          row.getLong(row.fieldIndex("n_vectors")) + appended
+        else spark.read.parquet(dataLocation(spark, path, "buckets"))
+          .select("vec_id").distinct().count()
+      import spark.implicits._
+      Seq((nBits, nTables, newTotal)).toDF("n_bits", "n_tables", "n_vectors")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta_next")
+      val fs = fsFor(spark, path)
+      val live = new org.apache.hadoop.fs.Path(s"$path/meta")
+      if (fs.exists(live)) fs.delete(live, true)
+      fs.rename(new org.apache.hadoop.fs.Path(s"$path/meta_next"), live)
+    } finally fresh.unpersist(false)
   }
 
   /** Compact an appended-to buckets artifact (see compactPqIndex). */

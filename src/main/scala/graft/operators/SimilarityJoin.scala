@@ -113,9 +113,14 @@ object SimilarityJoin {
     //   - fan-out (past the broadcast budget): the id-keyed per-shingle
     //     join — linear in candidate-shingle rows, never wide rows
     //     through an exchange, the 100 TB fallback.
-    val shRows = PersistSlots.rowCount(spark, shKey).getOrElse(Long.MaxValue)
+    // unknown count (a cleared slot) must force the FALLBACK, not a
+    // sentinel multiplication: Long.MaxValue × width overflows NEGATIVE
+    // and would have sailed through the fits() guard as "free to
+    // broadcast" (r9 review find; fits() now also rejects negatives)
+    val packedFits = PersistSlots.rowCount(spark, shKey)
+      .exists(n => JoinBacks.fits(spark, n * PackedShingleBytes, sides = 2))
     val inter =
-      if (JoinBacks.fits(spark, shRows * PackedShingleBytes, sides = 2)) {
+      if (packedFits) {
         val packed = sh.groupBy("doc_id")
           .agg(sort_array(collect_list(col("s"))).as("ss"))
         // the intersection scalar runs as a codegen two-pointer walk over

@@ -95,12 +95,7 @@ object PlanAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // degrade-path probes: see QueryTime — -1 stops Catalyst re-broadcasting
-    // the small tables the JoinBacks fallback declines to hint at probe SFs
-    sys.env.get("GRAFT_AUTOBCAST").foreach { v =>
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
-      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
-    }
+    ProbeConfs(spark) // degrade-path knob, shared with QueryTime
     println(f"[audit] ${"query"}%-22s ${"scan_rows"}%12s ${"shuffle_rec"}%12s ${"shuffle_MB"}%10s ${"spill_MB"}%8s")
     names.foreach { n =>
       // benchOverrides LAST: a gate-form name probes its RAW operator,

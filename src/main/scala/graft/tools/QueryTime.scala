@@ -43,6 +43,21 @@ object ExtraQueries {
     )
 }
 
+/** Shared probe-session knobs (QueryTime + PlanAudit — one definition so
+  * the two probes can never measure different planner regimes). */
+object ProbeConfs {
+  /** Degrade-path probes (GRAFT_AUTOBCAST=-1, usually with
+    * GRAFT_BROADCAST_BUDGET=1): at probe SFs Catalyst re-broadcasts the
+    * small tables the JoinBacks fallback declines to hint, masking the
+    * fallback's physical shape — on the target cluster the same tables
+    * exceed the planner's threshold too, so -1 is the faithful stand-in. */
+  def apply(spark: SparkSession): Unit =
+    sys.env.get("GRAFT_AUTOBCAST").foreach { v =>
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+    }
+}
+
 /** Ad-hoc wall-clock timing for named SparkEntry queries against any data
   * dir (the scale-evidence companion to Bench: point it at the ScaleUp
   * output to see how an operator's cost moves with 10× rows). Two passes
@@ -72,15 +87,7 @@ object QueryTime {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // degrade-path probes (GRAFT_AUTOBCAST=-1, usually with
-    // GRAFT_BROADCAST_BUDGET=1): at probe SFs Catalyst re-broadcasts the
-    // small tables the JoinBacks fallback declines to hint, masking the
-    // fallback's physical shape — on the target cluster the same tables
-    // exceed the planner's threshold too, so -1 is the faithful stand-in
-    sys.env.get("GRAFT_AUTOBCAST").foreach { v =>
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
-      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
-    }
+    ProbeConfs(spark)
     names.foreach { n =>
       // benchOverrides LAST: a gate-form name probes its RAW operator,
       // exactly what Bench times — probing the gate would re-run the

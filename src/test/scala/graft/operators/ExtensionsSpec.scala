@@ -368,9 +368,29 @@ class ExtensionsSpec extends SparkSpec {
     Similarity.appendToLshIndex(lshDir, newBuckets)
     def lshRows() = rows(Similarity.loadLshIndex(spark, lshDir).buckets)
     assert(lshRows() == ownB ++ newB, "LSH append lost or altered rows")
+    // the corpus count must advance by exactly the appended distinct ids —
+    // the JoinBacks sizing input rides this meta field
+    val nAfter = Similarity.loadLshIndex(spark, lshDir).nVectors
+    assert(nAfter == lsh.nVectors + newVecs.count(),
+      s"n_vectors $nAfter != ${lsh.nVectors} + appended batch")
+    // RETRIED append (r9 review find): re-appending the same batch must be
+    // a no-op — no duplicate bucket rows, no n_vectors drift
+    Similarity.appendToLshIndex(lshDir, newBuckets)
+    assert(lshRows() == ownB ++ newB, "retried append duplicated bucket rows")
+    assert(Similarity.loadLshIndex(spark, lshDir).nVectors == nAfter,
+      "retried append drifted n_vectors")
     Similarity.compactLshIndex(spark, lshDir)
     assert(lshRows() == ownB ++ newB, "LSH compaction lost or altered rows")
     assert(Similarity.dataLocation(spark, lshDir, "buckets").endsWith("buckets_v1"))
+    // interrupted meta flip: only meta_next present → load completes the
+    // rename instead of bricking the artifact
+    val fsp = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    val metaP = new org.apache.hadoop.fs.Path(s"$lshDir/meta")
+    val nextP = new org.apache.hadoop.fs.Path(s"$lshDir/meta_next")
+    fsp.rename(metaP, nextP) // simulate a crash between delete and rename
+    assert(Similarity.loadLshIndex(spark, lshDir).nVectors == nAfter,
+      "load did not recover from an interrupted meta flip")
+    assert(fsp.exists(metaP) && !fsp.exists(nextP), "recovery left the flip incomplete")
   }
 
   test("dedup clustering equals union-find over the pair graph, one survivor each") {

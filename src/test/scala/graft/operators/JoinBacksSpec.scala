@@ -31,6 +31,17 @@ class JoinBacksSpec extends SparkSpec {
     } finally spark.conf.unset("graft.broadcast.budget")
   }
 
+  test("overflowed (negative) size estimates read as does-not-fit, never broadcast") {
+    // the r9 review find: an unknown-count sentinel times any row width
+    // wraps negative, and a signed comparison then read it as "fits" —
+    // inverting the conservative fallback into an unbounded broadcast
+    spark.conf.set("graft.broadcast.budget", Long.MaxValue.toString)
+    try {
+      assert(!JoinBacks.fits(spark, -64L))
+      assert(!JoinBacks.fits(spark, Long.MaxValue * JoinBacks.vectorRowBytes(64)))
+    } finally spark.conf.unset("graft.broadcast.budget")
+  }
+
   test("hard cap: one side past ~8 GB never broadcasts, regardless of budget") {
     spark.conf.set("graft.broadcast.budget", Long.MaxValue.toString)
     try {
