@@ -232,11 +232,29 @@ object Dedup {
   def buildBandStore(spark: SparkSession, dir: String): DataFrame =
     bandKeys(signaturesFast(spark, dir).filter(isNewBatch.unary_!), nBands = 8)
 
-  def saveBandStore(store: DataFrame, path: String): Unit =
-    store.write.mode("overwrite").parquet(path)
+  /** Persist the band store crash-safely: stage to `<path>_staged`, then
+    * delete + rename (the Similarity meta-flip discipline). A plain
+    * in-place overwrite deletes the live store BEFORE writing, so a
+    * mid-write crash costs a full history re-derive — the exact read the
+    * artifact exists to avoid. [[loadBandStore]] completes an
+    * interrupted flip. */
+  def saveBandStore(store: DataFrame, path: String): Unit = {
+    val sc = store.sparkSession.sparkContext
+    store.write.mode("overwrite").parquet(s"${path}_staged")
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(sc.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(path)
+    if (fs.exists(live)) fs.delete(live, true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"${path}_staged"), live)
+  }
 
-  def loadBandStore(spark: SparkSession, path: String): DataFrame =
+  def loadBandStore(spark: SparkSession, path: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(path)
+    val staged = new org.apache.hadoop.fs.Path(s"${path}_staged")
+    if (!fs.exists(live) && fs.exists(staged)) fs.rename(staged, live)
     spark.read.parquet(path)
+  }
 
   /** Incremental near-dup detection: new-batch documents vs the
     * historical store (Lee et al. 2022 "Deduplicating Training Data

@@ -147,6 +147,15 @@ class SemDedupDsirSpec extends SparkSpec {
   test("incremental: band store save/load roundtrip yields identical pairs") {
     val dir = java.nio.file.Files.createTempDirectory("bandstore").toString
     Dedup.saveBandStore(Dedup.buildBandStore(spark, sf), dir)
+    // crash-safe flip: a second save must land cleanly over the live
+    // store, and an interrupted flip (only _staged present) must recover
+    Dedup.saveBandStore(Dedup.buildBandStore(spark, sf), dir)
+    val fsS = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsS.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(s"${dir}_staged"))
+    assert(Dedup.loadBandStore(spark, dir).count() > 0,
+      "load did not recover from an interrupted band-store flip")
     val viaDisk = Dedup.incrementalPairs(spark, sf,
       Some(Dedup.loadBandStore(spark, dir))).collect().toSeq
     val inMem = Dedup.incrementalPairs(spark, sf).collect().toSeq
