@@ -49,4 +49,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // JVM startup, outside every measured pass.
   "-XX:+ExplicitGCInvokesConcurrent",
   "-XX:+AlwaysPreTouch",
-) ++ sys.env.get("GRAFT_GC_LOG").map(f => s"-Xlog:gc*:file=$f:time,uptime").toSeq
+) ++ sys.env.get("GRAFT_GC_LOG").map(f => s"-Xlog:gc*:file=$f:time,uptime").toSeq ++
+  // probe knob: a checkpoint dir switches PersistSlots.cachedCheckpoint
+  // to RELIABLE checkpoints (spark.* sys props load into SparkConf at
+  // session build) — lets QueryTime/PlanAudit measure the cluster mode
+  sys.env.get("GRAFT_CHECKPOINT_DIR").map(d => s"-Dspark.checkpoint.dir=$d").toSeq
