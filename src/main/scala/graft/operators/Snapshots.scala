@@ -85,7 +85,9 @@ object Snapshots {
       Option[org.apache.spark.sql.types.StructType] = {
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"no published snapshot under $dir")
-    schemaOf(readManifest(spark, dir, version.getOrElse(vs.last)))
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not published (have ${vs.mkString(",")})")
+    schemaOf(readManifest(spark, dir, v))
   }
 
   /** Parent schema widened by the batch's new columns: parent fields keep
@@ -180,7 +182,12 @@ object Snapshots {
             val name = uri.substring(uri.lastIndexOf('/') + 1)
             // a grouped file has >= 1 row; null min/max = all-null stats
             // column (keep, stats-free — always opened by a pruned read)
-            name -> (if (r.isNullAt(1) || r.isNullAt(2)) None
+            // null OR NaN min/max = un-prunable stats (all-null column, or
+            // a NaN row — Spark's max() returns NaN, which fails EVERY
+            // range comparison, so a NaN bound recorded as stats would
+            // make readPruned silently skip a file holding in-range rows)
+            name -> (if (r.isNullAt(1) || r.isNullAt(2)
+                || r.getDouble(1).isNaN || r.getDouble(2).isNaN) None
               else Some((r.getDouble(1), r.getDouble(2))))
           }.toMap
         // ZERO-ROW part files (a filtered write leaves one per empty
@@ -231,6 +238,21 @@ object Snapshots {
     val prior = versions(spark, dir)
     val v = prior.lastOption.getOrElse(0) + 1
     val dirName = batchTag.getOrElse(s"b$v")
+    // a tag colliding with the log's own dir names ("b<N>"/"bu<uuid>")
+    // would let writeBatch's overwrite clobber a live batch — either this
+    // commit clobbering an existing dir, or a FUTURE untagged commit
+    // landing on the tag's name; a tag referenced by any surviving
+    // manifest is the same hazard spelled differently
+    batchTag.foreach { t =>
+      require(!t.matches("b\\d+|bu[0-9a-f-]+"),
+        s"batchTag '$t' matches the log's reserved batch-dir patterns")
+      val referenced = prior.exists(pv =>
+        entryLines(readManifest(spark, dir, pv))
+          .exists(l => parseEntry(l).path.split("/")(1) == t))
+      require(!referenced,
+        s"batchTag '$t' is already referenced by a published manifest — " +
+          "overwriting it would corrupt history (use commitIfAbsent for replays)")
+    }
     val entries = writeBatch(df, dir, dirName, statsCol)
     val parentRaw =
       if (overwrite) Seq.empty
@@ -245,7 +267,12 @@ object Snapshots {
     try out.write((schemaHeader(schema) +: (entryLines(parentRaw) ++ entries.map(_.line)))
       .mkString("\n").getBytes("UTF-8"))
     finally out.close()
-    fs.rename(tmp, manifestPath(dir, v)) // atomic publish
+    // atomic publish — FileSystem.rename reports failure by RETURNING
+    // false (dest exists, permissions, quota), not by throwing; swallowing
+    // it would acknowledge a commit whose manifest never landed (the batch
+    // becomes an invisible orphan vacuum later deletes)
+    require(fs.rename(tmp, manifestPath(dir, v)),
+      s"snapshot commit: manifest publish rename failed for version $v under $dir")
     v
   }
 
@@ -281,7 +308,11 @@ object Snapshots {
       statsCol: Option[String] = None, maxAttempts: Int = 50): Int = {
     val spark = df.sparkSession
     val fs = fsFor(spark, dir)
-    val uniq = java.util.UUID.randomUUID().toString.take(8)
+    // FULL uuid: a truncated one (32 bits was the original sin here)
+    // birthday-collides on long-lived multi-writer tables, and writeBatch's
+    // overwrite would then delete a live batch still referenced by
+    // published manifests
+    val uniq = java.util.UUID.randomUUID().toString
     val dirName = s"bu$uniq"
     val entries = writeBatch(df, dir, dirName, statsCol)
     fs.mkdirs(new Path(s"$dir/_log"))
@@ -325,22 +356,41 @@ object Snapshots {
   }
 
   /** Idempotent tagged commit — the exactly-once primitive for streaming
-    * ingest: if ANY published manifest already references batch dir
-    * `data/<tag>/`, the commit is a no-op (the tag was delivered; a
+    * ingest: if `tag` was ever delivered, the commit is a no-op (a
     * foreachBatch replay after a crash must not append twice). Otherwise
     * the data write lands in the tag-named dir (Overwrite — a replay of
     * a HALF-written crash rewrites in place) and the manifest publish is
-    * the atomic commit point. Single-writer semantics, like the rest of
-    * the log. Returns the version committed, or None if already done. */
+    * the atomic commit point. Single-writer semantics PER TAG NAMESPACE:
+    * two streams sharing one table must use disjoint tag prefixes
+    * (checkpoint batchIds restart at 0 per stream). Returns the version
+    * committed, or None if already done.
+    *
+    * Delivery is remembered two ways (r9 review find): a durable
+    * `_tags/<tag>` marker written after the publish, PLUS the manifest
+    * references themselves. The marker survives compact() + vacuum() —
+    * an overwrite manifest drops all tag references, and once vacuum
+    * removes the pre-overwrite manifests, the manifest check ALONE would
+    * re-append a replayed batch into a sink documented exactly-once. The
+    * manifest fallback covers legacy tables and the crash window between
+    * publish and marker write (a replay then backfills the marker); it
+    * also keeps the common path O(1) instead of O(versions × entries)
+    * per micro-batch. */
   def commitIfAbsent(df: DataFrame, dir: String, tag: String,
       statsCol: Option[String] = None): Option[Int] = {
     val spark = df.sparkSession
+    val fs = fsFor(spark, dir)
+    val marker = new Path(s"$dir/_tags/$tag")
+    if (fs.exists(marker)) return None
     val done = versions(spark, dir).exists { v =>
       entryLines(readManifest(spark, dir, v))
         .exists(l => parseEntry(l).path.split("/")(1) == tag)
     }
-    if (done) None
-    else Some(commit(df, dir, overwrite = false, statsCol = statsCol, batchTag = Some(tag)))
+    val committed =
+      if (done) None
+      else Some(commit(df, dir, overwrite = false, statsCol = statsCol, batchTag = Some(tag)))
+    fs.mkdirs(new Path(s"$dir/_tags"))
+    fs.create(marker, true).close()
+    committed
   }
 
   /** Read a pinned version (time travel) or the latest. The file list is
@@ -371,16 +421,27 @@ object Snapshots {
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"no published snapshot under $dir")
     val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not published (have ${vs.mkString(",")})")
     val raw = readManifest(spark, dir, v)
     val entries = entryLines(raw).map(parseEntry)
     val kept = entries.filter {
-      case ManifestEntry(_, Some((c, fLo, fHi))) if c == statsCol => fHi >= lo && fLo <= hi
+      // skip only when PROVABLY disjoint: the negated form keeps a file
+      // whose recorded bound is NaN (every NaN comparison is false —
+      // phrased as a positive overlap test, a NaN bound silently pruned
+      // files holding in-range rows; writeBatch also refuses to record
+      // NaN stats, so this is the read-side belt for legacy manifests)
+      case ManifestEntry(_, Some((c, fLo, fHi))) if c == statsCol => !(fHi < lo || fLo > hi)
       case _ => true
     }
     val paths = kept.map(e => s"$dir/${e.path}")
-    val pruned = schemaOf(raw) match {
-      case Some(st) => spark.read.schema(st).parquet(paths: _*)
-      case None => spark.read.parquet(paths: _*)
+    val pruned = (schemaOf(raw), paths) match {
+      case (Some(st), _) => spark.read.schema(st).parquet(paths: _*)
+      case (None, Nil) if entries.nonEmpty =>
+        // legacy manifest (no declared schema) with EVERY file pruned:
+        // zero-path spark.read throws "unable to infer schema" — borrow
+        // the schema from one manifest file and return the empty frame
+        spark.read.parquet(s"$dir/${entries.head.path}").where(lit(false))
+      case _ => spark.read.parquet(paths: _*)
     }
     (pruned, kept.size, entries.size)
   }
@@ -397,7 +458,17 @@ object Snapshots {
       s"need published fromV < toV, have ${vs.mkString(",")}")
     val before = entryLines(readManifest(spark, dir, fromV)).map(parseEntry(_).path).toSet
     val toRaw = readManifest(spark, dir, toV)
-    val added = entryLines(toRaw).map(parseEntry(_).path).filterNot(before)
+    val after = entryLines(toRaw).map(parseEntry(_).path)
+    // append-only guard (r9 review find): an overwrite commit (compact,
+    // replace) inside (fromV, toV] REMOVES files, and the naive manifest
+    // diff then returns the entire rewritten table as the "delta" — an
+    // incremental consumer would double-count every pre-existing row.
+    // Fail loudly; a change feed across an overwrite needs a base re-read.
+    val removed = before -- after.toSet
+    require(removed.isEmpty,
+      s"appendedBetween(v$fromV, v$toV): ${removed.size} files were REMOVED in the range " +
+        "(an overwrite/compact commit) — the manifest diff is not a change feed here")
+    val added = after.filterNot(before)
     require(added.nonEmpty, s"no files appended between v$fromV and v$toV")
     schemaOf(toRaw) match {
       case Some(st) => spark.read.schema(st).parquet(added.map(f => s"$dir/$f"): _*)
@@ -473,7 +544,10 @@ object Snapshots {
       .select(col("event_id"), col("user_id"), col("event_type"),
         round(col("value"), 2).as("value"))
     commit(ev.filter(col("value") > SplitValue), table)
-    commit(ev.filter(col("value") <= SplitValue), table)
+    // the complement is NULL-closed: a null value satisfies neither
+    // comparison, and a two-sided `>` / `<=` split would silently drop
+    // the row from every version of the table
+    commit(ev.filter(!(col("value") > SplitValue) || col("value").isNull), table)
     read(spark, table, version = Some(1)).orderBy("event_id")
   }
 
@@ -520,7 +594,7 @@ object Snapshots {
     val ev = Tables.events(spark, dir)
       .select(col("event_id"), round(col("value"), 2).as("value"))
     commit(ev.filter(col("value") > SplitValue), table)
-    commit(ev.filter(col("value") <= SplitValue)
+    commit(ev.filter(!(col("value") > SplitValue) || col("value").isNull)
       .withColumn("vip", col("value") > VipValue), table)
     read(spark, table).orderBy("event_id")
   }

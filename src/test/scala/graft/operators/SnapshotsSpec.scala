@@ -265,4 +265,51 @@ class SnapshotsSpec extends SparkSpec {
     val events = graft.sources.Tables.events(spark, sf).count()
     assert(n1 > 0 && n1 < total && total == events)
   }
+
+  test("NaN stats never prune a file holding in-range rows (r9 review find)") {
+    val d = freshDir("nan")
+    // one file whose stats column contains a NaN: Spark's max() returns
+    // NaN, which fails every range comparison — the positive overlap
+    // test silently skipped the file, losing its in-range row
+    Snapshots.commit(Seq((1L, 1.0), (2L, Double.NaN)).toDF("id", "v")
+      .coalesce(1), d, statsCol = Some("v"))
+    val (pruned, opened, total) = Snapshots.readPruned(spark, d, "v", 0.0, 5.0)
+    assert(opened == total, s"NaN-stat file was pruned ($opened of $total opened)")
+    assert(pruned.filter("v = 1.0").count() == 1, "in-range row lost to a NaN bound")
+  }
+
+  test("commitIfAbsent stays exactly-once across compact + vacuum (r9 review find)") {
+    val d = freshDir("tagvac")
+    val batch = Seq((1L, "a")).toDF("id", "s")
+    assert(Snapshots.commitIfAbsent(batch, d, "s0").contains(1))
+    Snapshots.compact(spark, d, nFiles = 1) // overwrite: drops tag refs
+    Snapshots.vacuum(spark, d, keep = 1, orphanGraceMs = 0L) // drops old manifests
+    // a crash-replay of the same batchId must remain a no-op — before the
+    // durable tag marker, the manifest check alone re-appended here
+    assert(Snapshots.commitIfAbsent(batch, d, "s0").isEmpty,
+      "replayed tag re-committed after compact+vacuum erased its references")
+    assert(Snapshots.read(spark, d).count() == 1, "exactly-once sink holds duplicates")
+  }
+
+  test("appendedBetween refuses a range containing an overwrite (r9 review find)") {
+    val d = freshDir("cdfow")
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "s"), d)
+    Snapshots.commit(Seq((2L, "b")).toDF("id", "s"), d)
+    Snapshots.compact(spark, d, nFiles = 1) // v3 overwrite
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.appendedBetween(spark, d, 1, 3)
+    }
+    assert(e.getMessage.contains("REMOVED"),
+      "a change feed across an overwrite must fail loudly, not return the full table")
+  }
+
+  test("batchTag collisions with the log's own dir names are rejected (r9 review find)") {
+    val d = freshDir("tagcol")
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "s"), d) // lives in data/b1
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.commit(Seq((2L, "x")).toDF("id", "s"), d, batchTag = Some("b1"))
+    }
+    assert(e.getMessage.contains("reserved"),
+      "a tag shaped like a batch dir would overwrite-clobber live history")
+  }
 }
