@@ -102,7 +102,11 @@ object Quantize {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
     val codes = binaryEncode(spark, dir)
-    val n = codes.count()
+    // size the shortlist from the RAW table, not codes: counting the
+    // un-persisted encode frame materialized the O(N·64) bit-pack once
+    // for the count and again in the join (r9 review find) — the row
+    // counts are identical, the raw scan is footer-cheap
+    val n = e.count()
     val shortlist = binShortlistFor(n)
     val q = e.filter(col("vec_id") < Similarity.QuerySetSize)
       .select(col("vec_id").as("q_id"), col("v").as("vq"))

@@ -282,6 +282,12 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val appended = fresh.select("vec_id").distinct().count()
+      // the pre-append corpus size, materialized BEFORE the write (the
+      // lazy frame re-lists the dir at action time and would count the
+      // just-appended files twice); in a crash-retry the pre-write slice
+      // already holds the stranded rows and `appended` is 0 — the sum is
+      // right in both worlds, which old-meta + appended was not
+      val baseCount = existingIds.distinct().count()
       if (appended > 0)
         fresh.write.mode("append").partitionBy("tbl")
           .parquet(dataLocation(spark, path, "buckets"))
@@ -289,11 +295,12 @@ object Similarity {
       val nBits = row.getInt(row.fieldIndex("n_bits"))
       val nTables = if (row.schema.fieldNames.contains("n_tables"))
         row.getInt(row.fieldIndex("n_tables")) else LshTables
-      val newTotal = // legacy meta has no base count: rebuild from the artifact
-        if (row.schema.fieldNames.contains("n_vectors"))
-          row.getLong(row.fieldIndex("n_vectors")) + appended
-        else spark.read.parquet(dataLocation(spark, path, "buckets"))
-          .select("vec_id").distinct().count()
+      // derive the total from the ARTIFACT, not old-meta + appended (r9
+      // review find: a crash between the data append and the meta flip
+      // left committed rows old + 0 under-counted forever); the tbl=0
+      // slice is scanned for the anti-join anyway, and the same
+      // derivation serves legacy metas for free
+      val newTotal = baseCount + appended
       import spark.implicits._
       Seq((nBits, nTables, newTotal)).toDF("n_bits", "n_tables", "n_vectors")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/meta_next")
@@ -334,6 +341,17 @@ object Similarity {
       .select("q_id", "nbr_id")
       .dropDuplicates("q_id", "nbr_id")
     val vecs = raw.select(col("vec_id"), col("v"))
+    exactRerank(cand, vecs)
+  }
+
+  /** The candidate → exact-top-k tail every index family serves through:
+    * join the float vectors back by id, exact dot, round-6 rank window
+    * with nbr_id tiebreak, keep ranks ≤ TopK, round-4 output, total
+    * order. Every family's output shape AND every per-family oracle
+    * depends on this ONE contract — it had drifted into four verbatim
+    * copies before r9 (review find); a tiebreak or rounding change now
+    * edits one place. */
+  private def exactRerank(cand: DataFrame, vecs: DataFrame): DataFrame = {
     val w = Window.partitionBy("q_id").orderBy(round(col("cs"), 6).desc, col("nbr_id"))
     cand
       .join(vecs.select(col("vec_id").as("q_id"), col("v").as("vq")), Seq("q_id"))
@@ -422,11 +440,24 @@ object Similarity {
   }
 
   /** Append assignment rows (assignForAppend output) to a persisted IVF
-    * index — new cell-partitioned files beside the existing ones. */
-  def appendToIvfIndex(path: String, newAssignments: DataFrame): Unit =
+    * index — new cell-partitioned files beside the existing ones.
+    * Idempotent on vec_id, like [[appendToLshIndex]]: a retried append
+    * (parquet append is not atomic) would otherwise duplicate index rows,
+    * and the cell join then emits the same neighbor at two ranks —
+    * evicting true top-k rows. The membership probe broadcasts the BATCH
+    * ids against the artifact's id column; nothing corpus-sized
+    * shuffles. */
+  def appendToIvfIndex(path: String, newAssignments: DataFrame): Unit = {
+    val spark = newAssignments.sparkSession
+    val existing = spark.read.parquet(dataLocation(spark, path, "assignments"))
+      .select("vec_id")
+    val dup = existing.join(
+      broadcast(newAssignments.select("vec_id").distinct()), Seq("vec_id"), "left_semi")
     newAssignments.select(col("vec_id"), col("v"), col("cell"))
+      .join(broadcast(dup), Seq("vec_id"), "left_anti")
       .write.mode("append").partitionBy("cell")
-      .parquet(dataLocation(newAssignments.sparkSession, path, "assignments"))
+      .parquet(dataLocation(spark, path, "assignments"))
+  }
 
   /** Compact an appended-to assignments artifact (see compactPqIndex). */
   def compactIvfIndex(spark: SparkSession, path: String): Unit =
@@ -441,6 +472,18 @@ object Similarity {
   private val ivfCache =
     scala.collection.concurrent.TrieMap.empty[(String, String, Int), IvfIndex]
 
+  // the ivf2 super-cell hierarchy is a pure function of the cached
+  // centroids, but 25 driver-side Lloyd iterations over k centroids is
+  // real serial compute at the 10⁵-cell scale the operator targets —
+  // memoized beside the index it derives from (r9 review find: it was
+  // rebuilt on EVERY invocation)
+  private val hierCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String, Int), IvfHierarchy]
+
+  // filteredSearch's label-selectivity scalar, per (session, corpus)
+  private val shareCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Double]
+
   /** Drop memoized LSH indexes (pairs with PersistSlots.clear, which
     * releases the persisted bucket frames). */
   def clearLshCache(): Unit = lshCache.clear()
@@ -451,6 +494,8 @@ object Similarity {
     ivfCache.values.foreach(i =>
       try i.assignments.unpersist(false) catch { case _: Throwable => () })
     ivfCache.clear()
+    hierCache.clear() // derived from the centroids dropped above
+    shareCache.clear() // corpus-derived scalar, same rewrite hazard
   }
 
   /** Per-row probe list: the `nProbe` nearest coarse centroids. The
@@ -502,15 +547,7 @@ object Similarity {
       .select("q_id", "nbr_id")
       .dropDuplicates("q_id", "nbr_id")
     val vecs = assigned.select(col("vec_id"), col("v"))
-    val w = Window.partitionBy("q_id").orderBy(round(col("cs"), 6).desc, col("nbr_id"))
-    cand
-      .join(vecs.select(col("vec_id").as("q_id"), col("v").as("vq")), Seq("q_id"))
-      .join(vecs.select(col("vec_id").as("nbr_id"), col("v").as("vn")), Seq("nbr_id"))
-      .withColumn("cs", dot(col("vq"), col("vn")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TopK)
-      .select(col("q_id"), col("nbr_id"), col("rank"), round(col("cs"), 4).as("cs"))
-      .orderBy("q_id", "rank")
+    exactRerank(cand, vecs)
   }
 
   // ---------------------------------------------------------------------
@@ -611,7 +648,10 @@ object Similarity {
     val idx = index.getOrElse(
       ivfCache.getOrElseUpdate((spark.sparkContext.applicationId, dir, nClusters),
         buildIvfIndex(spark, dir, nClusters)))
-    val hier = buildHierarchy(idx.centroids)
+    val hier = // a caller-supplied index must not share the keyed cache
+      if (index.isDefined) buildHierarchy(idx.centroids)
+      else hierCache.getOrElseUpdate((spark.sparkContext.applicationId, dir, nClusters),
+        buildHierarchy(idx.centroids))
     val k2 = hier.superCentroids.length
     val nProbeEff = math.max(1,
       math.ceil(idx.centroids.length * (if (deepProbes) 12.0 else 6.0) / 16).toInt)
@@ -626,15 +666,7 @@ object Similarity {
       .select("q_id", "nbr_id")
       .dropDuplicates("q_id", "nbr_id")
     val vecs = assigned.select(col("vec_id"), col("v"))
-    val w = Window.partitionBy("q_id").orderBy(round(col("cs"), 6).desc, col("nbr_id"))
-    cand
-      .join(vecs.select(col("vec_id").as("q_id"), col("v").as("vq")), Seq("q_id"))
-      .join(vecs.select(col("vec_id").as("nbr_id"), col("v").as("vn")), Seq("nbr_id"))
-      .withColumn("cs", dot(col("vq"), col("vn")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TopK)
-      .select(col("q_id"), col("nbr_id"), col("rank"), round(col("cs"), 4).as("cs"))
-      .orderBy("q_id", "rank")
+    exactRerank(cand, vecs)
   }
 
   // ---------------------------------------------------------------------
@@ -668,6 +700,32 @@ object Similarity {
   private[operators] def pcaRotation(spark: SparkSession, dir: String, dims: Int): Array[Array[Double]] =
     pcaFit(spark, dir, dims)._1
 
+  /** d×d second moment Σ v·vᵀ of a vector RDD via treeAggregate — d²
+    * state per partition, map-side summed; the driver sees ONE matrix,
+    * never rows. Shared by the PCA fit and the OPQ rotation fit (the two
+    * blocks had drifted into verbatim copies — r9 review find). */
+  private def secondMoment(rows: org.apache.spark.rdd.RDD[Array[Double]],
+      d: Int): Array[Array[Double]] =
+    rows.treeAggregate(Array.ofDim[Double](d, d))(
+      (acc, v) => {
+        var i = 0
+        while (i < d) {
+          val vi = v(i); val row = acc(i); var j = 0
+          while (j < d) { row(j) += vi * v(j); j += 1 }
+          i += 1
+        }
+        acc
+      },
+      (a, b) => {
+        var i = 0
+        while (i < d) {
+          var j = 0
+          while (j < d) { a(i)(j) += b(i)(j); j += 1 }
+          i += 1
+        }
+        a
+      })
+
   /** (rotation, corpus size) — one fit job per (session, dir, dims); the
     * count rides along so serving never pays a counting job (the
     * withBuckets lesson). */
@@ -677,27 +735,7 @@ object Similarity {
       val n = e.count()
       val frac = math.min(1.0, 8192.0 / math.max(1L, n).toDouble)
       val fitOn = if (frac >= 1.0) e else e.sample(frac, 42L)
-      val d = Dim
-      val sm = fitOn.select("v").rdd.map(_.getSeq[Double](0).toArray).treeAggregate(
-        Array.ofDim[Double](d, d))(
-        (acc, v) => {
-          var i = 0
-          while (i < d) {
-            val vi = v(i); val row = acc(i); var j = 0
-            while (j < d) { row(j) += vi * v(j); j += 1 }
-            i += 1
-          }
-          acc
-        },
-        (a, b) => {
-          var i = 0
-          while (i < d) {
-            var j = 0
-            while (j < d) { a(i)(j) += b(i)(j); j += 1 }
-            i += 1
-          }
-          a
-        })
+      val sm = secondMoment(fitOn.select("v").rdd.map(_.getSeq[Double](0).toArray), Dim)
       val (evals, evecs) = graft.functions.JacobiEig.decompose(sm)
       (evals.indices.sortBy(i => -evals(i)).take(dims).map(evecs).toArray, n)
     })
@@ -755,15 +793,7 @@ object Similarity {
       .filter(col("srank") <= shortlist)
       .select("q_id", "nbr_id")
     val vecs = e.select(col("vec_id"), col("v"))
-    val w = Window.partitionBy("q_id").orderBy(round(col("cs"), 6).desc, col("nbr_id"))
-    cand
-      .join(vecs.select(col("vec_id").as("q_id"), col("v").as("vq")), Seq("q_id"))
-      .join(vecs.select(col("vec_id").as("nbr_id"), col("v").as("vn")), Seq("nbr_id"))
-      .withColumn("cs", dot(col("vq"), col("vn")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TopK)
-      .select(col("q_id"), col("nbr_id"), col("rank"), round(col("cs"), 4).as("cs"))
-      .orderBy("q_id", "rank")
+    exactRerank(cand, vecs)
   }
 
   // ---------------------------------------------------------------------
@@ -877,30 +907,8 @@ object Similarity {
     // rows), eigensolve + eigenvalue allocation on the driver
     val rotation =
       if (!opq) None
-      else {
-        val d = Dim
-        val sm = fitOn.rdd.map(_.getSeq[Double](0).toArray).treeAggregate(
-          Array.ofDim[Double](d, d))(
-          (acc, v) => {
-            var i = 0
-            while (i < d) {
-              val vi = v(i); val row = acc(i); var j = 0
-              while (j < d) { row(j) += vi * v(j); j += 1 }
-              i += 1
-            }
-            acc
-          },
-          (a, b) => {
-            var i = 0
-            while (i < d) {
-              var j = 0
-              while (j < d) { a(i)(j) += b(i)(j); j += 1 }
-              i += 1
-            }
-            a
-          })
-        Some(opqRotation(sm, PqM))
-      }
+      else Some(opqRotation(
+        secondMoment(fitOn.rdd.map(_.getSeq[Double](0).toArray), Dim), PqM))
     // codebooks are fit in the ROTATED space when OPQ is on (the encoder
     // rotates before table lookup, so fit input and encode input agree)
     val fitInput = rotation match {
@@ -1130,10 +1138,18 @@ object Similarity {
     * existing data. The cost of this freedom is file proliferation (each
     * append adds ≥1 file per touched cell), which `compactPqIndex`
     * periodically repays. */
-  def appendToPqIndex(path: String, newCodes: DataFrame): Unit =
+  def appendToPqIndex(path: String, newCodes: DataFrame): Unit = {
+    // idempotent on vec_id — see appendToIvfIndex (a retried append must
+    // not duplicate code rows)
+    val spark = newCodes.sparkSession
+    val existing = spark.read.parquet(pqCodesLocation(spark, path)).select("vec_id")
+    val dup = existing.join(
+      broadcast(newCodes.select("vec_id").distinct()), Seq("vec_id"), "left_semi")
     newCodes.select(col("vec_id"), col("cell"), col("code"))
+      .join(broadcast(dup), Seq("vec_id"), "left_anti")
       .write.mode("append").partitionBy("cell")
-      .parquet(pqCodesLocation(newCodes.sparkSession, path))
+      .parquet(pqCodesLocation(spark, path))
+  }
 
   /** Compact an appended-to codes artifact back to one file per cell:
     * read the live version, hash-repartition ON the cell column (each
@@ -1178,9 +1194,17 @@ object Similarity {
     val idx = index.getOrElse(
       ivfCache.getOrElseUpdate((spark.sparkContext.applicationId, dir, nClusters),
         buildIvfIndex(spark, dir, nClusters)))
-    val pqi = pq.getOrElse(
-      pqCache.getOrElseUpdate((spark.sparkContext.applicationId, dir, s"$residual:$opq"),
-        buildPqIndex(spark, dir, idx, residual = residual, opq = opq)))
+    // the PQ is fitted AGAINST a specific coarse quantizer: the cache key
+    // must carry nClusters (r9 review find — a PQ cached at one k served
+    // to another k's cell ids reads out of the cellDots arrays or
+    // silently matches cells across two different quantizers), and a
+    // caller-supplied index must NEVER share the keyed cache at all
+    val pqi = pq.getOrElse {
+      if (index.isDefined) buildPqIndex(spark, dir, idx, residual = residual, opq = opq)
+      else pqCache.getOrElseUpdate(
+        (spark.sparkContext.applicationId, dir, s"$nClusters:$residual:$opq"),
+        buildPqIndex(spark, dir, idx, residual = residual, opq = opq))
+    }
     val nProbeEff =
       if (nProbe > 0) nProbe
       else math.max(1, math.ceil(idx.centroids.length * (if (deepProbes) 12.0 else 6.0) / 16).toInt)
@@ -1315,8 +1339,13 @@ object Similarity {
         col("label"))
     val q = raw.filter(col("vec_id") < QuerySetSize)
       .select(col("vec_id").as("q_id"), col("v").as("vq"), col("label"))
-    val maxShare = raw.groupBy("label").agg(count(lit(1)).as("n"))
-      .agg((max("n") / sum("n")).as("share")).head().getDouble(0)
+    // memoized per (session, corpus): the doc above promises "a stats
+    // lookup, not a job", but the agg itself is a full corpus scan — the
+    // memo makes repeated serving calls pay it once (r9 review find)
+    val maxShare = shareCache.getOrElseUpdate(
+      (spark.sparkContext.applicationId, dir),
+      raw.groupBy("label").agg(count(lit(1)).as("n"))
+        .agg((max("n") / sum("n")).as("share")).head().getDouble(0))
     val w = Window.partitionBy("q_id").orderBy(round(col("cs"), 6).desc, col("nbr_id"))
     if (maxShare <= selThreshold) {
       // pre-filter exact: the label keys the candidate join, so each
@@ -1409,6 +1438,23 @@ object Similarity {
       pcaTopK(s, d, deepShortlist = true).filter(col("rank") === 1)),
   )
 
+  /** The ONE brute-force exact top-1 oracle every probe-enough ANN slice
+    * is gated against (seven keys map to it — the copies had to stay in
+    * lockstep by hand before r9; the rounding/tiebreak contract lives
+    * here and in the shared Spark-side window ONLY). */
+  private val exactTop1OracleSql: String =
+    """WITH scored AS (
+        |SELECT a.vec_id AS q_id, b.vec_id AS nbr_id,
+        |list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS cs
+        |FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        |WHERE a.vec_id < 20),
+        |ranked AS (SELECT q_id, nbr_id, cs,
+        |CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ROUND(cs,6) DESC, nbr_id) AS INTEGER) AS rank
+        |FROM scored)
+        |SELECT q_id, nbr_id, rank, ROUND(cs,4) AS cs FROM ranked
+        |WHERE rank = 1 ORDER BY q_id""".stripMargin.replaceAll("\n", " ")
+
   val oracleSql: Map[String, String] = Map(
     // exact-by-construction (pre-filter branch at the fixture's ~10%
     // label selectivity): brute force within each query's label slice
@@ -1436,89 +1482,12 @@ object Similarity {
         |FROM scored)
         |SELECT q_id, nbr_id, rank, ROUND(cs,4) AS cs FROM ranked
         |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin.replaceAll("\n", " "),
-    "ann_ivf_top1" ->
-      """WITH scored AS (
-        |SELECT a.vec_id AS q_id, b.vec_id AS nbr_id,
-        |list_sum(list_transform(list_zip(a.embedding, b.embedding),
-        |p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS cs
-        |FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
-        |WHERE a.vec_id < 20),
-        |ranked AS (SELECT q_id, nbr_id, cs,
-        |CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ROUND(cs,6) DESC, nbr_id) AS INTEGER) AS rank
-        |FROM scored)
-        |SELECT q_id, nbr_id, rank, ROUND(cs,4) AS cs FROM ranked
-        |WHERE rank = 1 ORDER BY q_id""".stripMargin.replaceAll("\n", " "),
-    "ann_lsh_top1" ->
-      """WITH scored AS (
-        |SELECT a.vec_id AS q_id, b.vec_id AS nbr_id,
-        |list_sum(list_transform(list_zip(a.embedding, b.embedding),
-        |p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS cs
-        |FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
-        |WHERE a.vec_id < 20),
-        |ranked AS (SELECT q_id, nbr_id, cs,
-        |CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ROUND(cs,6) DESC, nbr_id) AS INTEGER) AS rank
-        |FROM scored)
-        |SELECT q_id, nbr_id, rank, ROUND(cs,4) AS cs FROM ranked
-        |WHERE rank = 1 ORDER BY q_id""".stripMargin.replaceAll("\n", " "),
-    "ann_ivf2_top1" ->
-      """WITH scored AS (
-        |SELECT a.vec_id AS q_id, b.vec_id AS nbr_id,
-        |list_sum(list_transform(list_zip(a.embedding, b.embedding),
-        |p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS cs
-        |FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
-        |WHERE a.vec_id < 20),
-        |ranked AS (SELECT q_id, nbr_id, cs,
-        |CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ROUND(cs,6) DESC, nbr_id) AS INTEGER) AS rank
-        |FROM scored)
-        |SELECT q_id, nbr_id, rank, ROUND(cs,4) AS cs FROM ranked
-        |WHERE rank = 1 ORDER BY q_id""".stripMargin.replaceAll("\n", " "),
-    "ann_ivfpq_top1" ->
-      """WITH scored AS (
-        |SELECT a.vec_id AS q_id, b.vec_id AS nbr_id,
-        |list_sum(list_transform(list_zip(a.embedding, b.embedding),
-        |p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS cs
-        |FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
-        |WHERE a.vec_id < 20),
-        |ranked AS (SELECT q_id, nbr_id, cs,
-        |CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ROUND(cs,6) DESC, nbr_id) AS INTEGER) AS rank
-        |FROM scored)
-        |SELECT q_id, nbr_id, rank, ROUND(cs,4) AS cs FROM ranked
-        |WHERE rank = 1 ORDER BY q_id""".stripMargin.replaceAll("\n", " "),
-    "ann_ivfadc_top1" ->
-      """WITH scored AS (
-        |SELECT a.vec_id AS q_id, b.vec_id AS nbr_id,
-        |list_sum(list_transform(list_zip(a.embedding, b.embedding),
-        |p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS cs
-        |FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
-        |WHERE a.vec_id < 20),
-        |ranked AS (SELECT q_id, nbr_id, cs,
-        |CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ROUND(cs,6) DESC, nbr_id) AS INTEGER) AS rank
-        |FROM scored)
-        |SELECT q_id, nbr_id, rank, ROUND(cs,4) AS cs FROM ranked
-        |WHERE rank = 1 ORDER BY q_id""".stripMargin.replaceAll("\n", " "),
-    "ann_opq_top1" ->
-      """WITH scored AS (
-        |SELECT a.vec_id AS q_id, b.vec_id AS nbr_id,
-        |list_sum(list_transform(list_zip(a.embedding, b.embedding),
-        |p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS cs
-        |FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
-        |WHERE a.vec_id < 20),
-        |ranked AS (SELECT q_id, nbr_id, cs,
-        |CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ROUND(cs,6) DESC, nbr_id) AS INTEGER) AS rank
-        |FROM scored)
-        |SELECT q_id, nbr_id, rank, ROUND(cs,4) AS cs FROM ranked
-        |WHERE rank = 1 ORDER BY q_id""".stripMargin.replaceAll("\n", " "),
-    "ann_pca_top1" ->
-      """WITH scored AS (
-        |SELECT a.vec_id AS q_id, b.vec_id AS nbr_id,
-        |list_sum(list_transform(list_zip(a.embedding, b.embedding),
-        |p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS cs
-        |FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
-        |WHERE a.vec_id < 20),
-        |ranked AS (SELECT q_id, nbr_id, cs,
-        |CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ROUND(cs,6) DESC, nbr_id) AS INTEGER) AS rank
-        |FROM scored)
-        |SELECT q_id, nbr_id, rank, ROUND(cs,4) AS cs FROM ranked
-        |WHERE rank = 1 ORDER BY q_id""".stripMargin.replaceAll("\n", " "),
+    "ann_ivf_top1" -> exactTop1OracleSql,
+    "ann_lsh_top1" -> exactTop1OracleSql,
+    "ann_ivf2_top1" -> exactTop1OracleSql,
+    "ann_ivfpq_top1" -> exactTop1OracleSql,
+    "ann_ivfadc_top1" -> exactTop1OracleSql,
+    "ann_opq_top1" -> exactTop1OracleSql,
+    "ann_pca_top1" -> exactTop1OracleSql,
   )
 }

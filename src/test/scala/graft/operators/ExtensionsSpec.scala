@@ -299,6 +299,11 @@ class ExtensionsSpec extends SparkSpec {
     val expected = rowSet(pq.codes) ++ rowSet(appended)
     val afterAppend = rowSet(Similarity.loadPqIndex(spark, dir).codes)
     assert(afterAppend == expected, "append lost or altered rows")
+    // retried append (r9 review find): must be a no-op, or the cell join
+    // serves the same neighbor at two ranks
+    Similarity.appendToPqIndex(dir, appended)
+    assert(rowSet(Similarity.loadPqIndex(spark, dir).codes) == expected,
+      "retried PQ append duplicated code rows")
     // a reader loaded BEFORE the compaction must stay readable after it
     // (its version dir gets one compaction cycle of grace)
     val preCompact = Similarity.loadPqIndex(spark, dir)
@@ -350,6 +355,9 @@ class ExtensionsSpec extends SparkSpec {
     def ivfRows() = Similarity.loadIvfIndex(spark, ivfDir).assignments
       .select("vec_id", "cell").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
     assert(ivfRows() == own ++ newRows, "IVF append lost or altered rows")
+    // retried append must be a no-op (r9 review find)
+    Similarity.appendToIvfIndex(ivfDir, newAssigned)
+    assert(ivfRows() == own ++ newRows, "retried IVF append duplicated rows")
     Similarity.compactIvfIndex(spark, ivfDir)
     assert(ivfRows() == own ++ newRows, "IVF compaction lost or altered rows")
     assert(Similarity.dataLocation(spark, ivfDir, "assignments").endsWith("assignments_v1"))
