@@ -192,18 +192,32 @@ object TextAnalysis {
     * one-sided (≥ true count, ≤ true + εN with prob 1−δ). Used by
     * HeavyHittersSpec to assert the error law against [[topTerms]]. */
   def cmsTopTerms(spark: SparkSession, dir: String, probes: Seq[String],
-      eps: Double = 0.001, confidence: Double = 0.99): Seq[(String, Long)] = {
+      eps: Double = CmsEps, confidence: Double = CmsConfidence): Seq[(String, Long)] = {
     val terms = Tables.documents(spark, dir).select(explode(toks).as("term"))
-    val cms = terms.stat.countMinSketch(col("term"), eps, confidence, seed = 42)
+    val cms = terms.stat.countMinSketch(col("term"), eps, confidence, seed = CmsSeed)
     probes.map(t => t -> cms.estimateCount(t))
   }
+
+  /** CMS parameters shared by the batch path above and the streaming twin
+    * (CmsStream): the stream ≡ batch CELL-IDENTICAL merge contract needs
+    * the same eps/confidence/seed on both sides (same dims + hash
+    * functions); re-declared copies could drift, and mismatched blobs
+    * fail to merge (r9 review find). */
+  val CmsEps = 0.001
+  val CmsConfidence = 0.99
+  val CmsSeed = 42
+
+  /** The content-fingerprint key: md5 over case-folded, whitespace-
+    * collapsed text. One definition — StreamClean's duplicate verdicts
+    * are documented as keyed on EXACTLY this normalization. */
+  private[graft] def fpCol(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
 
   /** Content fingerprint: md5 over case-folded, whitespace-collapsed text —
     * the normalization-then-hash dedup key. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp"))
+      .select(col("doc_id"), fpCol(col("text")).as("fp"))
       .orderBy("doc_id")
 
   /** Heuristic language ID: CJK charset ⇒ zh, else argmax of marker-word

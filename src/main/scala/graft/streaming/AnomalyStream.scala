@@ -45,12 +45,20 @@ object AnomalyStream {
     * (AnomalyStreamSpec does precisely that and matches batch q31). */
   def start(events: DataFrame, stats: DataFrame, queryName: String,
       onFlagged: DataFrame => Unit, z: Double = Quality.AnomalyZ,
-      watermark: String = "10 minutes"): StreamingQuery =
+      watermark: String = "10 minutes"): StreamingQuery = {
+    // the trained frame joins into EVERY micro-batch: un-persisted, a
+    // live aggregation plan over history re-executes per trigger and
+    // per-trigger latency grows with history size (r9 review find) —
+    // pin it once for the query's lifetime (stats tables are
+    // type×hour-bounded, broadcast-scale by construction)
+    val pinned = stats.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pinned.count() // materialize before the first trigger
     hourlyCounts(events, watermark).writeStream
       .outputMode(OutputMode.Update())
       .queryName(queryName)
       .foreachBatch { (df: DataFrame, _: Long) =>
-        onFlagged(Quality.scoreHourly(df, stats, z))
+        onFlagged(Quality.scoreHourly(df, pinned, z))
       }
       .start()
+  }
 }

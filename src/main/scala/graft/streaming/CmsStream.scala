@@ -24,9 +24,11 @@ import graft.operators.{Snapshots, TextAnalysis}
   * [[Snapshots.compact]] exactly like any other log table. */
 object CmsStream {
 
-  val Eps = 0.001
-  val Confidence = 0.99
-  val Seed = 42
+  // one definition with the batch path — the cell-identical contract
+  // breaks (and old/new blobs refuse to merge) if these ever drift
+  val Eps: Double = TextAnalysis.CmsEps
+  val Confidence: Double = TextAnalysis.CmsConfidence
+  val Seed: Int = TextAnalysis.CmsSeed
 
   /** Per-batch sketch: one (batch blob) row. */
   def sketchBatch(spark: SparkSession, docs: DataFrame): DataFrame = {

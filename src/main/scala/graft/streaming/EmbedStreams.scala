@@ -101,8 +101,14 @@ object EmbedStreams {
                   if (ids(i) != id) {
                     val cs = dot(v, vs(i))
                     if (cs >= threshold)
+                      // HALF_UP over the decimal string, exactly Spark's
+                      // round(col, 4) in the batch twin — math.rint is
+                      // half-EVEN, which flips cs values on the 0.00005
+                      // grid against the spec-pinned stream ≡ batch
+                      // equality (r9 review find)
                       out += EmbedPair(math.min(id, ids(i)), math.max(id, ids(i)),
-                        math.rint(cs * 10000) / 10000)
+                        java.math.BigDecimal.valueOf(cs)
+                          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue())
                   }
                   i += 1
                 }

@@ -75,9 +75,12 @@ object EventStreams {
       .toDF()
   }
 
-  /** Stream-stream interval join: attribute each click to the same
-    * user's preceding view within `horizon` (the ad-attribution /
-    * funnel-stitching join). Both sides carry watermarks and the join
+  /** Stream-stream interval join: pair each click with EVERY preceding
+    * view by the same user within `horizon` — one output row per
+    * (click, view) pair, the raw attribution-candidate stream (the
+    * last-touch reduction is a downstream `groupBy(click_id).agg(max_by
+    * (view_id, v_ts))`; the per-click last-touch BATCH operator is
+    * `EventAnalytics.attribution` / q34). Both sides carry watermarks and the join
     * condition bounds event-time distance, so Spark can EXPIRE buffered
     * state: rows older than (watermark + horizon) are evicted — without
     * the interval bound a stream-stream inner join would buffer both

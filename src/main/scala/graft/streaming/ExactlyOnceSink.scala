@@ -34,8 +34,24 @@ object ExactlyOnceSink {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** Batch ids the sink has committed so far (empty before the first
+    * batch lands — the poll-safe existence probe for consumers). */
+  def committedBatches(spark: org.apache.spark.sql.SparkSession, out: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(out)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("batch_id=") => n.stripPrefix("batch_id=").toLong }
+      .sorted
+  }
+
   /** Read everything the sink has committed, batch_id recovered from the
-    * directory layout. */
-  def readAll(spark: org.apache.spark.sql.SparkSession, out: String): DataFrame =
+    * directory layout. Fails with a CLEAR message before the first
+    * commit (the bare glob read died with "Path does not exist" — r9
+    * review find); poll [[committedBatches]] first when racing startup. */
+  def readAll(spark: org.apache.spark.sql.SparkSession, out: String): DataFrame = {
+    require(committedBatches(spark, out).nonEmpty,
+      s"exactly-once sink at $out has no committed batches yet (poll committedBatches)")
     spark.read.option("basePath", out).parquet(s"$out/batch_id=*")
+  }
 }

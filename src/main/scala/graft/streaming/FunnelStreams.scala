@@ -118,14 +118,28 @@ object FunnelStreams {
             def live(us: Long): Boolean =
               (tv == Long.MaxValue || us <= tv + horizonUs) &&
                 (us > tv || us > wmUs)
-            state.update(FunnelState(tv,
-              clicks.filter(live).sorted.toSeq, purchases.filter(live).sorted.toSeq))
+            val liveClicks = clicks.filter(live).sorted.toSeq
+            val livePurchases = purchases.filter(live).sorted.toSeq
+            state.update(FunnelState(tv, liveClicks, livePurchases))
             // finalize when nothing admissible can still arrive: a view
             // below tv (until wm > tv) or a candidate ≤ tv+H. A straggler
             // arriving after the deadline already passed the watermark
             // fires on the next trigger (max against wm+1 — Spark rejects
             // a timeout at or below the current watermark).
-            val deadlineUs = if (tv == Long.MaxValue) maxSeen + horizonUs else tv + horizonUs
+            //
+            // No-view deadline: the state may only be dropped once EVERY
+            // buffered candidate is below the watermark (a future view tv
+            // < candidate can then no longer arrive, by the watermark
+            // contract) — the max must range over the BUFFER, not just
+            // this batch's maxSeen (r9 review find: an out-of-order batch
+            // whose max lagged a buffered click by more than the horizon
+            // dropped that click while a view admitting it could still
+            // arrive, emitting a no-click funnel the batch recurrence
+            // pairs).
+            val deadlineUs =
+              if (tv == Long.MaxValue)
+                (liveClicks ++ livePurchases).foldLeft(maxSeen)(math.max)
+              else tv + horizonUs
             state.setTimeoutTimestamp(math.max(deadlineUs / 1000L,
               state.getCurrentWatermarkMs() + 1L))
             Iterator.empty
@@ -153,6 +167,11 @@ object FunnelStreams {
     * the emitted rows. */
   def retentionStream(spark: SparkSession, events: DataFrame, maxDays: Int = 7,
       watermark: String = "10 minutes"): Dataset[RetResult] = {
+    // the activity-day set is a Long bitmask: day k lives in bit k, so
+    // maxDays ≥ 63 silently wraps (1L << 64 ≡ 1) and drops prior activity
+    // days — fail loudly instead (r9 review find)
+    require(maxDays >= 0 && maxDays <= 62,
+      s"retentionStream: maxDays must be in [0, 62] (Long day-mask), got $maxDays")
     import spark.implicits._
     val usPerDay = 86400L * 1000000L
     events

@@ -31,6 +31,17 @@ import graft.operators.TextAnalysis
   * batch winnowPairs job with its ≥ WinMinShared floor is the ground
   * truth, and any pair clearing that floor shares ≥ 1 fingerprint, so
   * sub-cap candidates cover it).
+  *
+  * PRODUCTION RESIDENCY (`horizonMs`, every stateful stage — the
+  * [[ErStreams]] idiom): the cap bounds per-KEY state, but key COUNT
+  * still grows with distinct fingerprints/pairs ever seen — unbounded on
+  * a production stream. With a horizon, a bucket or pair idle past it is
+  * evicted whole, which changes the SEMANTICS from whole-history to
+  * windowed copy detection: pairs are detected only between documents
+  * arriving within a horizon of each other (an evicted fingerprint's
+  * residents are forgotten, so a later arrival pairs only with residents
+  * newer than the eviction). None (the default) = NoTimeout = the exact
+  * batch-parity configuration the driver oracles.
   */
 object MossStreams {
 
@@ -94,25 +105,38 @@ object MossStreams {
     * verified downstream (the LSH-candidate discipline). For exact
     * winnowPairs parity — retraction when a bucket crosses the cap —
     * use [[pairDeltas]]/[[confirmedPairs]], the driver-oracled twin. */
-  def candidateSieve(spark: SparkSession, docs: DataFrame): Dataset[CandidatePair] = {
+  def candidateSieve(spark: SparkSession, docs: DataFrame,
+      horizonMs: Option[Long] = None): Dataset[CandidatePair] = {
     import spark.implicits._
     val cap = TextAnalysis.WinMaxFpDf
+    val timeoutConf = if (horizonMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     fingerprints(docs)
       .select(col("fp").as[String], col("doc_id").as[Long])
       .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf) {
         (_: String, rows: Iterator[(String, Long)], state: GroupState[FpState]) =>
-          val seenSeq = state.getOption.map(_.ids).getOrElse(Seq.empty)
-          if (seenSeq.length >= cap) Iterator.empty // frozen hot bucket
-          else {
-            val seen = seenSeq.toSet
-            val fresh = rows.map(_._2).toSeq.distinct.filterNot(seen)
-              .take(cap - seenSeq.length) // state never exceeds the cap
-            if (fresh.nonEmpty) state.update(FpState(seenSeq ++ fresh))
-            (for {
-              (b, i) <- fresh.zipWithIndex
-              a <- seenSeq ++ fresh.take(i)
-            } yield CandidatePair(math.min(a, b), math.max(a, b))).iterator
+          if (state.hasTimedOut) { // bucket idle past the horizon
+            state.remove()
+            Iterator.empty
+          } else {
+            val seenSeq = state.getOption.map(_.ids).getOrElse(Seq.empty)
+            val out =
+              if (seenSeq.length >= cap) Iterator.empty // frozen hot bucket
+              else {
+                val seen = seenSeq.toSet
+                val fresh = rows.map(_._2).toSeq.distinct.filterNot(seen)
+                  .take(cap - seenSeq.length) // state never exceeds the cap
+                if (fresh.nonEmpty) state.update(FpState(seenSeq ++ fresh))
+                (for {
+                  (b, i) <- fresh.zipWithIndex
+                  a <- seenSeq ++ fresh.take(i)
+                } yield CandidatePair(math.min(a, b), math.max(a, b))).iterator
+              }
+            // activity extends the bucket's lease (the ErStreams idiom)
+            if (horizonMs.isDefined && state.exists)
+              state.setTimeoutDuration(horizonMs.get)
+            out
           }
       }
   }
@@ -127,15 +151,23 @@ object MossStreams {
     * contribution collapses to the batch df-filter's zero. Sub-cap
     * buckets emit +1 per new co-resident pair, exactly the batch
     * per-fp pair count. */
-  def pairDeltas(spark: SparkSession, docs: DataFrame): Dataset[PairDelta] = {
+  def pairDeltas(spark: SparkSession, docs: DataFrame,
+      horizonMs: Option[Long] = None): Dataset[PairDelta] = {
     import spark.implicits._
     val cap = TextAnalysis.WinMaxFpDf
+    val timeoutConf = if (horizonMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     fingerprints(docs)
       .select(col("fp").as[String], col("doc_id").as[Long])
       .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf) {
         (_: String, rows: Iterator[(String, Long)], state: GroupState[FpDeltaState]) =>
+          if (state.hasTimedOut) { // bucket idle past the horizon
+            state.remove()
+            Iterator.empty
+          } else {
           val st = state.getOption.getOrElse(FpDeltaState(Seq.empty, frozen = false))
+          val out: Iterator[PairDelta] =
           if (st.frozen) Iterator.empty
           else {
             val seen = st.ids.toSet
@@ -157,6 +189,10 @@ object MossStreams {
               } yield PairDelta(math.min(a, b), math.max(a, b), 1)).iterator
             }
           }
+          if (horizonMs.isDefined && state.exists)
+            state.setTimeoutDuration(horizonMs.get)
+          out
+          }
       }
   }
 
@@ -174,21 +210,30 @@ object MossStreams {
     * Spark ≥3.4 runs both stateful operators in one streaming query
     * (verified on this build); the same code is the batch replay when
     * handed a static frame — the registered dd_moss_stream row. */
-  def confirmedPairs(spark: SparkSession, docs: DataFrame): Dataset[MossPair] = {
+  def confirmedPairs(spark: SparkSession, docs: DataFrame,
+      horizonMs: Option[Long] = None): Dataset[MossPair] = {
     import spark.implicits._
     val minShared = TextAnalysis.WinMinShared
-    pairDeltas(spark, docs)
+    val timeoutConf = if (horizonMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    pairDeltas(spark, docs, horizonMs)
       .groupByKey(p => (p.a_id, p.b_id))
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf) {
         (key: (Long, Long), rows: Iterator[PairDelta], state: GroupState[PairCount]) =>
-          val st = state.getOption.getOrElse(PairCount(0L, wasOk = false))
-          val shared = st.shared + rows.map(_.delta).sum
-          val ok = shared >= minShared
-          state.update(PairCount(shared, ok))
-          // emit on any change visible through the floor: crossing up,
-          // growing while qualified, or dropping back out
-          if (ok || st.wasOk) Iterator(MossPair(key._1, key._2, shared, ok))
-          else Iterator.empty
+          if (state.hasTimedOut) { // pair idle past the horizon
+            state.remove()
+            Iterator.empty
+          } else {
+            val st = state.getOption.getOrElse(PairCount(0L, wasOk = false))
+            val shared = st.shared + rows.map(_.delta).sum
+            val ok = shared >= minShared
+            state.update(PairCount(shared, ok))
+            if (horizonMs.isDefined) state.setTimeoutDuration(horizonMs.get)
+            // emit on any change visible through the floor: crossing up,
+            // growing while qualified, or dropping back out
+            if (ok || st.wasOk) Iterator(MossPair(key._1, key._2, shared, ok))
+            else Iterator.empty
+          }
       }
   }
 }

@@ -20,15 +20,22 @@ import graft.operators.Snapshots
   */
 object SnapshotStream {
 
-  /** The idempotent per-batch ingest (also the replay unit under test). */
+  /** The idempotent per-batch ingest (also the replay unit under test).
+    * `tagPrefix` namespaces the exactly-once guard: checkpoint batchIds
+    * restart at 0 PER STREAM, so two streams ingesting into one table
+    * with the same prefix would silently drop each other's batches on
+    * the shared tag (r9 review find) — give each writer its own prefix. */
   def ingestBatch(df: DataFrame, table: String, batchId: Long,
-      statsCol: Option[String] = None): Option[Int] =
-    Snapshots.commitIfAbsent(df, table, s"s$batchId", statsCol)
+      statsCol: Option[String] = None, tagPrefix: String = "s"): Option[Int] =
+    Snapshots.commitIfAbsent(df, table, s"$tagPrefix$batchId", statsCol)
 
-  /** Attach the snapshot-log sink to a stream. */
-  def start(stream: DataFrame, table: String, checkpoint: String): StreamingQuery =
+  /** Attach the snapshot-log sink to a stream — one distinct `tagPrefix`
+    * per writer sharing a table. */
+  def start(stream: DataFrame, table: String, checkpoint: String,
+      tagPrefix: String = "s"): StreamingQuery =
     stream.writeStream
-      .foreachBatch((df: DataFrame, id: Long) => { ingestBatch(df, table, id); () })
+      .foreachBatch((df: DataFrame, id: Long) =>
+        { ingestBatch(df, table, id, tagPrefix = tagPrefix); () })
       .option("checkpointLocation", checkpoint)
       .start()
 }

@@ -42,7 +42,7 @@ object StreamClean {
         lit("repetitive"))
       .otherwise(lit("ok"))
     docs.select(col("doc_id"),
-      md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp"),
+      TextAnalysis.fpCol(col("text")).as("fp"), // ONE normalization with tx_fingerprint
       reason.as("reason"))
   }
 

@@ -164,4 +164,34 @@ class MossStreamSpec extends SparkSpec {
     assert(emitted.forall { case (a, b) => a < cap && b < cap },
       "a doc past the cap entered the frozen bucket")
   }
+
+  test("horizon mode evicts idle fingerprint buckets; detection becomes windowed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def stateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Option[Long] =
+      Option(q.lastProgress).flatMap(_.stateOperators.headOption).map(_.numRowsTotal)
+    def await(q: org.apache.spark.sql.streaming.StreamingQuery, what: String)(
+        pred: Long => Boolean): Unit = {
+      val t0 = System.currentTimeMillis
+      while (!stateRows(q).exists(pred) && System.currentTimeMillis - t0 < 60000)
+        Thread.sleep(50)
+      assert(stateRows(q).exists(pred), s"$what never observed (${stateRows(q)})")
+    }
+    val text = "alpha bravo charlie delta echo foxtrot"
+    val input = MemoryStream[Doc]
+    val name = s"mosshz_${System.nanoTime()}"
+    val q = MossStreams.candidateSieve(spark, input.toDF(), horizonMs = Some(400L))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    input.addData(Seq(Doc(1L, text)))
+    await(q, "doc 1 bucket registration")(_ > 0)
+    await(q, "horizon eviction")(_ == 0) // timer batch evicted the idle bucket
+    input.addData(Seq(Doc(2L, text)))
+    await(q, "doc 2 bucket registration")(_ > 0)
+    q.stop()
+    // the windowed contract: doc 2 arrived after doc 1's bucket was
+    // evicted, so NO pair crosses the horizon
+    assert(spark.table(name).isEmpty,
+      s"evicted bucket leaked a cross-horizon pair: ${spark.table(name).collect().toSeq}")
+  }
 }
