@@ -191,7 +191,14 @@ object Dedup {
     * is DuckDB-oracled against the full exact-Jaccard pair set: the gate
     * asserts the banding missed NOTHING at the 0.5 threshold on this
     * corpus, a strictly stronger check than the r2 pair-overlap spec. */
-  def minhashLshFast(spark: SparkSession, dir: String): DataFrame = {
+  def minhashLshFast(spark: SparkSession, dir: String): DataFrame =
+    minhashLshFastCore(spark, dir).orderBy("a_id", "b_id")
+
+  /** The unsorted pair set behind [[minhashLshFast]] — internal consumers
+    * ([[cluster]]'s edge feed) read this form: the registered query's
+    * presentation `orderBy` is a global sort (range exchange) that a
+    * downstream groupBy/union immediately destroys. */
+  private def minhashLshFastCore(spark: SparkSession, dir: String): DataFrame = {
     // 8 bands x 2 rows, NOT the md5 family's 4x4: the banding threshold
     // (1/b)^(1/r) must sit BELOW the verified j >= 0.5 contract (4x4's
     // ~0.71 left a ~1.4% per-pair miss rate at j = 0.9, and the equality
@@ -215,7 +222,6 @@ object Dedup {
       .withColumn("j", col("c") / (col("na") + col("nb") - col("c")))
       .filter(col("j") >= 0.5)
       .select(col("a_id"), col("b_id"), round(col("j"), 4).as("j"))
-      .orderBy("a_id", "b_id")
   }
 
   /** Deterministic ingest-batch membership: ~1/16 of documents (md5
@@ -583,28 +589,24 @@ object Dedup {
     * shared template, so 2–3 rounds close real corpora. The driver loop
     * polls only a convergence count — no edge or label data ever lands on
     * the driver. */
-  def cluster(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = ngramJaccard(spark, dir).select("a_id", "b_id")
-    val edges = pairs.union(pairs.select(col("b_id"), col("a_id")))
-      .toDF("u", "v")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.groupBy(col("u")).agg(min(col("v")).as("mv"))
-      .select(col("u").as("doc_id"), least(col("u"), col("mv")).as("label"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var changed = 1L
-    var rounds = 0
-    while (changed > 0 && rounds < 50) {
-      val prev = labels
-      val next = edges.join(labels.withColumnRenamed("doc_id", "u"), Seq("u"))
-        .select(col("v").as("doc_id"), col("label"))
-        .union(labels)
-        .groupBy("doc_id").agg(min("label").as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      changed = next.join(prev.withColumnRenamed("label", "old"), Seq("doc_id"))
-        .filter(col("label") < col("old")).count()
-      prev.unpersist(false)
-      labels = next
-      rounds += 1
+  def cluster(spark: SparkSession, dir: String,
+      pairs0: Option[DataFrame] = None): DataFrame = {
+    // pair feed: the banded-then-exact-verified scale path, NOT the
+    // uncapped inverted-index self-join of [[ngramJaccard]] (r9 review
+    // find: cluster/canonical were the only registered consumers still
+    // riding the quadratic oracle form at 100 TB — its boilerplate
+    // shingle groups are exactly what the banding sidesteps). The two
+    // feeds emit the SAME pair set wherever the dd_minhash_lsh_fast
+    // equality gate holds (banding misses nothing at j ≥ 0.5 on this
+    // family); pass ngramJaccard output via pairs0 for the
+    // certified-exact form. The converged label frame is memoized per
+    // corpus — canonical() and repeated invocations reuse it instead of
+    // re-running the iterative job (and un-slotted persists leaked one
+    // cached edge+label frame pair per call).
+    val labels = pairs0 match {
+      case Some(p) => propagateLabels(p.select("a_id", "b_id"))
+      case None => PersistSlots.cached(spark, s"cc-labels:$dir")(
+        propagateLabels(minhashLshFastCore(spark, dir).select("a_id", "b_id")))
     }
     val sizes = labels.groupBy(col("label").as("cluster"))
       .agg(count(lit(1)).as("cluster_size"))
@@ -613,6 +615,59 @@ object Dedup {
       .select(col("doc_id"), col("cluster"), col("cluster_size"),
         (col("doc_id") === col("cluster")).as("keep"))
       .orderBy("doc_id")
+  }
+
+  /** Hash-Min label propagation to fixpoint over an (a_id, b_id) pair
+    * frame: label(v) = min doc_id reachable from v, i.e. connected
+    * components. FAILS LOUDLY if the fixpoint is not reached within
+    * `maxRounds` — rounds grow with component diameter, and the previous
+    * silent exit returned labels that look valid (every doc labeled, one
+    * min per partial component) but split long chains: a wrong answer no
+    * downstream check can see. Real near-dup clusters are near-cliques
+    * (2–3 rounds); a corpus that legitimately needs more rounds raises
+    * the cap explicitly. */
+  private[operators] def propagateLabels(pairs: DataFrame,
+      maxRounds: Int = 50): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val p = pairs.toDF("a_id", "b_id")
+    val edges = p.union(p.select(col("b_id"), col("a_id")))
+      .toDF("u", "v")
+      .persist(lvl)
+    var labels = edges.groupBy(col("u")).agg(min(col("v")).as("mv"))
+      .select(col("u").as("doc_id"), least(col("u"), col("mv")).as("label"))
+      .persist(lvl)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < maxRounds) {
+      val prev = labels
+      // cutLineage, not persist: each round references `labels` twice
+      // (join + union), so an un-cut plan DOUBLES per round — 2^rounds
+      // logical nodes; the SQL listener's plan render OOM'd the driver on
+      // a 29-round fixture before a single task ran. Persist does not
+      // truncate the logical plan; re-rooting at a materialized scan does
+      // (the standard iterative-Spark discipline).
+      val next = PersistSlots.cutLineage(
+        edges.join(labels.withColumnRenamed("doc_id", "u"), Seq("u"))
+          .select(col("v").as("doc_id"), col("label"))
+          .union(labels)
+          .groupBy("doc_id").agg(min("label").as("label")))
+      changed = next.join(prev.withColumnRenamed("label", "old"), Seq("doc_id"))
+        .filter(col("label") < col("old")).count()
+      prev.unpersist(false)
+      labels = next
+      rounds += 1
+    }
+    // the labels are materialized (the convergence count executed them),
+    // so the edge feed's cache can go now rather than leak per call
+    edges.unpersist(false)
+    if (changed > 0) {
+      labels.unpersist(false)
+      throw new IllegalStateException(
+        s"connected-components label propagation did not converge in $maxRounds " +
+          s"rounds ($changed labels still moving) — a component's diameter exceeds " +
+          "the round cap; raise maxRounds rather than consuming split clusters")
+    }
+    labels
   }
 
   /** Containment near-dup (directed inclusion): cont = |A∩B| /
@@ -673,7 +728,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> exact _,
-    "dd_cluster" -> cluster _,
+    "dd_cluster" -> ((s: SparkSession, d: String) => cluster(s, d)),
     "dd_canonical" -> canonical _,
     "dd_containment" -> ((s: SparkSession, d: String) => containment(s, d)),
     "dd_span_exact" -> spanDedup _,

@@ -149,15 +149,20 @@ object Multimodal {
     // WAV: "RIFF" size "WAVE", then (id, LE32 size, payload) chunks
     if (b.length >= 44 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
         b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') {
-      var i = 12
+      // Long cursor: a corrupt chunk size in (2^31, 2^32) truncated
+      // through toInt went NEGATIVE, walked the cursor backward, and spun
+      // this loop forever — one malformed asset in a binaryFile corpus
+      // hung its executor task (r9 review find). Unsigned-Long advancement
+      // is strictly +8-or-more per step, so the walk always terminates.
+      var i = 12L
       var rate = 0; var ch = 0; var byteRate = 0; var dataLen = -1L
       while (i + 8 <= b.length && (rate == 0 || dataLen < 0)) {
-        val size = le32(b, i + 4).toLong & 0xffffffffL
-        val id = new String(b.slice(i, i + 4), "US-ASCII")
+        val size = le32(b, i.toInt + 4).toLong & 0xffffffffL
+        val id = new String(b.slice(i.toInt, i.toInt + 4), "US-ASCII")
         if (id == "fmt " && i + 16 + 8 <= b.length) {
-          ch = le16(b, i + 10); rate = le32(b, i + 12); byteRate = le32(b, i + 16)
+          ch = le16(b, i.toInt + 10); rate = le32(b, i.toInt + 12); byteRate = le32(b, i.toInt + 16)
         } else if (id == "data") dataLen = size
-        i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+        i += 8L + size + (size & 1L) // chunks are word-aligned
       }
       if (rate <= 0) None
       else Some(MediaMeta(rate, ch,
@@ -188,15 +193,23 @@ object Multimodal {
   private def isBmff(b: Array[Byte]): Boolean =
     b.length >= 16 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'
 
-  /** First box named `name` in [from, until): (start, end). */
+  /** First box named `name` in [from, until): (start, end). Box ends and
+    * cursor advancement go through Long arithmetic: a crafted size near
+    * 2^31 made `i + size` overflow NEGATIVE, which kept the loop
+    * condition true and indexed the array at a negative offset — a throw
+    * where the contract is "malformed contributes nothing" (r9 review
+    * find, same class as the WAV cursor). */
   private def findBox(b: Array[Byte], name: String, from: Int, until: Int): Option[(Int, Int)] = {
     var i = from
     while (i + 8 <= until) {
       val size = be32(b, i)
       val id = new String(b.slice(i + 4, i + 8), "US-ASCII")
-      if (id == name) return Some((i, if (size >= 8) math.min(i + size, until) else until))
+      if (id == name)
+        return Some((i, if (size >= 8) math.min(i.toLong + size, until.toLong).toInt else until))
       if (size < 8) return None // size 0/1 (to-eof / 64-bit) not supported
-      i += size
+      val next = i.toLong + size
+      if (next > until) return None
+      i = next.toInt
     }
     None
   }
@@ -211,8 +224,10 @@ object Multimodal {
       if (size < 8) ok = false
       else {
         val id = new String(b.slice(i + 4, i + 8), "US-ASCII")
-        if (id == name) out += ((i, math.min(i + size, until)))
-        i += size
+        if (id == name) out += ((i, math.min(i.toLong + size, until.toLong).toInt))
+        val next = i.toLong + size // Long: a ~2^31 size overflowed Int (see findBox)
+        if (next > until) ok = false
+        else i = next.toInt
       }
     }
     out.result()

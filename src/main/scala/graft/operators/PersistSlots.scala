@@ -81,6 +81,32 @@ private[operators] object PersistSlots {
         build.localCheckpoint() // eager by default
     }
 
+  /** Materialize `df` with its lineage CUT — the per-frame (un-slotted)
+    * form of [[cachedCheckpoint]]'s two-mode discipline: reliable
+    * `checkpoint()` when a checkpoint dir is configured (executor-loss
+    * safety on clusters), `localCheckpoint()` otherwise. For iterative
+    * fixpoint loops: a round that references its previous frame TWICE
+    * (join + union, the Hash-Min shape) doubles the logical plan per
+    * round, so plan size — and every plan-string render in the SQL
+    * listener — grows 2^rounds. A 29-round fixture OOM'd the driver in
+    * `QueryExecution.explainString` before any task ran (r9 review
+    * find); re-rooting each round at a materialized scan keeps the plan
+    * constant-size. The returned frame is cached (checkpoint blocks /
+    * persisted checkpoint scan); `unpersist(false)` releases it. */
+  def cutLineage(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val dir = spark.sparkContext.getCheckpointDir
+      .orElse(spark.conf.getOption("spark.checkpoint.dir").map { d =>
+        spark.sparkContext.setCheckpointDir(d); d
+      })
+    if (dir.isDefined) {
+      val built = df.persist(StorageLevel.MEMORY_AND_DISK)
+      val cp = try built.checkpoint() // eager; writes from cached blocks
+      finally built.unpersist(false)
+      cp.persist(StorageLevel.MEMORY_AND_DISK)
+    } else df.localCheckpoint() // eager; blocks ARE the cache
+  }
+
   private def slot(spark: SparkSession, key: String)(materialize: => DataFrame): DataFrame = {
     val appId = spark.sparkContext.applicationId
     // drop slots belonging to other (stopped) applications so a

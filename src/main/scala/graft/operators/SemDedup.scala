@@ -75,10 +75,25 @@ object SemDedup {
   def semClusters(n: Long): Int =
     math.max(8, math.ceil(n.toDouble / CellTarget).toInt)
 
+  /** Corpus size, memoized per (session, corpus): both entry points need
+    * n for the constant-occupancy cluster count, and an un-memoized
+    * count() is a full-table action on EVERY invocation (r9 review find
+    * — the Mining.scala:115 lesson, same class). */
+  private val nCache = scala.collection.concurrent.TrieMap.empty[(String, String), Long]
+  private def corpusN(spark: SparkSession, dir: String): Long =
+    nCache.getOrElseUpdate((spark.sparkContext.applicationId, dir),
+      Tables.embeddings(spark, dir).count())
+
+  /** The memoized coarse quantizer at SemDeDup's constant-occupancy k —
+    * [[Similarity.ivfIndexFor]], so repeated calls (and the ANN family,
+    * when its k coincides) share one fitted index instead of re-running
+    * the sampled KMeans and stacking persisted assignment frames. */
+  private def semIndex(spark: SparkSession, dir: String): Similarity.IvfIndex =
+    Similarity.ivfIndexFor(spark, dir, nClusters = semClusters(corpusN(spark, dir)))
+
   /** Fit the coarse quantizer and export (vec_id, cell) for the oracle. */
   def exportCells(spark: SparkSession, dir: String): Unit = {
-    val n = Tables.embeddings(spark, dir).count()
-    val idx = Similarity.buildIvfIndex(spark, dir, nClusters = semClusters(n))
+    val idx = semIndex(spark, dir)
     exportedDir = dir
     idx.assignments.select(col("vec_id"), col("cell"))
       .coalesce(1).write.mode("overwrite").parquet(cellsExport(dir))
@@ -117,11 +132,9 @@ object SemDedup {
 
   /** End-to-end operator (fit → assign → prune) — the deployable form;
     * spec-gated (cluster boundaries are not oracle-reproducible). */
-  def semDedup(spark: SparkSession, dir: String, tau: Double = Tau): DataFrame = {
-    val n = Tables.embeddings(spark, dir).count()
-    val idx = Similarity.buildIvfIndex(spark, dir, nClusters = semClusters(n))
-    pruneCells(spark, dir, idx.assignments.select(col("vec_id"), col("cell")), tau)
-  }
+  def semDedup(spark: SparkSession, dir: String, tau: Double = Tau): DataFrame =
+    pruneCells(spark, dir,
+      semIndex(spark, dir).assignments.select(col("vec_id"), col("cell")), tau)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_semdedup" -> ((s: SparkSession, d: String) =>

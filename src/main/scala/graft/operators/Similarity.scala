@@ -488,6 +488,15 @@ object Similarity {
     * releases the persisted bucket frames). */
   def clearLshCache(): Unit = lshCache.clear()
 
+  /** The memoized (session, corpus, k) IVF index — the accessor every
+    * consumer outside this object must use: a direct [[buildIvfIndex]]
+    * call re-runs the corpus count + sampled KMeans fit AND stacks a
+    * fresh persisted assignments frame per invocation (r9 review find:
+    * SemDedup's end-to-end path did exactly that). */
+  def ivfIndexFor(spark: SparkSession, dir: String, nClusters: Int = 0): IvfIndex =
+    ivfCache.getOrElseUpdate((spark.sparkContext.applicationId, dir, nClusters),
+      buildIvfIndex(spark, dir, nClusters))
+
   /** Drop all cached indexes (and release their persisted assignments) —
     * required after rewriting a corpus dir in-place. */
   def clearIvfCache(): Unit = {
@@ -528,9 +537,7 @@ object Similarity {
   // equality oracle (mirrors lshTopK's 2-bit-probe story in Dedup).
   def ivfTopK(spark: SparkSession, dir: String, nClusters: Int = 0, nProbe: Int = 0,
       index: Option[IvfIndex] = None, deepProbes: Boolean = false): DataFrame = {
-    val idx = index.getOrElse(
-      ivfCache.getOrElseUpdate((spark.sparkContext.applicationId, dir, nClusters),
-        buildIvfIndex(spark, dir, nClusters)))
+    val idx = index.getOrElse(ivfIndexFor(spark, dir, nClusters))
     val nProbeEff =
       if (nProbe > 0) nProbe
       else math.max(1, math.ceil(idx.centroids.length * (if (deepProbes) 12.0 else 6.0) / 16).toInt)
@@ -645,9 +652,7 @@ object Similarity {
     * nothing where it claims exactness. */
   def ivf2TopK(spark: SparkSession, dir: String, nClusters: Int = 0,
       index: Option[IvfIndex] = None, deepProbes: Boolean = false): DataFrame = {
-    val idx = index.getOrElse(
-      ivfCache.getOrElseUpdate((spark.sparkContext.applicationId, dir, nClusters),
-        buildIvfIndex(spark, dir, nClusters)))
+    val idx = index.getOrElse(ivfIndexFor(spark, dir, nClusters))
     val hier = // a caller-supplied index must not share the keyed cache
       if (index.isDefined) buildHierarchy(idx.centroids)
       else hierCache.getOrElseUpdate((spark.sparkContext.applicationId, dir, nClusters),
@@ -1191,9 +1196,7 @@ object Similarity {
       rerank: Int = 0, index: Option[IvfIndex] = None, pq: Option[PqIndex] = None,
       deepProbes: Boolean = false, residual: Boolean = false,
       opq: Boolean = false): DataFrame = {
-    val idx = index.getOrElse(
-      ivfCache.getOrElseUpdate((spark.sparkContext.applicationId, dir, nClusters),
-        buildIvfIndex(spark, dir, nClusters)))
+    val idx = index.getOrElse(ivfIndexFor(spark, dir, nClusters))
     // the PQ is fitted AGAINST a specific coarse quantizer: the cache key
     // must carry nClusters (r9 review find — a PQ cached at one k served
     // to another k's cell ids reads out of the cellDots arrays or
@@ -1363,8 +1366,7 @@ object Similarity {
       // post-filter over the deep-probe IVF candidate stream: candidates
       // stay id-only through the fan-out; the label stamp joins on after
       // dedup, before the vectors
-      val idx = ivfCache.getOrElseUpdate(
-        (spark.sparkContext.applicationId, dir, 0), buildIvfIndex(spark, dir, 0))
+      val idx = ivfIndexFor(spark, dir, 0)
       val nProbeEff = math.max(1, math.ceil(idx.centroids.length * 12.0 / 16).toInt)
       val assigned = idx.assignments
       val probeUdf = cellProbeUdf(spark, idx.centroids, nProbeEff)

@@ -427,6 +427,24 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("label propagation converges on a chain and FAILS LOUDLY past the round cap") {
+    import spark.implicits._
+    // a 30-node path: worst case for Hash-Min (min label travels one hop
+    // per round), so convergence needs ~29 rounds — well past any small cap
+    val chain = (0L until 29L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val labels = Dedup.propagateLabels(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 30 && labels.values.forall(_ == 0L),
+      s"chain did not collapse to one component: ${labels.values.toSet}")
+    // the silent-exit bug this guards: a capped run returns labels that
+    // LOOK valid (every doc labeled) but split the chain — it must throw
+    val ex = intercept[IllegalStateException] {
+      Dedup.propagateLabels(chain, maxRounds = 5).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"),
+      s"wrong failure mode: ${ex.getMessage}")
+  }
+
   test("text: tfidf ranks distinctive terms; contamination finds planted overlap") {
     import spark.implicits._
     val docs = Seq(
@@ -660,6 +678,35 @@ class ExtensionsSpec extends SparkSpec {
     assert(Multimodal.mediaMeta(mp4).contains(Multimodal.MediaMeta(0, 0, 2000L)))
     assert(Multimodal.mediaMeta("plain text bytes".getBytes).isEmpty)
     assert(Multimodal.mediaMeta(Array.empty[Byte]).isEmpty)
+  }
+
+  test("multimodal: corrupt container sizes terminate, never hang or throw") {
+    def le16(v: Int) = Array(v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def be32(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    // WAV with a chunk size in (2^31, 2^32): the Int truncation went
+    // NEGATIVE, so the cursor walked BACKWARD and the chunk loop never
+    // terminated — one corrupt asset hung its executor task forever
+    val evilWav = "RIFF".getBytes ++ le32(0x7fffffff) ++ "WAVE".getBytes ++
+      "junk".getBytes ++ le32(0xffffff9c) ++ // size 4294967196 → toInt = -100
+      Array.fill(24)(0.toByte)
+    val t0 = System.nanoTime()
+    assert(Multimodal.mediaMeta(evilWav).isEmpty)
+    assert(System.nanoTime() - t0 < 5000000000L, "WAV chunk walk did not terminate promptly")
+    // BMFF with a box size near 2^31: i + size overflowed Int to a
+    // NEGATIVE cursor, which passed the loop bound and indexed the array
+    // at a negative offset — AIOOBE where the contract is "malformed
+    // contributes nothing"
+    val evilMp4 = (be32(16) ++ "ftyp".getBytes ++ "isom".getBytes ++ be32(0)) ++
+      (be32(0x7ffffff0) ++ "free".getBytes) ++ Array.fill(32)(0.toByte)
+    assert(Multimodal.mediaMeta(evilMp4).isEmpty) // must not throw
+    assert(Multimodal.frameSamples(evilMp4, 8).isEmpty)
+    // same overflow class inside a valid-looking moov: the INNER box walk
+    val evilMoov = (be32(16) ++ "ftyp".getBytes ++ "isom".getBytes ++ be32(0)) ++
+      (be32(24) ++ "moov".getBytes ++ be32(0x7ffffff0) ++ "trak".getBytes ++
+        Array.fill(8)(0.toByte))
+    assert(Multimodal.mediaMeta(evilMoov).isEmpty)
+    assert(Multimodal.frameSamples(evilMoov, 8).isEmpty)
   }
 
   test("multimodal: TIFF and WebP dims parse from bytes") {
