@@ -119,23 +119,37 @@ object Retrieval {
     * plan (Manning/Raghavan/Schütze IR §2.4).
     *
     * Scale shape: like [[bm25]], the scan filters to the phrase's terms
-    * BEFORE anything joins — the per-term postings (doc, pos) lists are
-    * the only shuffled data, keyed by doc_id, and the L−1 adjacency
-    * joins all reuse that one doc_id partitioning. An ad-hoc phrase
-    * never pays for a full positional index; a standing service runs
-    * the same joins against a pre-built term-bucketed postings table. */
+    * BEFORE anything shuffles, and the adjacency test runs in ONE
+    * doc_id-keyed aggregation: per-term position arrays (each shifted by
+    * its phrase offset) are collected per document, and a phrase start
+    * is a position present in EVERY array — a per-row array_intersect
+    * fold, state bounded by the phrase terms' occurrences in one doc.
+    * The textbook L-way positional-postings self-join re-keys every hop
+    * on (doc, pos − i) — a DIFFERENT shuffle key per term, so each of
+    * the L−1 joins re-exchanges both sides (Spark's co-partition rule
+    * wants ALL join keys; the r9 review measured the claimed
+    * "reuses one doc_id partitioning" was never true of that plan).
+    * An ad-hoc phrase never pays for a full positional index; a
+    * standing service runs the same aggregation against a pre-built
+    * term-bucketed postings table. */
   def phraseSearch(spark: SparkSession, dir: String,
       phrase: Seq[String] = Phrase): DataFrame = {
     val postings = Tables.documents(spark, dir)
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
       .filter(col("w").isin(phrase.map(t => t: Any): _*))
-    val first = postings.filter(col("w") === phrase.head).select(col("doc_id"), col("pos"))
-    phrase.zipWithIndex.tail.foldLeft(first) { case (acc, (term, i)) =>
-      acc.join(
-        postings.filter(col("w") === term)
-          .select(col("doc_id"), (col("pos") - i).as("pos")),
-        Seq("doc_id", "pos"))
+    // collect_list skips the when()'s nulls: p_i = positions of term i,
+    // shifted so a phrase occurrence contributes the SAME value to all L
+    // arrays; repeated phrase terms just produce equal arrays
+    val termArrays = phrase.zipWithIndex.map { case (t, i) =>
+      collect_list(when(col("w") === t, col("pos") - i)).as(s"p$i")
     }
+    postings.groupBy("doc_id")
+      .agg(termArrays.head, termArrays.tail: _*)
+      .select(col("doc_id"),
+        explode(
+          phrase.indices.tail.foldLeft(col("p0")) { case (acc, i) =>
+            array_intersect(acc, col(s"p$i"))
+          }).as("pos"))
       .select(col("doc_id"), col("pos").cast("int").as("pos"))
       .orderBy("doc_id", "pos")
   }
