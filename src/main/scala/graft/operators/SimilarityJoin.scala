@@ -48,34 +48,36 @@ object SimilarityJoin {
     * input for broadcasting the packed verify tables. */
   val PackedShingleBytes = 64L
 
-  /** Exact j ≥ τ near-dup pairs via prefix filtering + positional filter
-    * + exact verify. */
-  def ppjoinPairs(spark: SparkSession, dir: String): DataFrame = {
-    val shKey = s"ppjoin-shingles:$dir"
-    val sh = PersistSlots.cached(spark, shKey)(Dedup.shingles(spark, dir))
+  /** The slot-materialized rare-first prefix frame: per-doc ascending
+    * (df, s) order, prefix = first n − ⌈τ·n⌉ + 1. pos (the shingle's
+    * rank in the doc's FULL ordered list) and df ride along: the
+    * positional filter needs both. Slot-materialized (the winnow-fps
+    * lesson): the self-join consumes it twice, and un-persisted the
+    * whole df-join + window pipeline executes once per side — 4 extra
+    * shingle-keyed exchanges measured at 10×. Exposed per stage (with
+    * [[sharedCandidates]]/[[positionalSurvivors]]) so
+    * PpjoinSelectivitySpec can assert each filter's MEASURED effect on
+    * a Zipf-vocabulary corpus, not just the mechanism's presence. */
+  private[operators] def prefixFrame(spark: SparkSession, dir: String,
+      sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-
     // global document frequency per shingle — the ordering key that makes
     // prefixes rare-first (and posting lists short where it matters)
     val freq = sh.groupBy("s").agg(count(lit(1)).as("df"))
-
-    // per-doc ascending (df, s) order; prefix = first n − ceil(τ·n) + 1.
-    // pos (the shingle's rank in the doc's FULL ordered list) and df ride
-    // along: the positional filter below needs both. Slot-materialized
-    // (the winnow-fps lesson): the self-join consumes it twice, and
-    // un-persisted the whole df-join + window pipeline executes once per
-    // side — 4 extra shingle-keyed exchanges measured at 10×
     val pos = row_number().over(Window.partitionBy("doc_id").orderBy("df", "s"))
-    val prefix = PersistSlots.cached(spark, s"ppjoin-prefix:$dir")(
+    PersistSlots.cached(spark, s"ppjoin-prefix:$dir")(
       sh.join(freq, Seq("s"))
         .join(sizes, Seq("doc_id"))
         .withColumn("pos", pos)
         .filter(col("pos") <= col("n") - ceil(col("n") * lit(Tau)).cast("long") + 1)
         .select(col("doc_id"), col("s"), col("df"), col("pos"), col("n")))
+  }
 
-    // candidates: pairs sharing a prefix shingle, plus the length filter
-    // (j ≥ τ ⇒ τ·max(|A|,|B|) ≤ min(|A|,|B|))
-    val shared = prefix
+  /** Candidate rows (one per shared prefix shingle): pairs sharing a
+    * prefix shingle, plus the length filter
+    * (j ≥ τ ⇒ τ·max(|A|,|B|) ≤ min(|A|,|B|)). */
+  private[operators] def sharedCandidates(prefix: DataFrame): DataFrame =
+    prefix
       .select(col("doc_id").as("a_id"), col("s"), col("df"),
         col("pos").as("ia"), col("n").as("na"))
       .join(prefix.select(col("doc_id").as("b_id"), col("s"), col("df").as("dfb"),
@@ -83,17 +85,18 @@ object SimilarityJoin {
       .filter(col("a_id") < col("b_id") &&
         least(col("na"), col("nb")) >= lit(Tau) * greatest(col("na"), col("nb")))
 
-    // POSITIONAL filter (the "PP" of Xiao et al. §3.2, relational form à
-    // la Vernica et al. SIGMOD 2010): both docs' shingle lists follow the
-    // same global (df, s) total order, so the pair's FIRST shared prefix
-    // shingle — min (df, s) — has no shared shingle before it in either
-    // list, and total overlap ≤ 1 + min(na − ia, nb − ib) at its
-    // positions. j ≥ τ needs overlap ≥ ⌈τ/(1+τ)·(na+nb)⌉; pairs whose
-    // bound falls short are pruned BEFORE the verify step ever sees
-    // them. The groupBy replaces the previous distinct() — same
-    // pair-keyed exchange, strictly fewer survivors. Losslessness stays
-    // oracle-gated (equality vs the exact pair set).
-    val cand = shared
+  /** POSITIONAL filter (the "PP" of Xiao et al. §3.2, relational form à
+    * la Vernica et al. SIGMOD 2010): both docs' shingle lists follow the
+    * same global (df, s) total order, so the pair's FIRST shared prefix
+    * shingle — min (df, s) — has no shared shingle before it in either
+    * list, and total overlap ≤ 1 + min(na − ia, nb − ib) at its
+    * positions. j ≥ τ needs overlap ≥ ⌈τ/(1+τ)·(na+nb)⌉; pairs whose
+    * bound falls short are pruned BEFORE the verify step ever sees
+    * them. The groupBy replaces the previous distinct() — same
+    * pair-keyed exchange, strictly fewer survivors. Losslessness stays
+    * oracle-gated (equality vs the exact pair set). */
+  private[operators] def positionalSurvivors(shared: DataFrame): DataFrame =
+    shared
       .groupBy("a_id", "b_id", "na", "nb")
       .agg(min_by(struct(col("ia"), col("ib")), struct(col("df"), col("s"))).as("fst"))
       // integer-vs-real comparison (k ≥ x ⟺ k ≥ ⌈x⌉) with the constant
@@ -102,6 +105,14 @@ object SimilarityJoin {
       .filter(lit(1) + least(col("na") - col("fst.ia"), col("nb") - col("fst.ib")) >=
         (col("na") + col("nb")) * lit(Tau / (1 + Tau)))
       .select("a_id", "b_id", "na", "nb")
+
+  /** Exact j ≥ τ near-dup pairs via prefix filtering + positional filter
+    * + exact verify. */
+  def ppjoinPairs(spark: SparkSession, dir: String): DataFrame = {
+    val shKey = s"ppjoin-shingles:$dir"
+    val sh = PersistSlots.cached(spark, shKey)(Dedup.shingles(spark, dir))
+    val prefix = prefixFrame(spark, dir, sh)
+    val cand = positionalSurvivors(sharedCandidates(prefix))
 
     // exact verification ∝ candidates. Two shapes (the JoinBacks branch):
     //   - packed broadcast (default while the corpus fits): per-doc
