@@ -51,15 +51,24 @@ import graft.operators.EntityResolution
   *     never rescoring exact matches again (the trade is the one
   *     departure from batch parity, and only under registry-duplicate
   *     names; the default mode keeps exact semantics).
+  *
+  * The horizon bounds IDLE state; a HOT block (a sentinel/empty-name
+  * suffix every junk record shares) keeps its lease alive while its
+  * registry — and with it per-arrival scoring and the per-batch state
+  * rewrite — grows without bound. `maxBlockReg` is that residual's cap:
+  * the blocking-key stop-list (see [[scoreBlock]]), freezing an
+  * over-full block into an O(1) tombstone.
   */
 object ErStreams {
 
   /** Registry entries + resident dirty records (with current best) of
     * one blocking bucket. bestDist = Int.MaxValue marks "no qualifying
-    * match yet". */
+    * match yet". `frozen` is the junk-block tombstone: a block whose
+    * registry outgrew `maxBlockReg` holds only this O(1) marker. */
   final case class BlockState(
       reg: Seq[(Long, String)],
-      dirty: Seq[(Long, String, Int, Long)])
+      dirty: Seq[(Long, String, Int, Long)],
+      frozen: Boolean = false)
 
   final case class ErLink(b_key: Long, a_key: Long, b_name: String, dist: Int)
 
@@ -87,6 +96,58 @@ object ErStreams {
     prev(n)
   }
 
+  /** One block's micro-batch transition — the keyed-state kernel,
+    * factored out of the stream closure (the Packing.bfdPlace
+    * discipline) so ErBlockCapSpec can drive cap/freeze/parity cases
+    * directly, without a stream in the loop. Returns the new state and
+    * the batch's emissions. */
+  private[streaming] def scoreBlock(st: BlockState,
+      newReg: Seq[(Long, String)], newDirty: Seq[(Long, String)],
+      maxDist: Int, compact: Boolean,
+      maxBlockReg: Option[Int]): (BlockState, Seq[ErLink]) = {
+    // junk-block tombstone: everything after the freeze passes unscored
+    if (st.frozen) return (st, Seq.empty)
+    val reg = st.reg ++ newReg
+    // a blocking key whose registry outgrows the cap is a junk key
+    // (sentinel/empty-name suffix), not a real block — its block² noise
+    // pairs are not links (the WinMaxFpDf stop-list semantics applied
+    // to blocking, Christen 2012's block-size control). Freeze: drop
+    // the block whole, keep an O(1) tombstone, emit nothing — including
+    // this batch's records, so the verdict is per-BLOCK, never
+    // arrival-order-dependent within the crossing batch.
+    if (maxBlockReg.exists(reg.size > _))
+      return (BlockState(Seq.empty, Seq.empty, frozen = true), Seq.empty)
+    val out = scala.collection.mutable.ArrayBuffer.empty[ErLink]
+    // resident dirty records: can only improve via NEW registry rows
+    val improved = st.dirty.map { case (bk, bn, bd, ba) =>
+      var (d, a) = (bd, ba)
+      newReg.foreach { case (ak, an) =>
+        val nd = levenshtein(an, bn)
+        if (nd <= maxDist && (nd < d || (nd == d && ak < a))) { d = nd; a = ak }
+      }
+      if ((d, a) != ((bd, ba))) out += ErLink(bk, a, bn, d)
+      (bk, bn, d, a)
+    }
+    // new dirty records: score against the full block registry
+    val fresh = newDirty.map { case (bk, bn) =>
+      var (d, a) = (Int.MaxValue, Long.MaxValue)
+      reg.foreach { case (ak, an) =>
+        val nd = levenshtein(an, bn)
+        if (nd <= maxDist && (nd < d || (nd == d && ak < a))) { d = nd; a = ak }
+      }
+      if (d != Int.MaxValue) out += ErLink(bk, a, bn, d)
+      (bk, bn, d, a)
+    }
+    // production compaction: a dist-0 link cannot be IMPROVED
+    // (only re-ranked by a duplicate-name registry entry with a
+    // smaller key) — drop the record from the resident set so
+    // every future registry arrival skips rescoring it
+    val resident =
+      if (compact) (improved ++ fresh).filter(_._3 > 0)
+      else improved ++ fresh
+    (BlockState(reg, resident), out.toSeq)
+  }
+
   /** Link a unified (side, key, name) stream — side "a" = clean registry
     * record, side "b" = dirty record — emitting per-dirty-record link
     * improvements as either side grows.
@@ -96,9 +157,23 @@ object ErStreams {
     *                  resident dirty records leave the state once their
     *                  best link reaches distance 0 (compaction — no
     *                  rescoring of exact matches). None = NoTimeout, no
-    *                  compaction: the exact batch-parity configuration. */
+    *                  compaction: the exact batch-parity configuration.
+    * @param maxBlockReg production skew bound (the residual the horizon
+    *                  cannot cover: an idle block evicts, a HOT block's
+    *                  registry grows forever — per-arrival scoring and
+    *                  the per-batch state rewrite both ∝ block size, so
+    *                  one sentinel-suffix key turns quadratic). A block
+    *                  whose registry exceeds this cap freezes into an
+    *                  O(1) junk-block tombstone and everything in it
+    *                  thereafter passes unscored — the blocking-key
+    *                  stop-list, same semantics family as
+    *                  dd_winnow_pairs' WinMaxFpDf. None (default)
+    *                  preserves exact parity; with a horizon set, an
+    *                  idle tombstone evicts like any other block and a
+    *                  resuming key restarts clean. */
   def linkGrowing(spark: SparkSession, records: DataFrame,
-      horizonMs: Option[Long] = None): Dataset[ErLink] = {
+      horizonMs: Option[Long] = None,
+      maxBlockReg: Option[Int] = None): Dataset[ErLink] = {
     import spark.implicits._
     val maxDist = EntityResolution.MaxDist
     val timeoutConf = if (horizonMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
@@ -121,36 +196,9 @@ object ErStreams {
             val batch = rows.toSeq
             val newReg = batch.collect { case (_, "a", k, n) => (k, n) }
             val newDirty = batch.collect { case (_, "b", k, n) => (k, n) }
-            val reg = st.reg ++ newReg
-            val out = scala.collection.mutable.ArrayBuffer.empty[ErLink]
-            // resident dirty records: can only improve via NEW registry rows
-            val improved = st.dirty.map { case (bk, bn, bd, ba) =>
-              var (d, a) = (bd, ba)
-              newReg.foreach { case (ak, an) =>
-                val nd = levenshtein(an, bn)
-                if (nd <= maxDist && (nd < d || (nd == d && ak < a))) { d = nd; a = ak }
-              }
-              if ((d, a) != ((bd, ba))) out += ErLink(bk, a, bn, d)
-              (bk, bn, d, a)
-            }
-            // new dirty records: score against the full block registry
-            val fresh = newDirty.map { case (bk, bn) =>
-              var (d, a) = (Int.MaxValue, Long.MaxValue)
-              reg.foreach { case (ak, an) =>
-                val nd = levenshtein(an, bn)
-                if (nd <= maxDist && (nd < d || (nd == d && ak < a))) { d = nd; a = ak }
-              }
-              if (d != Int.MaxValue) out += ErLink(bk, a, bn, d)
-              (bk, bn, d, a)
-            }
-            // production compaction: a dist-0 link cannot be IMPROVED
-            // (only re-ranked by a duplicate-name registry entry with a
-            // smaller key) — drop the record from the resident set so
-            // every future registry arrival skips rescoring it
-            val resident =
-              if (compact) (improved ++ fresh).filter(_._3 > 0)
-              else improved ++ fresh
-            state.update(BlockState(reg, resident))
+            val (next, out) =
+              scoreBlock(st, newReg, newDirty, maxDist, compact, maxBlockReg)
+            state.update(next)
             // every batch with activity extends the block's lease
             if (horizonMs.isDefined && state.exists)
               state.setTimeoutDuration(horizonMs.get)

@@ -19,7 +19,14 @@ import graft.streaming.ErStreams
   *     the documented cost of exact batch parity on an unbounded feed.
   *
   * Usage: runMain graft.tools.ErStateProbe [batches] [blocksPerBatch]
-  *        [horizonMs] [sleepMs]           (30, 300, 1200, 400)
+  *        [horizonMs] [sleepMs] [hotPerBatch] [maxBlockReg]
+  *        (30, 300, 1200, 400, 0, 0)
+  *
+  * hotPerBatch > 0 adds the SKEW residual the horizon cannot bound:
+  * that many extra registry records land in ONE fixed blocking key
+  * every batch, so its lease never lapses and its state grows with the
+  * feed — and runs a third config with `maxBlockReg` (the junk-block
+  * stop-list) where the hot block must freeze to an O(1) tombstone.
   */
 object ErStateProbe {
 
@@ -30,6 +37,8 @@ object ErStateProbe {
     val blocksPerBatch = args.lift(1).map(_.toInt).getOrElse(300)
     val horizonMs = args.lift(2).map(_.toLong).getOrElse(1200L)
     val sleepMs = args.lift(3).map(_.toLong).getOrElse(400L)
+    val hotPerBatch = args.lift(4).map(_.toInt).getOrElse(0)
+    val maxBlockReg = args.lift(5).map(_.toInt).filter(_ > 0)
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
@@ -39,11 +48,12 @@ object ErStateProbe {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    def run(tag: String, horizon: Option[Long]): Unit = {
+    def run(tag: String, horizon: Option[Long], cap: Option[Int] = None): Unit = {
       implicit val sqlCtx = spark.sqlContext
       val input = MemoryStream[Rec]
       val name = s"erprobe_${tag}_${System.nanoTime()}"
-      val q = ErStreams.linkGrowing(spark, input.toDF(), horizonMs = horizon)
+      val q = ErStreams.linkGrowing(spark, input.toDF(), horizonMs = horizon,
+          maxBlockReg = cap)
         .writeStream.format("memory").queryName(name)
         .outputMode("append").start()
       var peakRows = 0L
@@ -52,6 +62,11 @@ object ErStateProbe {
           val blk = b.toLong * blocksPerBatch + i
           val nm = f"Cust $blk%06d" // trailing 6 chars = a fresh block per key
           Seq(Rec("a", blk * 10L, nm), Rec("b", blk * 10L + 1, nm))
+        } ++ (0 until hotPerBatch).map { i =>
+          // distinct names, ONE shared suffix: the hot block's lease
+          // renews every batch, so the horizon never evicts it
+          Rec("a", 900000000L + b.toLong * hotPerBatch + i,
+            f"Hot ${b * hotPerBatch + i}%7d HOTBLK")
         }
         input.addData(recs)
         // with a registered processing-time timeout the engine schedules
@@ -76,6 +91,8 @@ object ErStateProbe {
 
     run("horizon", Some(horizonMs))
     run("parity", None)
+    if (hotPerBatch > 0 && maxBlockReg.isDefined)
+      run("capped", Some(horizonMs), maxBlockReg)
     spark.stop()
   }
 }
