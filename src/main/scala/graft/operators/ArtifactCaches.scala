@@ -12,5 +12,6 @@ object ArtifactCaches {
     Similarity.clearIvfCache()
     Similarity.clearPqCache()
     Bpe.clearTrainCache()
+    Graphs.clearBloomCache()
   }
 }

@@ -50,17 +50,39 @@ object Mining {
     val pairs = x.join(y)
       .select(col("x_id"), col("y_id"),
         graft.plans.VectorOps.dot(col("vx"), col("vy")).as("cs"))
+    marginMutualTop1(pairs)
+  }
+
+  /** Mutual-top-1 + ratio-margin over a scored (x_id, y_id, cs) frame —
+    * the shared tail of [[mineBitext]] and [[mineBitextAnn]].
+    *
+    * Single window-chain pass (the r9 optimization): the k-NN averages
+    * ride the SAME partition windows that rank the pairs —
+    * `avg(when(rk ≤ K, cs)) over (partition)` — instead of two separate
+    * groupBy branches joined back on. The previous join form referenced
+    * the ranked frame from THREE plan branches, and each branch re-ran
+    * the full scored pipeline (candidate generation, vector join-backs,
+    * dot products, both window sorts — 12 broadcast subtrees in the
+    * initial plan, the candidate pipeline executed ~3× at sf0.1,
+    * PhaseTime r9); physical exchange reuse recovered only fragments.
+    * Now the scored stream is computed once and crosses exactly two
+    * hash exchanges (x_id, y_id) — strictly fewer passes at every scale.
+    * Values are identical: avg ignores the nulls when() leaves, every
+    * mutual-top-1 x/y partition is non-empty, and the window aggregate
+    * sums the same ≤ MineK doubles (ulp-level summation-order drift vs
+    * the hash aggregate is bounded far below the 4-decimal margin
+    * rounding; the unchanged DuckDB oracle gates it). */
+  private def marginMutualTop1(scored: DataFrame): DataFrame = {
     val wx = Window.partitionBy("x_id").orderBy(desc("cs"), col("y_id"))
     val wy = Window.partitionBy("y_id").orderBy(desc("cs"), col("x_id"))
-    val ranked = pairs
+    val wxAll = Window.partitionBy("x_id")
+    val wyAll = Window.partitionBy("y_id")
+    scored
       .withColumn("rx", row_number().over(wx))
+      .withColumn("ax", avg(when(col("rx") <= MineK, col("cs"))).over(wxAll))
       .withColumn("ry", row_number().over(wy))
-    val ax = ranked.filter(col("rx") <= MineK)
-      .groupBy("x_id").agg(avg("cs").as("ax"))
-    val ay = ranked.filter(col("ry") <= MineK)
-      .groupBy("y_id").agg(avg("cs").as("ay"))
-    ranked.filter(col("rx") === 1 && col("ry") === 1) // mutual top-1
-      .join(ax, Seq("x_id")).join(ay, Seq("y_id"))
+      .withColumn("ay", avg(when(col("ry") <= MineK, col("cs"))).over(wyAll))
+      .filter(col("rx") === 1 && col("ry") === 1) // mutual top-1
       .filter(col("cs") / ((col("ax") + col("ay")) / 2) >= MineMargin)
       .select(col("x_id"), col("y_id"),
         round(col("cs") / ((col("ax") + col("ay")) / 2), 4).as("margin"))
@@ -117,19 +139,7 @@ object Mining {
       .join(joinBack(e.select(col("vec_id").as("y_id"), col("v").as("vy"))), Seq("y_id"))
       .select(col("x_id"), col("y_id"),
         graft.plans.VectorOps.dot(col("vx"), col("vy")).as("cs"))
-    val wx = Window.partitionBy("x_id").orderBy(desc("cs"), col("y_id"))
-    val wy = Window.partitionBy("y_id").orderBy(desc("cs"), col("x_id"))
-    val ranked = scored
-      .withColumn("rx", row_number().over(wx))
-      .withColumn("ry", row_number().over(wy))
-    val ax = ranked.filter(col("rx") <= MineK).groupBy("x_id").agg(avg("cs").as("ax"))
-    val ay = ranked.filter(col("ry") <= MineK).groupBy("y_id").agg(avg("cs").as("ay"))
-    ranked.filter(col("rx") === 1 && col("ry") === 1)
-      .join(ax, Seq("x_id")).join(ay, Seq("y_id"))
-      .filter(col("cs") / ((col("ax") + col("ay")) / 2) >= MineMargin)
-      .select(col("x_id"), col("y_id"),
-        round(col("cs") / ((col("ax") + col("ay")) / 2), 4).as("margin"))
-      .orderBy("x_id")
+    marginMutualTop1(scored)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -72,13 +72,21 @@ private[operators] object PersistSlots {
         val cp = try built.checkpoint() // eager; writes from cached blocks
         finally built.unpersist(false)
         val served = cp.persist(StorageLevel.MEMORY_AND_DISK)
-        served.count() // fill the cache from the checkpoint files once
+        // fill the cache once AND memoize the count (rowCount serves
+        // size-branch and scalar-deriving callers job-free afterwards)
+        counts.put(s"${spark.sparkContext.applicationId}|$key", served.count())
         served
-      } else
+      } else {
         // LOCAL checkpoint: executor-local blocks, no external write —
         // the single-box default. Blocks are non-reproducible, so an
         // executor loss fails the job instead of recomputing
-        build.localCheckpoint() // eager by default
+        val cp = build.localCheckpoint() // eager by default
+        // one cheap count over the checkpointed blocks at build time so
+        // rowCount works for checkpointed slots too (callers like q33's
+        // edge-count scalar otherwise re-run the job per invocation)
+        counts.put(s"${spark.sparkContext.applicationId}|$key", cp.count())
+        cp
+      }
     }
 
   /** Materialize `df` with its lineage CUT — the per-frame (un-slotted)

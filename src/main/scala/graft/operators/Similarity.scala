@@ -198,8 +198,17 @@ object Similarity {
       val n = raw.count()
       val nBits = lshBitsFor(n)
       val nTables = lshTablesFor(n)
+      // spread the persisted artifact when the corpus scan is under-split
+      // (the Tables.spread discipline): a single-file fixture otherwise
+      // persists ONE partition, and every consumer's candidate-generation
+      // stage (probe explode + bucket join + partial agg) runs on one core
+      // — measured as the dominant warm term of dd_embed_cos_lsh (a ~1 s
+      // single-task stage at sf0.1). Metadata-only probe; a pre-split
+      // 100 TB corpus takes no exchange.
       val b = PersistSlots.cached(spark, s"lsh-index:$dir")(
-        withBuckets(raw, nBits, nTables).select(col("vec_id"), col("tbl"), col("bucket")))
+        graft.sources.Tables.spread(spark,
+          withBuckets(raw, nBits, nTables).select(col("vec_id"), col("tbl"), col("bucket")),
+          "vec_id"))
       LshIndex(nBits, nTables, n, b)
     })
 

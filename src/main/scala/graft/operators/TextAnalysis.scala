@@ -62,6 +62,13 @@ object TextAnalysis {
     val nt = size(t)
     val stopHits = size(filter(t, x => x.isin(Stopwords.map(s => s: Any): _*)))
     val alpha = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+    // deliberately NOT Tables.spread (r9 optimization round, measured):
+    // the scoring is ~0.4 s of single-task work at sf0.1, and spreading
+    // it cost MORE wall (0.74 → 1.05 s) — the raw-text exchange plus the
+    // extra stage and sort-sampling pass outweigh the parallelism at this
+    // per-doc cost; a pre-split 100 TB corpus parallelizes by its natural
+    // splits with no operator change (contrast tx_cdc_chunks, whose 13 s
+    // of per-doc CPU is what spread exists for)
     Tables.documents(spark, dir)
       .select(col("doc_id"),
         nt.cast("long").as("n_tokens"),
