@@ -560,12 +560,19 @@ object Dedup {
     // count() job) against a memory-conf-derived budget that prices both
     // broadcast projections at once; past it the branch falls back to
     // the shuffle form (the FilteredAnn cardinality-branch idiom).
-    val vecs = e
+    // ONE broadcast relation for both join-backs (r9): per-side aliased
+    // projections canonicalize differently (output names differ), so
+    // ReuseExchange could not fire and each pass built + shipped the
+    // same vector table twice; joining the same un-aliased frame twice
+    // makes the second BroadcastExchange a ReusedExchange — one build,
+    // halved broadcast memory footprint at every scale.
     val joinBack = JoinBacks.vectorJoinBack(spark, idx.nVectors, Similarity.Dim)
+    val vt = joinBack(e.select(col("vec_id"), col("v")))
     cand
-      .join(joinBack(vecs.select(col("vec_id").as("a_id"), col("v").as("va"))), Seq("a_id"))
-      .join(joinBack(vecs.select(col("vec_id").as("b_id"), col("v").as("vb"))), Seq("b_id"))
-      .withColumn("cs", graft.plans.VectorOps.dot(col("va"), col("vb")))
+      .join(vt, col("a_id") === col("vec_id"))
+      .select(col("a_id"), col("b_id"), col("v").as("va"))
+      .join(vt, col("b_id") === col("vec_id"))
+      .withColumn("cs", graft.plans.VectorOps.dot(col("va"), col("v")))
       .filter(col("cs") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("cs"), 4).as("cs"))
       .orderBy("a_id", "b_id")

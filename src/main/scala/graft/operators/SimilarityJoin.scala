@@ -132,17 +132,23 @@ object SimilarityJoin {
       .exists(n => JoinBacks.fits(spark, n * PackedShingleBytes, sides = 2))
     val inter =
       if (packedFits) {
-        val packed = sh.groupBy("doc_id")
-          .agg(sort_array(collect_list(col("s"))).as("ss"))
+        // ONE broadcast relation for both sides (r9): per-side aliased
+        // projections canonicalize differently and ReuseExchange could
+        // not fire — each pass aggregated + shipped the packed table
+        // twice; joining the same un-aliased frame twice makes the
+        // second BroadcastExchange a ReusedExchange
+        val packed = broadcast(sh.groupBy("doc_id")
+          .agg(sort_array(collect_list(col("s"))).as("ss")))
         // the intersection scalar runs as a codegen two-pointer walk over
         // the sorted arrays (graft_sorted_intersect_count) — the
         // array_intersect HOF builds a per-row hash set + output array,
         // which dominated the operator once the exchanges were gone
         cand
-          .join(broadcast(packed.select(col("doc_id").as("a_id"), col("ss").as("sa"))), Seq("a_id"))
-          .join(broadcast(packed.select(col("doc_id").as("b_id"), col("ss").as("sb"))), Seq("b_id"))
+          .join(packed, col("a_id") === col("doc_id"))
+          .select(col("a_id"), col("b_id"), col("na"), col("nb"), col("ss").as("sa"))
+          .join(packed, col("b_id") === col("doc_id"))
           .select(col("a_id"), col("b_id"), col("na"), col("nb"),
-            graft.plans.SetOps.sortedIntersectCount(col("sa"), col("sb")).as("c"))
+            graft.plans.SetOps.sortedIntersectCount(col("sa"), col("ss")).as("c"))
       } else {
         cand
           .join(sh.select(col("doc_id").as("a_id"), col("s")), Seq("a_id"))
