@@ -78,14 +78,24 @@ object DielectricModel {
     * joined in for comp_st — both sides key on mp_id, one shuffle each). */
   def featurizedTraining(spark: SparkSession, diel: DielectricType,
       mt: ModelType = Comp): DataFrame = {
-    val base = trainingFrame(spark, diel)
-    val comp = CompositionFeaturizer.featurize(spark, base, "mp_id", "comp")
-      .join(base.select("mp_id", "label"), Seq("mp_id"))
-    mt match {
-      case Comp => comp
-      case CompSt =>
-        val mats = Materials.referenceTrainingSet(Materials.readJson(spark))
-        comp.join(StructureFeaturizer.featurize(spark, mats), Seq("mp_id"))
+    // slot-materialized per (diel, mt): the featurize pipelines are the
+    // heaviest plans in the ml family (150-column weighted aggregates,
+    // Voronoi/Ewald lambdas) and one train+predict pass otherwise
+    // re-executes them 3×+ (scaler fit, RF input, prediction transform),
+    // while the golden-parity export, ml_el_comp_pred and the scaler
+    // drift report each re-derived the same frame from scratch
+    // (r9 optimization round: the three were the slowest rows of the
+    // full-surface [vtime] sweep)
+    graft.operators.PersistSlots.cached(spark, s"ml-feat:${diel.key}:${mt.key}") {
+      val base = trainingFrame(spark, diel)
+      val comp = CompositionFeaturizer.featurize(spark, base, "mp_id", "comp")
+        .join(base.select("mp_id", "label"), Seq("mp_id"))
+      mt match {
+        case Comp => comp
+        case CompSt =>
+          val mats = Materials.referenceTrainingSet(Materials.readJson(spark))
+          comp.join(StructureFeaturizer.featurize(spark, mats), Seq("mp_id"))
+      }
     }
   }
 

@@ -212,11 +212,12 @@ object ScalerDrift {
     // engine features over the same 1,266-record training set (comp +
     // structural; structural featurization runs once and serves both
     // *_comp_st models)
-    val mats = Materials.referenceTrainingSet(Materials.readJson(spark))
-    val base = mats.select(col("mp_id"),
-      graft.functions.FormulaParser.parseFormula(col("formula")).as("comp"))
-    val feats = CompositionFeaturizer.featurize(spark, base, "mp_id", "comp")
-      .join(StructureFeaturizer.featurize(spark, mats), Seq("mp_id"))
+    // same featurized frame the model trains on (slot-materialized in
+    // DielectricModel — r9: the report re-derived the full comp+struct
+    // featurization from scratch, the 2nd-slowest row of the [vtime]
+    // sweep); the extra label column is inert to the per-feature stats
+    val feats = DielectricModel.featurizedTraining(spark,
+      DielectricModel.Electronic, DielectricModel.CompSt)
     val engineCols = labelMap.values.flatten.flatMap(_._2).toSeq.distinct
     val aggs = engineCols.flatMap(c =>
       Seq(avg(col(c)).as(s"m_$c"), stddev_pop(col(c)).as(s"s_$c")))

@@ -355,18 +355,23 @@ object Dedup {
 
   /** 32-bit SimHash fingerprint per document: bit j is the sign of the sum
     * over tokens (with multiplicity) of ±1 by the high bit of the j-th
-    * md5 nibble. Emitted as a bitstring so the oracle compares exactly. */
+    * md5 nibble. Emitted as a bitstring so the oracle compares exactly.
+    *
+    * One [[graft.functions.SimhashAgg]] pass (r9): the previous
+    * explode(1..32) → (doc, bit) hash agg → collect_list reassembly
+    * materialized tokens × 32 aggregate-input rows (16 M at sf0.1, ∝
+    * corpus tokens at scale) for per-bit integer sums the aggregate
+    * computes in-buffer from the md5 string directly — guide §2.3,
+    * aggregate before you shuffle. Bitstrings are bit-identical
+    * (commutative int sums, same bit rule; the unchanged DuckDB oracle
+    * gates it). */
   def simhash(spark: SparkSession, dir: String): DataFrame =
     Tables.spread(spark, Tables.documents(spark, dir))
       .select(col("doc_id"), explode(tokens).as("tok"))
       .select(col("doc_id"), md5(col("tok")).as("h"))
-      .select(col("doc_id"), col("h"), explode(sequence(lit(1), lit(32))).as("j"))
-      .withColumn("v", when(expr("instr('89abcdef', substr(h, j, 1))") > 0, 1).otherwise(-1))
-      .groupBy("doc_id", "j").agg(sum("v").as("sv"))
-      .withColumn("b", when(col("sv") > 0, lit("1")).otherwise(lit("0")))
       .groupBy("doc_id")
-      .agg(array_join(transform(array_sort(collect_list(struct(col("j"), col("b")))),
-        x => x.getField("b")), "").as("sh"))
+      .agg(graft.functions.SimhashAgg.simhashBits(col("h"),
+        graft.functions.SimhashAgg.HighBit32).as("sh"))
       .orderBy("doc_id")
 
   val SimhashMaxHamming = 1 // 32-bit fingerprints on a shared-vocab corpus: hd<=1 keeps the true near-dups, hd>=2 is dominated by vocabulary collisions
@@ -399,15 +404,26 @@ object Dedup {
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id", "sha", "shb")
       .dropDuplicates("a_id", "b_id")
-    val hamming = (1 to 32).map(j =>
-      when(expr(s"substr(sha, $j, 1)") =!= expr(s"substr(shb, $j, 1)"), 1).otherwise(0))
-      .reduce(_ + _)
     cand
-      .withColumn("hd", hamming.cast("long"))
+      .withColumn("hd", hammingBits(col("sha"), col("shb"), 32))
       .filter(col("hd") <= SimhashMaxHamming)
       .orderBy("a_id", "b_id")
       .select("a_id", "b_id", "hd")
   }
+
+  /** Hamming distance between two n-char '0'/'1' bitstrings via 32-bit
+    * word parse + XOR + popcount — exactly the per-character comparison
+    * sum (each word compares disjoint bit ranges), at 2 conv+1 xor+1
+    * popcount per word instead of 32 substring/compare expressions per
+    * candidate (r9: the unrolled form was ~95% of the pair stage's CPU
+    * on the collision-heavy 32-bit family). 32-bit words so the conv
+    * result always fits a signed long. */
+  private def hammingBits(a: Column, b: Column, n: Int): Column =
+    (0 until n by 32).map { off =>
+      val w = math.min(32, n - off)
+      bit_count(conv(substring(a, off + 1, w), 2, 10).cast("long")
+        .bitwiseXOR(conv(substring(b, off + 1, w), 2, 10).cast("long")))
+    }.reduce(_ + _).cast("long")
 
   /** 64-bit SimHash fingerprints — the production width (a 32-bit space
     * saturates near √2³² ≈ 65k docs by birthday collision; 64 bits
@@ -421,19 +437,14 @@ object Dedup {
     * engine-side the bitstring packs to BIGINT in one conv() select if
     * storage dominates. */
   def simhash64(spark: SparkSession, dir: String): DataFrame =
+    // one SimhashAgg pass — see [[simhash]]: the exploded form put
+    // tokens × 64 rows (32 M at sf0.1) through the (doc, bit) aggregate
     Tables.spread(spark, Tables.documents(spark, dir))
       .select(col("doc_id"), explode(tokens).as("tok"))
       .select(col("doc_id"), md5(col("tok")).as("h"))
-      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(63))).as("j"))
-      .withColumn("nib",
-        expr("instr('0123456789abcdef', substr(h, CAST(j div 4 AS INT) + 1, 1)) - 1"))
-      .withColumn("v",
-        when(expr("(nib >> CAST(j % 4 AS INT)) & 1") === 1, 1).otherwise(-1))
-      .groupBy("doc_id", "j").agg(sum("v").as("sv"))
-      .withColumn("b", when(col("sv") > 0, lit("1")).otherwise(lit("0")))
       .groupBy("doc_id")
-      .agg(array_join(transform(array_sort(collect_list(struct(col("j"), col("b")))),
-        x => x.getField("b")), "").as("fp"))
+      .agg(graft.functions.SimhashAgg.simhashBits(col("h"),
+        graft.functions.SimhashAgg.Nibble64).as("fp"))
       .orderBy("doc_id")
 
   // hd ≤ 1 via two 32-bit pigeonhole halves: measured at sf0.01, hd ≤ 1
@@ -473,11 +484,8 @@ object Dedup {
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id", "fpa", "fpb")
       .dropDuplicates("a_id", "b_id")
-    val hamming = (1 to 64).map(j =>
-      when(expr(s"substr(fpa, $j, 1)") =!= expr(s"substr(fpb, $j, 1)"), 1).otherwise(0))
-      .reduce(_ + _)
     cand
-      .withColumn("hd", hamming.cast("long"))
+      .withColumn("hd", hammingBits(col("fpa"), col("fpb"), 64))
       .filter(col("hd") <= Simhash64MaxHamming)
       .select("a_id", "b_id", "hd")
       .orderBy("a_id", "b_id")

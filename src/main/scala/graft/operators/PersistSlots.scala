@@ -14,7 +14,7 @@ import org.apache.spark.storage.StorageLevel
   * call). Keyed by Spark application id so a frame is never served to a
   * different session in the same JVM. If the input data is REWRITTEN
   * in-place mid-process, call clear(). */
-private[operators] object PersistSlots {
+private[graft] object PersistSlots {
   private val slots = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   private val counts = scala.collection.concurrent.TrieMap.empty[String, Long]
 
