@@ -59,16 +59,32 @@ object Verify {
     // recall-gate exports: the approximate shortlists/pair sets/bloom
     // counts both engines gate against independent exact recomputes
     timed("recall-gates")(graft.operators.RecallGates.exportAll(spark, sfDir))
-    SparkEntry.queries.filter(q => wanted(q._1)).foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        System.err.println(f"[vtime] $name ${(System.nanoTime() - t0) / 1e9}%.1f s")
-      } catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+    // the per-query dumps are independent writes (disjoint output dirs;
+    // exports above already ran, so gate queries find their inputs):
+    // run a few in flight so one query's driver round-trips and stage
+    // tails back-fill idle cores (guide §2.6 — overlap independent
+    // jobs). 3 keeps peak memory bounded; FIFO scheduling gives the
+    // back-fill behavior. PersistSlots builds are per-key locked, so
+    // concurrent dumps share artifacts instead of double-building them.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "3").toInt)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val futs = SparkEntry.queries.filter(q => wanted(q._1)).toSeq.map { case (name, fn) =>
+      scala.concurrent.Future {
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          System.err.println(f"[vtime] $name ${(System.nanoTime() - t0) / 1e9}%.1f s")
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
       }
     }
+    futs.foreach(f => scala.concurrent.Await.result(f,
+      scala.concurrent.duration.Duration.Inf))
+    pool.shutdown()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -207,21 +207,54 @@ object Dedup {
     // exact-verified) candidates.
     val cand = lshCandidates(spark, s"lsh-xxh:$dir",
       signaturesFast(spark, dir), parts => xxhash64(parts: _*), nBands = 8)
-    // exact-verify: candidate pairs → shared-shingle counts → Jaccard.
-    // cand ⋈ shingles(a) ⋈ shingles(b, s): fan-out is |candidates| ×
-    // shingles-per-doc — no all-pairs shingle join anywhere.
-    val sh = PersistSlots.cached(spark, s"ngram-shingles:$dir")(shingles(spark, dir))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(sh.select(col("doc_id").as("a_id"), col("s")), Seq("a_id"))
-      .join(sh.select(col("doc_id").as("b_id"), col("s")), Seq("b_id", "s"))
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("c"))
-    inter
-      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), Seq("a_id"))
-      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), Seq("b_id"))
+    verifyJaccard(spark, dir, cand, "a_id", "b_id")
+  }
+
+  /** Exact Jaccard (j ≥ 0.5) verification of an (aCol, bCol) candidate
+    * pair frame against the corpus shingle sets — the shared verify tail
+    * of [[minhashLshFastCore]] and [[incrementalPairs]].
+    *
+    * Two shapes, the [[SimilarityJoin.ppjoinPairs]] JoinBacks branch
+    * (r9): while the packed per-doc sorted shingle arrays fit the
+    * broadcast budget, they ship TO the candidate stream and the
+    * intersection computes in-row (codegen two-pointer walk) — no
+    * verify exchange, and |A|/|B| read off the packed arrays, dropping
+    * the two sizes joins. Past the budget, the per-shingle fan-out form
+    * (cand ⋈ shingles(a) ⋈ shingles(b, s) → pair hash agg) — linear in
+    * candidate-shingle rows, never wide rows through an exchange — is
+    * the 100 TB fallback. Shingle sets are distinct per doc, so the
+    * in-row intersect count equals the fan-out join count row for row. */
+  private def verifyJaccard(spark: SparkSession, dir: String,
+      cand: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val shKey = s"ngram-shingles:$dir"
+    val sh = PersistSlots.cached(spark, shKey)(shingles(spark, dir))
+    val packedFits = PersistSlots.rowCount(spark, shKey)
+      .exists(n => JoinBacks.fits(spark, n * SimilarityJoin.PackedShingleBytes, sides = 2))
+    val scored =
+      if (packedFits) {
+        val packed = broadcast(sh.groupBy("doc_id")
+          .agg(sort_array(collect_list(col("s"))).as("ss")))
+        cand
+          .join(packed, col(aCol) === col("doc_id"))
+          .select(col(aCol), col(bCol), col("ss").as("sa"))
+          .join(packed, col(bCol) === col("doc_id"))
+          .select(col(aCol), col(bCol),
+            size(col("sa")).cast("long").as("na"),
+            size(col("ss")).cast("long").as("nb"),
+            graft.plans.SetOps.sortedIntersectCount(col("sa"), col("ss")).as("c"))
+      } else {
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        cand
+          .join(sh.select(col("doc_id").as(aCol), col("s")), Seq(aCol))
+          .join(sh.select(col("doc_id").as(bCol), col("s")), Seq(bCol, "s"))
+          .groupBy(aCol, bCol).agg(count(lit(1)).as("c"))
+          .join(sizes.select(col("doc_id").as(aCol), col("n").as("na")), Seq(aCol))
+          .join(sizes.select(col("doc_id").as(bCol), col("n").as("nb")), Seq(bCol))
+      }
+    scored
       .withColumn("j", col("c") / (col("na") + col("nb") - col("c")))
       .filter(col("j") >= 0.5)
-      .select(col("a_id"), col("b_id"), round(col("j"), 4).as("j"))
+      .select(col(aCol), col(bCol), round(col("j"), 4).as("j"))
   }
 
   /** Deterministic ingest-batch membership: ~1/16 of documents (md5
@@ -285,18 +318,7 @@ object Dedup {
       .join(store.select(col("doc_id").as("hist_id"), col("band_idx"), col("band_hash")),
         Seq("band_idx", "band_hash"))
       .select("new_id", "hist_id").distinct()
-    val sh = PersistSlots.cached(spark, s"ngram-shingles:$dir")(shingles(spark, dir))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(sh.select(col("doc_id").as("new_id"), col("s")), Seq("new_id"))
-      .join(sh.select(col("doc_id").as("hist_id"), col("s")), Seq("hist_id", "s"))
-      .groupBy("new_id", "hist_id").agg(count(lit(1)).as("c"))
-    inter
-      .join(sizes.select(col("doc_id").as("new_id"), col("n").as("na")), Seq("new_id"))
-      .join(sizes.select(col("doc_id").as("hist_id"), col("n").as("nb")), Seq("hist_id"))
-      .withColumn("j", col("c") / (col("na") + col("nb") - col("c")))
-      .filter(col("j") >= 0.5)
-      .select(col("new_id"), col("hist_id"), round(col("j"), 4).as("j"))
+    verifyJaccard(spark, dir, cand, "new_id", "hist_id")
       .orderBy("new_id", "hist_id")
   }
 

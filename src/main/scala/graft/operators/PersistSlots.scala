@@ -115,6 +115,15 @@ private[graft] object PersistSlots {
     } else df.localCheckpoint() // eager; blocks ARE the cache
   }
 
+  // per-key build locks: TrieMap.getOrElseUpdate can evaluate the build
+  // twice under concurrent callers (Verify's pooled query dump, guide
+  // §2.6), which would double-persist the frame and leak one cache copy.
+  // Striped per-key (never one global lock): a slot build may itself
+  // build ANOTHER slot (cluster → lsh-xxh), so same-key exclusion must
+  // not serialize different keys.
+  private val buildLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   private def slot(spark: SparkSession, key: String)(materialize: => DataFrame): DataFrame = {
     val appId = spark.sparkContext.applicationId
     // drop slots belonging to other (stopped) applications so a
@@ -126,7 +135,13 @@ private[graft] object PersistSlots {
         try df.unpersist(false) catch { case _: Throwable => () })
     }
     counts.keys.filterNot(_.startsWith(s"$appId|")).foreach(counts.remove)
-    slots.getOrElseUpdate(s"$appId|$key", materialize)
+    val fullKey = s"$appId|$key"
+    slots.get(fullKey) match {
+      case Some(df) => df
+      case None =>
+        val lock = buildLocks.computeIfAbsent(fullKey, _ => new Object)
+        lock.synchronized(slots.getOrElseUpdate(fullKey, materialize))
+    }
   }
 
   /** Release every memoized frame (after an in-place data rewrite). */
