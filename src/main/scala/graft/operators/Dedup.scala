@@ -520,7 +520,7 @@ object Dedup {
     * this exact verify only within buckets. */
   def embeddingCosine(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val a = e.select(col("vec_id").as("a_id"), col("v").as("va"))
     val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"))
     a.join(b, col("a_id") < col("b_id"))
@@ -541,7 +541,7 @@ object Dedup {
       threshold: Double = 0.45, deepProbes: Boolean = false,
       index: Option[Similarity.LshIndex] = None): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     // ONE bucket artifact per corpus, shared with Similarity.lshTopK
     // (id-only rows; persistable via saveLshIndex — a cold session loads
     // the index instead of re-hashing). Bucket width scales with the

@@ -42,7 +42,7 @@ object Mining {
   def mineBitext(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
+        col("embedding").cast("array<double>").as("v"))
     val x = e.filter(col("label") % 2 === 0)
       .select(col("vec_id").as("x_id"), col("v").as("vx"))
     val y = e.filter(col("label") % 2 === 1)
@@ -105,7 +105,7 @@ object Mining {
       index: Option[Similarity.LshIndex] = None): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
+        col("embedding").cast("array<double>").as("v"))
     val idx = index.getOrElse(Similarity.buildLshIndex(spark, dir))
     // pin the pair path at the base table family (the Dedup lesson:
     // lshTablesFor's recall-driven growth is a per-QUERY knob; riding it

@@ -100,7 +100,7 @@ object Quantize {
   def binaryTop1(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val codes = binaryEncode(spark, dir)
     // size the shortlist from the RAW table, not codes: counting the
     // un-persisted encode frame materialized the O(N·64) bit-pack once

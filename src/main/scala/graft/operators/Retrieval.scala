@@ -90,7 +90,7 @@ object Retrieval {
       .withColumn("r_bm", row_number().over(wTop))
       .select("id", "r_bm")
     val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val qv = e.filter(col("vec_id") === QueryVecId).select(col("v").as("vq"))
     val dense = e.filter(col("vec_id") =!= QueryVecId)
       .crossJoin(broadcast(qv))

@@ -106,7 +106,7 @@ object SemDedup {
       tau: Double = Tau): DataFrame = {
     val v = cells.join(
       Tables.embeddings(spark, dir)
-        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v")),
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
       Seq("vec_id"))
     val a = v.select(col("vec_id").as("a_id"), col("cell"), col("v").as("va"))
     val b = v.select(col("vec_id").as("b_id"), col("cell"), col("v").as("vb"))

@@ -30,7 +30,7 @@ object Similarity {
 
   private def emb(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
-      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
   /** Codegen'd native dot product (same summation order as the
     * zip_with+aggregate form — bit-identical results, no per-row array
@@ -255,7 +255,7 @@ object Similarity {
     * are byte-identical to what a full rebuild would produce. */
   def bucketsForAppend(spark: SparkSession, vecs: DataFrame, idx: LshIndex): DataFrame =
     withBuckets(
-      vecs.select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v")),
+      vecs.select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
       idx.nBits, idx.nTables)
       .select(col("vec_id"), col("tbl"), col("bucket"))
 
@@ -444,7 +444,7 @@ object Similarity {
     * same quantizer would produce. */
   def assignForAppend(spark: SparkSession, vecs: DataFrame, idx: IvfIndex): DataFrame = {
     val cellUdf = cellProbeUdf(spark, idx.centroids, 1)
-    vecs.select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    vecs.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .select(col("vec_id"), col("v"), element_at(cellUdf(col("v")), 1).as("cell"))
   }
 
@@ -1023,7 +1023,7 @@ object Similarity {
       pq: PqIndex): DataFrame = {
     val cellUdf = cellProbeUdf(spark, idx.centroids, 1)
     val withCell = vecs
-      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .select(col("vec_id"), element_at(cellUdf(col("v")), 1).as("cell"), col("v"))
     val encodee =
       if (pq.codebook.residual) residualUdf(spark, idx.centroids)(col("v"), col("cell"))
@@ -1367,7 +1367,7 @@ object Similarity {
   def filteredSearch(spark: SparkSession, dir: String,
       selThreshold: Double = 0.3): DataFrame = {
     val raw = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"),
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
         col("label"))
     val q = raw.filter(col("vec_id") < QuerySetSize)
       .select(col("vec_id").as("q_id"), col("v").as("vq"), col("label"))

@@ -42,7 +42,7 @@ object EmbedStreams {
     * static or streaming frame with vec_id/embedding. */
   def bucketKeys(vecs: DataFrame, nBits: Int): DataFrame = {
     val v = vecs.select(col("vec_id"),
-      transform(col("embedding"), x => x.cast("double")).as("v"))
+      col("embedding").cast("array<double>").as("v"))
     // both width AND table count passed explicitly: a streaming frame
     // cannot be counted for the corpus-derived defaults
     val b = Similarity.withBuckets(v, nBits, Similarity.LshTables)
