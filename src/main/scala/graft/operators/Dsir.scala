@@ -62,8 +62,13 @@ object Dsir {
     * Shared by all three queries via a memoized slot (the gram fan-out
     * is the expensive frame). */
   private def gramBuckets(spark: SparkSession, dir: String): DataFrame =
+    // spread before the explode (the lsh-index lesson, r9): a single-file
+    // fixture otherwise persists the ~2-grams-per-token fan-out as ONE
+    // partition — the md5 bucketing runs on one core at build AND every
+    // consumer aggregation stage stays single-task warm; no-op when the
+    // corpus arrives pre-split
     PersistSlots.cached(spark, s"dsir-grams:$dir")(
-      Tables.documents(spark, dir)
+      Tables.spread(spark, Tables.documents(spark, dir))
         .select(col("doc_id"), col("lang"), col("source"), explode(grams).as("g"))
         .select(col("doc_id"), col("lang"), col("source"),
           substring(md5(col("g")), 1, 3).as("b")))

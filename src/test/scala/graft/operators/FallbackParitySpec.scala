@@ -78,6 +78,34 @@ class FallbackParitySpec extends SparkSpec {
     }
   }
 
+  test("dd_minhash_lsh_fast: the fan-out verify (past-budget) emits the identical exact pair set") {
+    // r9: the banded verify moved to the shared packed-broadcast /
+    // fan-out branch (Dedup.verifyJaccard) — same contract as ppjoin
+    val broadDf = graft.SparkEntry.queries("dd_minhash_lsh_fast")(spark, sf)
+    assert(analyzed(broadDf).contains("graft_sorted_intersect_count"),
+      "default branch did not take the packed broadcast verify")
+    val broad = broadDf.collect()
+    inFallback {
+      val fbDf = graft.SparkEntry.queries("dd_minhash_lsh_fast")(spark, sf)
+      assert(!analyzed(fbDf).contains("graft_sorted_intersect_count"),
+        "budget=1 did not flip the banded verify to the fan-out form")
+      assertParity(broad, fbDf.collect())
+    }
+  }
+
+  test("dd_incremental: the fan-out verify (past-budget) emits the identical cross-batch pair set") {
+    val broadDf = graft.SparkEntry.queries("dd_incremental")(spark, sf)
+    assert(analyzed(broadDf).contains("graft_sorted_intersect_count"),
+      "default branch did not take the packed broadcast verify")
+    val broad = broadDf.collect()
+    inFallback {
+      val fbDf = graft.SparkEntry.queries("dd_incremental")(spark, sf)
+      assert(!analyzed(fbDf).contains("graft_sorted_intersect_count"),
+        "budget=1 did not flip the banded verify to the fan-out form")
+      assertParity(broad, fbDf.collect())
+    }
+  }
+
   test("mine_bitext_ann: the shuffle join-backs (past-budget) mine the identical pairs") {
     val broadDf = Mining.mineBitextAnn(spark, sf)
     assert(analyzed(broadDf).contains("ResolvedHint"),
