@@ -232,8 +232,12 @@ object Dedup {
       .exists(n => JoinBacks.fits(spark, n * SimilarityJoin.PackedShingleBytes, sides = 2))
     val scored =
       if (packedFits) {
-        val packed = broadcast(sh.groupBy("doc_id")
-          .agg(sort_array(collect_list(col("s"))).as("ss")))
+        // slot-shared with ppjoin's packed verify (one pack aggregation
+        // per corpus, not one per pass per consumer); budget-bounded —
+        // the slot only exists when packedFits
+        val packed = broadcast(PersistSlots.cached(spark,
+          s"packed-shingles:$dir")(sh.groupBy("doc_id")
+          .agg(sort_array(collect_list(col("s"))).as("ss"))))
         cand
           .join(packed, col(aCol) === col("doc_id"))
           .select(col(aCol), col(bCol), col("ss").as("sa"))

@@ -136,9 +136,13 @@ object SimilarityJoin {
         // projections canonicalize differently and ReuseExchange could
         // not fire — each pass aggregated + shipped the packed table
         // twice; joining the same un-aliased frame twice makes the
-        // second BroadcastExchange a ReusedExchange
-        val packed = broadcast(sh.groupBy("doc_id")
-          .agg(sort_array(collect_list(col("s"))).as("ss")))
+        // second BroadcastExchange a ReusedExchange. Slot-materialized:
+        // the pack aggregation (collect_list + sort per doc) otherwise
+        // re-runs inside every pass's broadcast build; the slot only
+        // exists when packedFits, so its footprint is budget-bounded.
+        val packed = broadcast(PersistSlots.cached(spark,
+          s"packed-shingles:$dir")(sh.groupBy("doc_id")
+          .agg(sort_array(collect_list(col("s"))).as("ss"))))
         // the intersection scalar runs as a codegen two-pointer walk over
         // the sorted arrays (graft_sorted_intersect_count) — the
         // array_intersect HOF builds a per-row hash set + output array,
