@@ -86,15 +86,33 @@ object RecallGates {
     df.select(cols.map(col): _*).coalesce(1)
       .write.mode("overwrite").parquet(exportPath(tag, dir))
 
-  /** Run by Verify ahead of the query dump. */
+  /** Run by Verify ahead of the query dump. The seven exports are
+    * independent writes over shared per-corpus artifacts; the shared
+    * LSH index is pre-built once (PersistSlots builds are per-key
+    * locked, but pre-building avoids even the benign double-plan race)
+    * and the exports then run a few in flight (guide §2.6) so one
+    * family's stage tail back-fills the next family's jobs. */
   def exportAll(spark: SparkSession, dir: String): Unit = {
     exportedDir = dir
-    annFams.foreach(f => writeExport(f.raw(spark, dir), f.tag, dir, Seq("q_id", "nbr_id")))
-    writeExport(Mining.mineBitextAnn(spark, dir), "bitextann", dir, Seq("x_id", "y_id"))
-    writeExport(Dedup.embeddingCosineBucketed(spark, dir), "embedlsh", dir, Seq("a_id", "b_id"))
+    Similarity.buildLshIndex(spark, dir) // shared by lsh/bitext/embed
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val futs = (
+      annFams.map(f => () => writeExport(f.raw(spark, dir), f.tag, dir, Seq("q_id", "nbr_id"))) ++
+      Seq(
+        () => writeExport(Mining.mineBitextAnn(spark, dir), "bitextann", dir, Seq("x_id", "y_id")),
+        () => writeExport(Dedup.embeddingCosineBucketed(spark, dir), "embedlsh", dir, Seq("a_id", "b_id")),
+        () => exportBloomDc(spark, dir))
+    ).map(f => scala.concurrent.Future(f()))
+    try futs.foreach(f => scala.concurrent.Await.result(f,
+      scala.concurrent.duration.Duration.Inf))
+    finally pool.shutdown()
+  }
+
+  private def exportBloomDc(spark: SparkSession, dir: String): Unit =
     writeExport(Decontam.bloomDecontam(spark, dir), "bloomdc", dir,
       Seq("doc_id", "n_grams", "n_flagged"))
-  }
 
   /** Read the export, building it first if absent (bare spec/audit runs). */
   private def ensure(spark: SparkSession, dir: String, tag: String,

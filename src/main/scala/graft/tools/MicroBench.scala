@@ -67,6 +67,23 @@ object MicroBench {
         r.queryExecution.toRdd.count()
       }
     }
+    // same chain over a localCheckpoint'd (row-block) edge frame: is the
+    // per-round CPU the columnar cache decode?
+    val edgesLc = spark.range(907000).select(
+      (col("id") % 1000).as("src"), ((col("id") * 7) % 1000).as("dst"),
+      (col("id") % 900 + 1).as("outdeg"))
+      .repartition(parts).localCheckpoint()
+    (1 to 2).foreach { i =>
+      time(s"scan-only-lc #$i") { edgesLc.select(sum("src")).collect() }
+      time(s"5-round chain lc #$i") {
+        var r = ranks
+        for (_ <- 1 to 5) {
+          r = edgesLc.join(r, Seq("src"))
+            .groupBy(col("dst").as("src")).agg(sum(col("r") / col("outdeg")).as("r"))
+        }
+        r.queryExecution.toRdd.count()
+      }
+    }
     spark.stop()
   }
 }
