@@ -491,9 +491,13 @@ object TextAnalysis {
         // the fp partition runs through sort-based WindowExec (measured
         // 24 s vs 7 s at 10× — the full fps frame sorts by fp), while
         // the df table is fingerprint-cardinality-sized and its join
-        // rides the same fp-keyed exchange the self-join needs anyway
-        val df = fps.groupBy("fp").agg(count(lit(1)).as("docfreq"))
-          .filter(col("docfreq") <= maxFpDocFreq)
+        // rides the same fp-keyed exchange the self-join needs anyway.
+        // Slot-materialized (r9 optimization round): the stop-list is a
+        // per-corpus artifact and its aggregation re-ran inside every
+        // pass's broadcast build (~0.6 s/pass at sf0.1)
+        val df = PersistSlots.cached(spark, s"winnow-df:$maxFpDocFreq:$dir")(
+          fps.groupBy("fp").agg(count(lit(1)).as("docfreq"))
+            .filter(col("docfreq") <= maxFpDocFreq))
         fps.join(df.select("fp"), Seq("fp"))
       }
     joinable.select(col("doc_id").as("a_id"), col("fp"))
