@@ -570,18 +570,20 @@ object Dedup {
     // miss rate that supports a full equality oracle at the gate SF, at a
     // cost that grows toward a fractional corpus scan — fine for the
     // correctness gate, wrong for the benched scale path.
+    // packed long (tbl, bucket) key (r10): bijective, so the candidate
+    // set is EXACTLY the (tbl, bucket) string join's — Similarity.bucketKey
+    val bk = Similarity.bucketKey(col("tbl"), col("bucket"), nBits)
     val probes =
-      if (deepProbes) Similarity.probeBuckets2(col("bucket"), nBits)
-      else Similarity.probeBuckets(col("bucket"), nBits)
+      if (deepProbes) Similarity.probeKeys2(bk, nBits)
+      else Similarity.probeKeys(bk, nBits)
     // candidate generation is ID-ONLY: shipping the 64-dim vectors
     // through the bucket join put ~1 KB per candidate row on the shuffle
     // (measured 9.6 s at sf0.1); generating (a_id, b_id) first and
     // joining the vectors back by id afterwards keeps the wide rows out
     // of the fan-out entirely
-    val x = b.select(col("vec_id").as("a_id"), col("tbl"),
-      explode(probes).as("bucket"))
-    val y = b.select(col("vec_id").as("b_id"), col("tbl"), col("bucket"))
-    val cand = x.join(y, Seq("tbl", "bucket"))
+    val x = b.select(col("vec_id").as("a_id"), explode(probes).as("bk"))
+    val y = b.select(col("vec_id").as("b_id"), bk.as("bk"))
+    val cand = x.join(y, Seq("bk"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id")
       .distinct()

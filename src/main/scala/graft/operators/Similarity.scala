@@ -156,25 +156,44 @@ object Similarity {
     array(bucket +: flips: _*)
   }
 
-  /** Deeper probe list: the bucket plus every 1- and 2-bit flip (1 + 6 +
-    * 15 probes at 6 bits). Used by the DEDUP near-dup path, where the
+  /** Packed (tbl, bucket) candidate-join key: the bucket bitstring parsed
+    * as its binary value with the table id in the bits above it —
+    * (tbl << nBits) + int(bucket, base 2). A BIJECTION on (tbl, bucket):
+    * bucket strings are fixed-width nBits, lshBitsFor caps nBits at 20
+    * and lshTablesFor caps tables at 32, so every key is < 2^26 — no
+    * collision caveat, the equi join on this ONE long column produces
+    * EXACTLY the (tbl, bucket) join's pairs. What it buys (guide §2.3
+    * narrower shuffle keys / §4 cheaper per-row expressions): the join
+    * hashes and compares an 8-byte long instead of an (int, nBits-char
+    * string) pair, and the multi-probe expansion becomes nBits codegen
+    * XORs ([[probeKeys]]) instead of nBits substring+concat string
+    * builds per row. The string artifact itself is untouched — persisted
+    * indexes, appends and every oracle export still carry the readable
+    * bitstring; the packed key exists only inside candidate joins. */
+  private[graft] def bucketKey(tbl: Column, bucket: Column, nBits: Int): Column =
+    shiftleft(tbl.cast("long"), nBits) + conv(bucket, 2, 10).cast("long")
+
+  /** Multi-probe key list over the packed key: the key itself plus every
+    * 1-bit flip of the bucket portion (XOR masks below 2^nBits never
+    * touch the table bits). Same probe SET as [[probeBuckets]] under the
+    * [[bucketKey]] bijection — string position p maps to bit nBits−1−p,
+    * and the consuming explode is order-free. */
+  private[graft] def probeKeys(bk: Column, nBits: Int): Column =
+    array(bk +: (0 until nBits).map(p => bk.bitwiseXOR(lit(1L << p))): _*)
+
+  /** Deeper probe set: the key plus every 1- and 2-bit flip (1 + 6 + 15
+    * probes at 6 bits). Used by the DEDUP near-dup path, where the
     * targets sit right at the similarity threshold (θ ≈ 63°, ~2.1
     * expected differing bits per table): 1-bit probes leave a few-percent
     * miss rate per marginal pair, 2-bit probes push the 8-table miss
     * probability to ~2e-4 — which is what lets the bucketed path carry a
     * full equality oracle against the exact pair set. Probe count is a
     * recall/cost knob: ANN top-k keeps the cheaper 1-bit list. */
-  private[graft] def probeBuckets2(bucket: Column, nBits: Int = LshBits): Column = {
-    def flip(b: Column, p: Int): Column = {
-      val ch = substring(b, p + 1, 1)
-      concat(substring(b, 1, p),
-        when(ch === "1", lit("0")).otherwise(lit("1")),
-        substring(b, p + 2, nBits - p - 1))
-    }
-    val one = (0 until nBits).map(p => flip(bucket, p))
+  private[graft] def probeKeys2(bk: Column, nBits: Int): Column = {
+    val one = (0 until nBits).map(p => 1L << p)
     val two = for { p <- 0 until nBits; q <- p + 1 until nBits }
-      yield flip(flip(bucket, p), q)
-    array((bucket +: one) ++ two: _*)
+      yield (1L << p) | (1L << q)
+    array(bk +: (one ++ two).map(m => bk.bitwiseXOR(lit(m))): _*)
   }
 
   /** Sign-LSH bucket index artifact: (vec_id, tbl, bucket) rows — id-only
@@ -341,11 +360,14 @@ object Similarity {
     // vectors join back by id AFTER the dedup, so each vector crosses the
     // shuffle once per surviving candidate pair, not once per probe hit —
     // the shape that holds when the query set is no longer 20 rows
+    // packed long (tbl, bucket) key (r10): bijective, so the candidate
+    // set is EXACTLY the (tbl, bucket) string join's — see bucketKey
     val q = idx.buckets.filter(col("vec_id") < QuerySetSize)
-      .select(col("vec_id").as("q_id"), col("tbl"),
-        explode(probeBuckets(col("bucket"), nBits)).as("bucket"))
-    val n = idx.buckets.select(col("vec_id").as("nbr_id"), col("tbl"), col("bucket"))
-    val cand = q.join(n, Seq("tbl", "bucket"))
+      .select(col("vec_id").as("q_id"),
+        explode(probeKeys(bucketKey(col("tbl"), col("bucket"), nBits), nBits)).as("bk"))
+    val n = idx.buckets.select(col("vec_id").as("nbr_id"),
+      bucketKey(col("tbl"), col("bucket"), nBits).as("bk"))
+    val cand = q.join(n, Seq("bk"))
       .filter(col("q_id") =!= col("nbr_id"))
       .select("q_id", "nbr_id")
       .dropDuplicates("q_id", "nbr_id")
