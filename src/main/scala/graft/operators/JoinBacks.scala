@@ -69,12 +69,20 @@ object JoinBacks {
     perSideBytes >= 0 && perSideBytes <= SparkBroadcastCap &&
       sides.toLong * perSideBytes <= broadcastBudget(spark)
 
+  /** True when `sides` simultaneous vector join-backs over an `nRows` ×
+    * `dim`-double table broadcast under [[fits]] — exposed so a caller
+    * can align OTHER plan choices with the same regime (Mining skips its
+    * candidate pre-dedup exactly when the join-backs are map-side). */
+  def vectorsFit(spark: SparkSession, nRows: Long, dim: Int,
+      sides: Int = 2): Boolean =
+    fits(spark, nRows * vectorRowBytes(dim), sides)
+
   /** Join-side transform for `sides` simultaneous vector join-backs over
     * an `nRows` × `dim`-double table: `broadcast` when ALL sides fit the
     * budget together (and each fits Spark's hard relation cap), else
     * identity — the plain shuffle join-back, slower but never OOM. */
   def vectorJoinBack(spark: SparkSession, nRows: Long, dim: Int,
       sides: Int = 2): DataFrame => DataFrame =
-    if (fits(spark, nRows * vectorRowBytes(dim), sides)) df => broadcast(df)
+    if (vectorsFit(spark, nRows, dim, sides)) df => broadcast(df)
     else identity
 }

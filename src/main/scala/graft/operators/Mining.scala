@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -56,33 +55,42 @@ object Mining {
   /** Mutual-top-1 + ratio-margin over a scored (x_id, y_id, cs) frame —
     * the shared tail of [[mineBitext]] and [[mineBitextAnn]].
     *
-    * Single window-chain pass (the r9 optimization): the k-NN averages
-    * ride the SAME partition windows that rank the pairs —
-    * `avg(when(rk ≤ K, cs)) over (partition)` — instead of two separate
-    * groupBy branches joined back on. The previous join form referenced
-    * the ranked frame from THREE plan branches, and each branch re-ran
-    * the full scored pipeline (candidate generation, vector join-backs,
-    * dot products, both window sorts — 12 broadcast subtrees in the
-    * initial plan, the candidate pipeline executed ~3× at sf0.1,
-    * PhaseTime r9); physical exchange reuse recovered only fragments.
-    * Now the scored stream is computed once and crosses exactly two
-    * hash exchanges (x_id, y_id) — strictly fewer passes at every scale.
-    * Values are identical: avg ignores the nulls when() leaves, every
-    * mutual-top-1 x/y partition is non-empty, and the window aggregate
-    * sums the same ≤ MineK doubles (ulp-level summation-order drift vs
-    * the hash aggregate is bounded far below the 4-decimal margin
-    * rounding; the unchanged DuckDB oracle gates it). */
+    * Bounded top-K aggregate form (r10, guide §2.3 — aggregate before
+    * you shuffle): each side's rank-1 neighbor AND its k-NN margin
+    * average come out of ONE partially-aggregated groupBy per side
+    * ([[graft.functions.TopKMarginAgg]] — a K-entry buffer updated
+    * map-side), followed by a mutual equi join of the two ID-SIZED
+    * aggregate tables. The r9 window form exchanged and SORTED the full
+    * scored candidate stream twice (partition by x_id then y_id —
+    * windows cannot partially aggregate, so 2× the candidate count
+    * crossed the wire and both sides paid a full sort: 2×20 M rows /
+    * ~230 CPU-s of window jobs at the 10× probe, 2×0.5 B rows at 100×);
+    * now only (id, K-entry buffer) partial rows cross — the exchange
+    * shrinks from the candidate count to the distinct-ID count and both
+    * sorts disappear. The two aggregation branches re-execute the
+    * scored subtree's POST-EXCHANGE tail (map-side broadcast join-backs
+    * + dots), but its one hash exchange is written once and read by
+    * both (ReusedExchange — identical canonical subtrees).
+    *
+    * Values are identical to the window form: (cs desc, id asc) is a
+    * total order, so each buffer's kept set equals the rows the windows
+    * ranked ≤ K, top_id/top_score are the rank-1 row, the mutual join on
+    * (top of x = y AND top of y = x) is exactly rx = 1 ∧ ry = 1, and the
+    * K-double average drifts only at ulp level from the window
+    * aggregate's summation order — far below the 4-decimal margin
+    * rounding (the same argument, and the same unchanged DuckDB oracle
+    * gate, as the r9 window-avg rewrite). */
   private def marginMutualTop1(scored: DataFrame): DataFrame = {
-    val wx = Window.partitionBy("x_id").orderBy(desc("cs"), col("y_id"))
-    val wy = Window.partitionBy("y_id").orderBy(desc("cs"), col("x_id"))
-    val wxAll = Window.partitionBy("x_id")
-    val wyAll = Window.partitionBy("y_id")
-    scored
-      .withColumn("rx", row_number().over(wx))
-      .withColumn("ax", avg(when(col("rx") <= MineK, col("cs"))).over(wxAll))
-      .withColumn("ry", row_number().over(wy))
-      .withColumn("ay", avg(when(col("ry") <= MineK, col("cs"))).over(wyAll))
-      .filter(col("rx") === 1 && col("ry") === 1) // mutual top-1
+    val topk = graft.functions.TopKMarginAgg.topkMargin _
+    val xa = scored.groupBy("x_id")
+      .agg(topk(col("y_id"), col("cs"), MineK).as("t"))
+      .select(col("x_id"), col("t.top_id").as("y_top"),
+        col("t.top_score").as("cs"), col("t.avg_score").as("ax"))
+    val ya = scored.groupBy("y_id")
+      .agg(topk(col("x_id"), col("cs"), MineK).as("t"))
+      .select(col("y_id"), col("t.top_id").as("x_top"),
+        col("t.avg_score").as("ay"))
+    xa.join(ya, col("y_top") === col("y_id") && col("x_top") === col("x_id"))
       .filter(col("cs") / ((col("ax") + col("ay")) / 2) >= MineMargin)
       .select(col("x_id"), col("y_id"),
         round(col("cs") / ((col("ax") + col("ay")) / 2), 4).as("margin"))
@@ -124,7 +132,20 @@ object Mining {
     val xs = sides.filter(col("isX")).select(col("vec_id").as("x_id"),
       explode(Similarity.probeKeys(bk, idx.nBits)).as("bk"))
     val ys = sides.filter(!col("isX")).select(col("vec_id").as("y_id"), bk.as("bk"))
-    val cand = xs.join(ys, Seq("bk")).select("x_id", "y_id").distinct()
+    // candidate pre-dedup only in the shuffle-fallback regime (r10): the
+    // margin tail's TopKMarginAgg dedups by id inside its bounded buffer,
+    // so with MAP-SIDE join-backs a duplicate (x, y) candidate row (the
+    // same pair colliding in several tables/probes) changes nothing
+    // downstream — and the (x_id, y_id) distinct was the last remaining
+    // full-candidate-stream exchange (34.9 M records / 369 MB at the 10×
+    // probe). Past the broadcast budget the candidate stream re-exchanges
+    // through the shuffle join-backs, so dedup-first minimizes exactly
+    // that volume; the agg's id-dedup keeps results identical in both
+    // regimes (FallbackParitySpec pins the flip parity).
+    val cand0 = xs.join(ys, Seq("bk")).select("x_id", "y_id")
+    val cand =
+      if (JoinBacks.vectorsFit(spark, idx.nVectors, Similarity.Dim)) cand0
+      else cand0.distinct()
     // vector join-backs ship the TABLE to the candidates (broadcast),
     // never the candidates to the table: a shuffle join here re-exchanges
     // the candidate stream carrying the 512-byte vector payload — ~70 GB

@@ -110,11 +110,18 @@ class FallbackParitySpec extends SparkSpec {
     val broadDf = Mining.mineBitextAnn(spark, sf)
     assert(analyzed(broadDf).contains("ResolvedHint"),
       "default branch did not broadcast the vector join-backs")
+    // r10: in-budget the candidate pre-dedup is gone (TopKMarginAgg
+    // dedups by id); past-budget it must come back to minimize the
+    // shuffle join-backs' re-exchanged volume
+    assert(!analyzed(broadDf).contains("Deduplicate"),
+      "broadcast branch still pre-dedups the candidate stream")
     val broad = broadDf.collect()
     inFallback {
       val fbDf = Mining.mineBitextAnn(spark, sf)
       assert(!analyzed(fbDf).contains("ResolvedHint"),
         "budget=1 did not flip the join-backs to the shuffle form")
+      assert(analyzed(fbDf).contains("Deduplicate"),
+        "fallback branch dropped the candidate pre-dedup")
       assertParity(broad, fbDf.collect())
     }
   }
