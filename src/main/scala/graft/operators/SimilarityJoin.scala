@@ -75,12 +75,14 @@ object SimilarityJoin {
 
   /** Candidate rows (one per shared prefix shingle): pairs sharing a
     * prefix shingle, plus the length filter
-    * (j ≥ τ ⇒ τ·max(|A|,|B|) ≤ min(|A|,|B|)). */
+    * (j ≥ τ ⇒ τ·max(|A|,|B|) ≤ min(|A|,|B|)). The r10 rework dropped
+    * `df` from the join payload — it ordered [[positionalSurvivors]]'
+    * former min_by, which the per-row filter form no longer needs. */
   private[operators] def sharedCandidates(prefix: DataFrame): DataFrame =
     prefix
-      .select(col("doc_id").as("a_id"), col("s"), col("df"),
+      .select(col("doc_id").as("a_id"), col("s"),
         col("pos").as("ia"), col("n").as("na"))
-      .join(prefix.select(col("doc_id").as("b_id"), col("s"), col("df").as("dfb"),
+      .join(prefix.select(col("doc_id").as("b_id"), col("s"),
         col("pos").as("ib"), col("n").as("nb")), Seq("s"))
       .filter(col("a_id") < col("b_id") &&
         least(col("na"), col("nb")) >= lit(Tau) * greatest(col("na"), col("nb")))
@@ -88,23 +90,33 @@ object SimilarityJoin {
   /** POSITIONAL filter (the "PP" of Xiao et al. §3.2, relational form à
     * la Vernica et al. SIGMOD 2010): both docs' shingle lists follow the
     * same global (df, s) total order, so the pair's FIRST shared prefix
-    * shingle — min (df, s) — has no shared shingle before it in either
-    * list, and total overlap ≤ 1 + min(na − ia, nb − ib) at its
-    * positions. j ≥ τ needs overlap ≥ ⌈τ/(1+τ)·(na+nb)⌉; pairs whose
-    * bound falls short are pruned BEFORE the verify step ever sees
-    * them. The groupBy replaces the previous distinct() — same
-    * pair-keyed exchange, strictly fewer survivors. Losslessness stays
-    * oracle-gated (equality vs the exact pair set). */
+    * shingle has no shared shingle before it in either list, and total
+    * overlap ≤ 1 + min(na − ia, nb − ib) at its positions. j ≥ τ needs
+    * overlap ≥ ⌈τ/(1+τ)·(na+nb)⌉; pairs whose bound falls short are
+    * pruned BEFORE the verify step ever sees them.
+    *
+    * Per-ROW form (r10): the bound is applied to EVERY shared-prefix
+    * row and a pair survives iff any row passes. This is exactly the
+    * first-shared-shingle rule it replaces — shared rows appear in the
+    * same relative order in both docs (one global order), so the first
+    * shared row has the MINIMAL ia and ib of the pair, i.e. the maximal
+    * bound: some row passes iff the first row passes. What the rewrite
+    * buys (guide §2.3): the filter now sits BEFORE the pair exchange
+    * (only passing rows cross; the min_by form shipped every candidate
+    * row into the aggregate), and the per-row min_by(struct, struct) —
+    * two struct allocations per candidate row, the measured hot spot of
+    * the 61 CPU-s candidate stage at sf0.1 — disappears; the remaining
+    * pair dedup is a plain distinct.
+    *
+    * Integer-vs-real comparison (k ≥ x ⟺ k ≥ ⌈x⌉) with the constant
+    * τ/(1+τ) rounding DOWN in IEEE — borderline pairs are kept, never
+    * lost, so FP cannot break the losslessness the oracle checks. */
   private[operators] def positionalSurvivors(shared: DataFrame): DataFrame =
     shared
-      .groupBy("a_id", "b_id", "na", "nb")
-      .agg(min_by(struct(col("ia"), col("ib")), struct(col("df"), col("s"))).as("fst"))
-      // integer-vs-real comparison (k ≥ x ⟺ k ≥ ⌈x⌉) with the constant
-      // τ/(1+τ) rounding DOWN in IEEE — borderline pairs are kept, never
-      // lost, so FP cannot break the losslessness the oracle checks
-      .filter(lit(1) + least(col("na") - col("fst.ia"), col("nb") - col("fst.ib")) >=
+      .filter(lit(1) + least(col("na") - col("ia"), col("nb") - col("ib")) >=
         (col("na") + col("nb")) * lit(Tau / (1 + Tau)))
       .select("a_id", "b_id", "na", "nb")
+      .distinct()
 
   /** Exact j ≥ τ near-dup pairs via prefix filtering + positional filter
     * + exact verify. */
