@@ -71,7 +71,13 @@ object Verify {
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
     val futs = SparkEntry.queries.filter(q => wanted(q._1)).toSeq.map { case (name, fn) =>
-      scala.concurrent.Future {
+      name -> scala.concurrent.Future {
+        // per-query job group so a timed-out query is CANCELLABLE (the
+        // r10 hang-safety fix, VERDICT r9 #5/#7: Await(Inf) meant one
+        // hung query hung the whole correctness pass with no culprit in
+        // the log); thread-local, so concurrent dumps don't cross-tag
+        spark.sparkContext.setJobGroup(s"verify-$name", name,
+          interruptOnCancel = true)
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -79,11 +85,28 @@ object Verify {
           System.err.println(f"[vtime] $name ${(System.nanoTime() - t0) / 1e9}%.1f s")
         } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        }
+        } finally spark.sparkContext.clearJobGroup()
       }
     }
-    futs.foreach(f => scala.concurrent.Await.result(f,
-      scala.concurrent.duration.Duration.Inf))
+    // bounded per-query wait: a hung query fails LOUDLY (its oracle row
+    // reads "spark output missing") and its jobs are cancelled so the
+    // pool thread comes back, instead of hanging the driver's wall.
+    // Waits overlap (every future is already running in the pool), so a
+    // healthy pass pays nothing.
+    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_VERIFY_TIMEOUT", "900").toLong
+    import scala.concurrent.duration._
+    futs.foreach { case (name, f) =>
+      try scala.concurrent.Await.result(f, timeoutSec.seconds)
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          System.err.println(
+            s"[verify] $name timed out after $timeoutSec s; cancelling its jobs")
+          spark.sparkContext.cancelJobGroup(s"verify-$name")
+          // bounded grace for the cancellation to unwind the future
+          try scala.concurrent.Await.result(f, 60.seconds)
+          catch { case _: Throwable => () }
+      }
+    }
     pool.shutdown()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
