@@ -78,18 +78,68 @@ object Graphs {
     val nodes = PersistSlots.cached(spark, s"pr-nodes:$dir")(
       edges.select(col("src").as("v")).distinct())
     val n = PersistSlots.rowCount(spark, s"pr-nodes:$dir").getOrElse(nodes.count())
+    val m = PersistSlots.rowCount(spark, s"pr-edges-deg:$dir").getOrElse(edges.count())
 
-    var ranks = nodes.withColumn("r", lit(1.0 / n))
-    for (_ <- 1 to PrIters) {
-      val contrib = edges
-        .join(ranks.withColumnRenamed("v", "src"), Seq("src"))
-        .groupBy(col("dst").as("v"))
-        .agg(sum(col("r") / col("outdeg")).as("inflow"))
-      ranks = contrib.select(col("v"),
-        (lit((1.0 - Damping) / n) + lit(Damping) * col("inflow")).as("r"))
+    // In-memory recurrence branch (r10): when state + adjacency fit one
+    // task's share of the memory budget (n·24 B of node arrays + m·16 B
+    // of in-neighbor index lists — 15 MB at sf0.1, 145 MB at the 10×
+    // probe, priced against the same conf-derived JoinBacks budget the
+    // join-backs use), the whole 5-round recurrence is array math over
+    // a ONE-row frame: a dense node index is built once per corpus into
+    // the `pr-adj` slot, each round is one [[graft.plans.
+    // PageRankIterExpr]] projection (per-dst sums in ascending src-index
+    // order), and the only exchange left is the 1000-row output sort.
+    // The measured alternative was 13 jobs/pass — 5 × (an edge-sized
+    // join+agg stage at ~10 CPU-s plus an AQE rank-broadcast build) for
+    // a graph whose adjacency is 15 MB (PhaseTime r10; the published
+    // single-machine-graph lesson: a million-edge graph is one core's
+    // problem, not a cluster's). Values: same recurrence, same damping,
+    // same node set (the symmetric edge list gives every node in-edges,
+    // and the left join below keeps alignment sound even if it didn't);
+    // per-dst summation ORDER changes (ascending src idx vs hash-agg
+    // partition order) — ulp-level drift on ~1e-3-scale doubles, ≥6
+    // decades inside the 1e-9 export gate, and the fallback-parity spec
+    // pins both branches to 1e-12. Past the budget (the 100 TB graph)
+    // the distributed edge-join recurrence below runs unchanged.
+    if (JoinBacks.fits(spark, n * 24L + m * 16L, sides = 1)) {
+      val g = PersistSlots.cached(spark, s"pr-adj:$dir") {
+        val w = org.apache.spark.sql.expressions.Window.orderBy("v")
+        val idx = nodes.select(col("v"), (row_number().over(w) - 1).as("i"))
+        val adj = edges
+          .join(idx.select(col("v").as("src"), col("i").as("si")), Seq("src"))
+          .join(idx.select(col("v").as("dst"), col("i").as("di")), Seq("dst"))
+          .groupBy("di").agg(sort_array(collect_list(col("si"))).as("srcs"))
+        val nodeArrs = idx
+          .join(edges.select(col("src").as("v"), col("outdeg")).distinct(), Seq("v"))
+          .agg(sort_array(collect_list(struct(col("i"), col("v"),
+            (lit(1.0) / col("outdeg")).as("w")))).as("ns"))
+          .select(transform(col("ns"), x => x("v")).as("vs"),
+            transform(col("ns"), x => x("w")).as("invdeg"))
+        val adjArr = idx.join(adj, col("i") === col("di"), "left")
+          .agg(sort_array(collect_list(struct(col("i"),
+            coalesce(col("srcs"), typedLit(Seq.empty[Int])).as("srcs")))).as("as"))
+          .select(transform(col("as"), x => x("srcs")).as("srcsByDst"))
+        nodeArrs.crossJoin(adjArr)
+      }
+      val r0: org.apache.spark.sql.Column = array_repeat(lit(1.0 / n), n.toInt)
+      val rFinal = (1 to PrIters).foldLeft(r0)((r, _) =>
+        graft.plans.PageRankIterExpr.step(col("srcsByDst"), col("invdeg"), r, Damping))
+      g.select(explode(arrays_zip(col("vs"), rFinal.as("pr"))).as("z"))
+        .select(col("z.vs").as("s_suppkey"), col("z.pr").as("pr"))
+        .orderBy("s_suppkey")
+    } else {
+      var ranks = nodes.withColumn("r", lit(1.0 / n))
+      for (_ <- 1 to PrIters) {
+        val contrib = edges
+          .join(ranks.withColumnRenamed("v", "src"), Seq("src"))
+          .groupBy(col("dst").as("v"))
+          .agg(sum(col("r") / col("outdeg")).as("inflow"))
+        ranks = contrib.select(col("v"),
+          (lit((1.0 - Damping) / n) + lit(Damping) * col("inflow")).as("r"))
+      }
+      ranks.select(col("v").as("s_suppkey"), col("r").as("pr"))
+        .orderBy("s_suppkey")
     }
-    ranks.select(col("v").as("s_suppkey"), col("r").as("pr"))
-      .orderBy("s_suppkey")
   }
 
   /** Gate tolerance: Spark's partial-agg per-node sums vs DuckDB's

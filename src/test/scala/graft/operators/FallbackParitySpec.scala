@@ -125,4 +125,33 @@ class FallbackParitySpec extends SparkSpec {
       assertParity(broad, fbDf.collect())
     }
   }
+
+  test("q32_pagerank: the distributed edge-join recurrence (past-budget) matches the in-memory branch") {
+    // r10: in budget the 5-round recurrence is array math over the
+    // pr-adj slot (graft_pagerank_iter); past it the per-round edge
+    // join+agg runs. Same recurrence, different per-dst summation order
+    // — ranks must agree far inside the 1e-9 export-gate tolerance.
+    val memDf = Graphs.pagerankRaw(spark, sf)
+    assert(analyzed(memDf).contains("graft_pagerank_iter"),
+      "default branch did not take the in-memory recurrence")
+    val mem = memDf.collect()
+    inFallback {
+      // the adj slot would satisfy the gate from cache; budget=1 must
+      // re-derive the branch decision, not the artifact
+      ArtifactCaches.clear()
+      spark.catalog.clearCache()
+      val fbDf = Graphs.pagerankRaw(spark, sf)
+      assert(!analyzed(fbDf).contains("graft_pagerank_iter"),
+        "budget=1 did not flip pagerank to the edge-join recurrence")
+      val fb = fbDf.collect()
+      assert(fb.length == mem.length && mem.nonEmpty)
+      mem.zip(fb).foreach { case (a, b) =>
+        assert(a.getLong(0) == b.getLong(0), s"node order drift: $a vs $b")
+        assert(math.abs(a.getDouble(1) - b.getDouble(1)) < 1e-12,
+          s"rank drift past 1e-12: $a vs $b")
+      }
+    }
+    ArtifactCaches.clear()
+    spark.catalog.clearCache()
+  }
 }
