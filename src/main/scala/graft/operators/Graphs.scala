@@ -105,21 +105,25 @@ object Graphs {
       val g = PersistSlots.cached(spark, s"pr-adj:$dir") {
         val w = org.apache.spark.sql.expressions.Window.orderBy("v")
         val idx = nodes.select(col("v"), (row_number().over(w) - 1).as("i"))
+        // idx is node-sized and the local gate already passed — broadcast
+        // it explicitly (window-derived size estimates defeat the
+        // planner's own threshold)
         val adj = edges
-          .join(idx.select(col("v").as("src"), col("i").as("si")), Seq("src"))
-          .join(idx.select(col("v").as("dst"), col("i").as("di")), Seq("dst"))
+          .join(broadcast(idx.select(col("v").as("src"), col("i").as("si"))), Seq("src"))
+          .join(broadcast(idx.select(col("v").as("dst"), col("i").as("di"))), Seq("dst"))
           .groupBy("di").agg(sort_array(collect_list(col("si"))).as("srcs"))
-        val nodeArrs = idx
+        // ONE aggregation emits all three index-aligned arrays (a
+        // crossJoin of per-array one-row frames would plan a
+        // BroadcastNestedLoopJoin — the shape PlanAuditSpec forbids)
+        idx
           .join(edges.select(col("src").as("v"), col("outdeg")).distinct(), Seq("v"))
+          .join(adj, col("i") === col("di"), "left")
           .agg(sort_array(collect_list(struct(col("i"), col("v"),
-            (lit(1.0) / col("outdeg")).as("w")))).as("ns"))
+            (lit(1.0) / col("outdeg")).as("w"),
+            coalesce(col("srcs"), typedLit(Seq.empty[Int])).as("srcs")))).as("ns"))
           .select(transform(col("ns"), x => x("v")).as("vs"),
-            transform(col("ns"), x => x("w")).as("invdeg"))
-        val adjArr = idx.join(adj, col("i") === col("di"), "left")
-          .agg(sort_array(collect_list(struct(col("i"),
-            coalesce(col("srcs"), typedLit(Seq.empty[Int])).as("srcs")))).as("as"))
-          .select(transform(col("as"), x => x("srcs")).as("srcsByDst"))
-        nodeArrs.crossJoin(adjArr)
+            transform(col("ns"), x => x("w")).as("invdeg"),
+            transform(col("ns"), x => x("srcs")).as("srcsByDst"))
       }
       val r0: org.apache.spark.sql.Column = array_repeat(lit(1.0 / n), n.toInt)
       val rFinal = (1 to PrIters).foldLeft(r0)((r, _) =>
@@ -277,6 +281,26 @@ object Graphs {
           .otherwise(struct(col("b").as("src"), col("a").as("dst"), col("da").as("dd"))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.dd").as("dd"))
     }
+    val m0 = PersistSlots.rowCount(spark, s"tri-oriented:$dir")
+      .getOrElse(oriented.count())
+    // In-memory branch (r10, the q32 pr-adj discipline): when the
+    // oriented adjacency fits one task's share of the conf-derived
+    // JoinBacks budget AND the wedge work is bounded (Σ d⁺² ≤ 2²⁸ steps
+    // — about a second in-core; computed once per corpus on the cached
+    // frame, memoized with the bloom), the whole count runs as
+    // compact-forward array intersections over a ONE-row index-aligned
+    // adjacency ([[graft.plans.TriangleCountExpr]]) — the same oriented
+    // wedge volume the distributed plan shuffles (53.6 M records at the
+    // 10× probe), walked in-core with zero wedge exchange. Counts are
+    // integers, so the oracle equality gate is exact in both branches;
+    // FallbackParitySpec pins branch-flip parity. Past either bound the
+    // distributed wedge/bloom/shuffle-hash pipeline below runs
+    // unchanged — the 100 TB path.
+    val localOk = JoinBacks.fits(spark, 64L * m0, sides = 1) &&
+      triStats.getOrElseUpdate((spark.sparkContext.applicationId, dir),
+        oriented.groupBy("src").agg(count(lit(1)).as("d"))
+          .agg(sum(col("d") * col("d"))).collect()(0).getLong(0)) <= LocalWedgeCap
+    if (localOk) return trianglesLocal(spark, dir, oriented)
     // wedges at apex u: out-neighbor pairs with v ≺ w in (degree, id)
     // order — dedups each wedge AND matches the closing edge's direction
     val wedges = oriented.select(col("src").as("u"), col("dst").as("v"), col("dd").as("dv"))
@@ -334,13 +358,70 @@ object Graphs {
       .orderBy("p_partkey")
   }
 
+  /** In-core wedge-work cap for the local triangle branch: Σ d⁺² is the
+    * two-pointer step count, and 2²⁸ ≈ 268 M primitive steps is about a
+    * second on one core — past it the distributed pipeline wins even
+    * when the adjacency fits memory. */
+  val LocalWedgeCap: Long = 1L << 28
+
+  /** The in-memory branch: dense node index + per-node sorted oriented
+    * out-lists, built once per corpus into the `tri-adj` slot (the q32
+    * pr-adj discipline), then one [[graft.plans.TriangleCountExpr]]
+    * projection over the one-row frame. Same (degree, id) orientation,
+    * same per-corner credits, exact integer counts. */
+  private def trianglesLocal(spark: SparkSession, dir: String,
+      oriented: DataFrame): DataFrame = {
+    val adj = PersistSlots.cached(spark, s"tri-adj:$dir") {
+      // the dense index is consumed by TWO joins below — slot-cached, or
+      // each broadcast re-runs the node distinct + window (the r9
+      // aliased-broadcast lesson)
+      val idx = PersistSlots.cached(spark, s"tri-idx:$dir") {
+        val w = org.apache.spark.sql.expressions.Window.orderBy("v")
+        oriented.select(col("src").as("v"))
+          .union(oriented.select(col("dst").as("v"))).distinct()
+          .select(col("v"), (row_number().over(w) - 1).as("i"))
+      }
+      // idx is node-sized and the local gate already passed — broadcast
+      // it explicitly (its window-derived size estimate defeats the
+      // planner's own threshold). Edges pack to one long each and ride a
+      // ZERO-KEY collect (no per-key object-agg sort fallback, no per-src
+      // grouped lists — the expression builds the CSR in-core; the first
+      // grouped-lists build cost 5.3 s of the cold slot, probed r10);
+      // the union frame carries node rows (k=0) and edge rows (k=1) so
+      // ONE aggregation emits both arrays without a one-row cross join.
+      val packed = oriented
+        .join(broadcast(idx.select(col("v").as("src"), col("i").as("si"))), Seq("src"))
+        .join(broadcast(idx.select(col("v").as("dst"), col("i").as("di"))), Seq("dst"))
+        .select(lit(1).as("k"),
+          (shiftleft(col("si").cast("long"), 32) + col("di")).as("e"))
+      idx.select(lit(0).as("k"), col("v").as("e")).unionAll(packed)
+        .agg(sort_array(collect_list(when(col("k") === 0, col("e")))).as("vs"),
+          collect_list(when(col("k") === 1, col("e"))).as("edges"))
+    }
+    // vs ascending = the index order (i was assigned by ascending v), so
+    // counts zip back positionally
+    adj.select(explode(arrays_zip(col("vs"),
+        graft.plans.TriangleCountExpr.count(col("edges"), size(col("vs"))).as("tri"))).as("z"))
+      .filter(col("z.tri") > 0)
+      .select(col("z.vs").as("p_partkey"), col("z.tri").as("tri"))
+      .orderBy("p_partkey")
+  }
+
   /** Per-(session, corpus) memo of the built+broadcast wedge bloom — a
     * corpus artifact like the LSH index; cleared by [[ArtifactCaches]]. */
   private val bloomCache = scala.collection.concurrent.TrieMap
     .empty[(String, String), org.apache.spark.broadcast.Broadcast[
       org.apache.spark.util.sketch.BloomFilter]]
 
-  private[operators] def clearBloomCache(): Unit = bloomCache.clear()
+  /** Per-(session, corpus) memo of Σ d⁺² — the local-branch gate input,
+    * computed once on the cached oriented frame. */
+  private val triStats = scala.collection.concurrent.TrieMap
+    .empty[(String, String), Long]
+
+  private[operators] def clearBloomCache(): Unit = {
+    bloomCache.clear()
+    triStats.clear()
+  }
 
   /** Wedge-prefilter false-positive rate. The SELECTIVITY this buys is an
     * executable assertion (VERDICT r8 #1, GraphOpsSpec): the (v,w)

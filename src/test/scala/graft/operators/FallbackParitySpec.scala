@@ -126,6 +126,26 @@ class FallbackParitySpec extends SparkSpec {
     }
   }
 
+  test("q33_triangles: the distributed wedge pipeline (past-budget) matches the in-core count exactly") {
+    // integer counts: the two branches must agree EXACTLY, row for row
+    val memDf = Graphs.triangles(spark, sf)
+    assert(analyzed(memDf).contains("graft_triangle_count"),
+      "default branch did not take the in-core adjacency count")
+    val mem = memDf.collect().map(r => (r.getLong(0), r.getLong(1)))
+    inFallback {
+      ArtifactCaches.clear()
+      spark.catalog.clearCache()
+      val fbDf = Graphs.triangles(spark, sf)
+      assert(!analyzed(fbDf).contains("graft_triangle_count"),
+        "budget=1 did not flip triangles to the distributed wedge pipeline")
+      val fb = fbDf.collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(mem.nonEmpty && (mem sameElements fb),
+        s"branch outputs differ: in-core ${mem.length} rows vs distributed ${fb.length}")
+    }
+    ArtifactCaches.clear()
+    spark.catalog.clearCache()
+  }
+
   test("q32_pagerank: the distributed edge-join recurrence (past-budget) matches the in-memory branch") {
     // r10: in budget the 5-round recurrence is array math over the
     // pr-adj slot (graft_pagerank_iter); past it the per-round edge

@@ -166,7 +166,12 @@ class GraphOpsSpec extends SparkSpec {
     val totalWedges = oriented.groupBy("src").agg(count(lit(1)).as("od"))
       .agg(sum(col("od") * (col("od") - lit(1)))).collect()(0).getLong(0) / 2
     val m = oriented.count()
-    val trDf = Graphs.triangles(spark, sf)
+    // pin the DISTRIBUTED branch (r10: in budget the count runs as the
+    // in-core tri-adj intersection with no wedge exchange at all; this
+    // case asserts the bloom machinery of the 100 TB path, so flip to it)
+    spark.conf.set("graft.broadcast.budget", "1")
+    val trDf = try Graphs.triangles(spark, sf)
+      finally spark.conf.unset("graft.broadcast.budget")
     // each triangle is exactly ONE closing wedge under the orientation
     val closing = trDf.agg(sum("tri")).collect()(0).getLong(0) / 3
     val rec = graft.tools.PlanAudit.markedExchangeRecords(trDf, "might_close")
@@ -194,6 +199,8 @@ class GraphOpsSpec extends SparkSpec {
     val tinySurvivors = od2.filter(mightTiny(xxhash64(col("v"), col("w")))).count()
     assert(tinySurvivors > bound,
       s"undersized-bloom control passed the bound ($tinySurvivors <= $bound) — the gate has no teeth")
+    graft.operators.ArtifactCaches.clear()
+    spark.catalog.clearCache()
   }
 
   test("ppjoin pair set equals the exact ngram-jaccard pair set (lossless prefix filter)") {
