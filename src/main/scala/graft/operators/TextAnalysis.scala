@@ -481,9 +481,13 @@ object TextAnalysis {
     // slot-materialized: the capped plan reads the fingerprint table from
     // THREE branches (df aggregate + both self-join sides) and would
     // recompute the posexplode+window winnowing pipeline per branch (a
-    // measured 1.4× at 10×); the slot holds the small (doc_id, fp) rows
+    // measured 1.4× at 10×); the slot holds the small (doc_id, fp) rows.
+    // fp rides as BINARY(16) (r10, guide §2.3 — narrower keys): unhex is
+    // injective on md5 hex, so the distinct/join/count structure is
+    // untouched while the self-join's key exchange carries 16 bytes
+    // instead of a 32-char string and compares bytes instead of UTF8.
     val fps = PersistSlots.cached(spark, s"winnow-fps:$dir")(
-      winnowing(spark, dir).select(col("doc_id"), col("fp")).distinct())
+      winnowing(spark, dir).select(col("doc_id"), unhex(col("fp")).as("fp")).distinct())
     val joinable =
       if (maxFpDocFreq == Int.MaxValue) fps
       else {
