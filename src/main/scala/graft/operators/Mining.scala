@@ -81,6 +81,15 @@ object Mining {
     * rounding (the same argument, and the same unchanged DuckDB oracle
     * gate, as the r9 window-avg rewrite). */
   private def marginMutualTop1(scored: DataFrame): DataFrame = {
+    // counter-measured r10: fanning each scored row to (side, key, id)
+    // and computing BOTH sides in ONE groupBy(side, key) — so the two
+    // consumers share one exchange instead of re-executing the dot
+    // pipeline per branch — was interleave-A/B'd at the 10× probe and
+    // LOST on wall (2.6–2.8 s vs 2.2–2.4 s): the two branches run as
+    // independent concurrent stages that back-fill otherwise idle cores
+    // (guide §2.6), while the fan-out serializes the work and doubles
+    // the aggregate-update input. Shuffle identical (1.89 M rec). Kept
+    // as two branches.
     val topk = graft.functions.TopKMarginAgg.topkMargin _
     val xa = scored.groupBy("x_id")
       .agg(topk(col("y_id"), col("cs"), MineK).as("t"))
